@@ -1,0 +1,176 @@
+"""BruteForce — index-free exact search (the recall oracle).
+
+Parity with the reference static API
+(reference: include/knowhere/comp/brute_force.h:29-66,
+src/common/comp/brute_force.cc:164-400): Search / SearchWithBuf / RangeSearch /
+AnnIterator over dense float (L2/IP/COSINE) and binary
+(HAMMING/JACCARD/SUB/SUPERSTRUCTURE) data. Sparse brute force
+(SearchSparse, BM25) lives in models/sparse.py and is re-exported here.
+
+TPU design: the reference fans out one thread-pool task per query
+(brute_force.cc:105-140); here the query axis is a device batch dimension and
+the base is streamed through the tiled MXU kNN kernel (ops/topk.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .bitset import BitsetView
+from .config import BruteForceConfig, Config, Stage
+from .dataset import DataSet, GenRangeResultDataSet, GenResultDataSet
+from .index_param import BINARY_METRICS, DENSE_FLOAT_METRICS, normalize_metric
+from .index_node import PrecomputedDistanceIterator
+from .ops import distances as D
+from .ops import topk as T
+from .ops import range as R
+from .status import Status, expected, guarded_expected
+
+
+def _prep(base_ds: DataSet, query_ds: DataSet, metric: str):
+    """Returns (q_np, base_dev, aux_dev) ready for the tiled kernels."""
+    xb = np.asarray(base_ds.tensor)
+    xq = np.asarray(query_ds.tensor)
+    if metric in BINARY_METRICS:
+        dim_bits = base_ds.dim
+        xb = D.unpack_bits_host(xb.view(np.uint8), dim_bits)
+        xq = D.unpack_bits_host(xq.view(np.uint8), dim_bits)
+    b_dev = jax.device_put(xb)
+    aux = D.base_aux(metric, b_dev)
+    return xq, b_dev, aux
+
+
+def _check_metric(base_ds: DataSet, metric: str) -> Optional[str]:
+    if base_ds.is_sparse:
+        return None
+    is_bin_data = np.asarray(base_ds.tensor).dtype == np.uint8
+    if metric in BINARY_METRICS:
+        return None if is_bin_data else f"binary metric {metric} requires packed uint8 data"
+    if metric in DENSE_FLOAT_METRICS:
+        return None if not is_bin_data else f"metric {metric} not valid for binary data"
+    return f"metric {metric} not supported by BruteForce for this data type"
+
+
+class BruteForce:
+    @staticmethod
+    def Search(
+        base_dataset: DataSet,
+        query_dataset: DataSet,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> "expected[DataSet]":
+        def impl():
+            if base_dataset.is_sparse:
+                from .models.sparse import brute_force_search_sparse
+
+                return brute_force_search_sparse(
+                    base_dataset, query_dataset, json_cfg or {}, bitset
+                )
+            cfg = BruteForceConfig()
+            st, msg = Config.load(cfg, json_cfg or {}, Stage.SEARCH)
+            if st != Status.success:
+                return expected.Err(st, msg)
+            metric = normalize_metric(cfg.metric_type)
+            err = _check_metric(base_dataset, metric)
+            if err:
+                return expected.Err(Status.invalid_metric_type, err)
+            nq, k = query_dataset.rows, cfg.k
+            xq, b_dev, aux = _prep(base_dataset, query_dataset, metric)
+            mask = bitset.device_mask(base_dataset.rows) if bitset and not bitset.empty_view() else None
+            ids, dists = T.knn_search(xq, b_dev, k, metric, bitset_mask=mask, aux=aux)
+            return expected.Ok(GenResultDataSet(nq, k, ids, dists))
+
+        return guarded_expected(impl)
+
+    @staticmethod
+    def SearchWithBuf(
+        base_dataset: DataSet,
+        query_dataset: DataSet,
+        ids_buf: np.ndarray,
+        dist_buf: np.ndarray,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> Status:
+        res = BruteForce.Search(base_dataset, query_dataset, json_cfg, bitset)
+        if not res.has_value():
+            return res.error()
+        ds = res.value()
+        np.copyto(np.asarray(ids_buf).reshape(-1), ds.ids)
+        np.copyto(np.asarray(dist_buf).reshape(-1), ds.distance)
+        return Status.success
+
+    @staticmethod
+    def RangeSearch(
+        base_dataset: DataSet,
+        query_dataset: DataSet,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> "expected[DataSet]":
+        def impl():
+            if base_dataset.is_sparse:
+                from .models.sparse import brute_force_range_search_sparse
+
+                return brute_force_range_search_sparse(
+                    base_dataset, query_dataset, json_cfg or {}, bitset
+                )
+            cfg = BruteForceConfig()
+            st, msg = Config.load(cfg, json_cfg or {}, Stage.RANGE_SEARCH)
+            if st != Status.success:
+                return expected.Err(st, msg)
+            metric = normalize_metric(cfg.metric_type)
+            err = _check_metric(base_dataset, metric)
+            if err:
+                return expected.Err(Status.invalid_metric_type, err)
+            xq, b_dev, aux = _prep(base_dataset, query_dataset, metric)
+            mask = bitset.device_mask(base_dataset.rows) if bitset and not bitset.empty_view() else None
+            ids, dists, lims = R.range_search(
+                xq, b_dev, cfg.radius, cfg.range_filter, metric,
+                bitset_mask=mask, aux=aux,
+            )
+            return expected.Ok(GenRangeResultDataSet(query_dataset.rows, ids, dists, lims))
+
+        return guarded_expected(impl)
+
+    @staticmethod
+    def AnnIterator(
+        base_dataset: DataSet,
+        query_dataset: DataSet,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> "expected[list]":
+        """Per-query exact-distance iterators (PrecomputedDistanceIterator,
+        reference brute_force.cc AnnIterator + index_node.h:815-937)."""
+
+        def impl():
+            if base_dataset.is_sparse:
+                from .models.sparse import brute_force_ann_iterator_sparse
+
+                return brute_force_ann_iterator_sparse(
+                    base_dataset, query_dataset, json_cfg or {}, bitset
+                )
+            cfg = BruteForceConfig()
+            st, msg = Config.load(cfg, json_cfg or {}, Stage.ITERATOR)
+            if st != Status.success:
+                return expected.Err(st, msg)
+            metric = normalize_metric(cfg.metric_type)
+            err = _check_metric(base_dataset, metric)
+            if err:
+                return expected.Err(Status.invalid_metric_type, err)
+            xq, b_dev, aux = _prep(base_dataset, query_dataset, metric)
+            larger = D.larger_is_better(metric)
+            keep = bitset.host_mask(base_dataset.rows) if bitset and not bitset.empty_view() else None
+            iterators = []
+            chunk = 256
+            for s in range(0, xq.shape[0], chunk):
+                q_dev = jax.device_put(xq[s : s + chunk])
+                dmat = np.asarray(D.pairwise_distance(metric, q_dev, b_dev, aux))
+                for r in range(dmat.shape[0]):
+                    iterators.append(
+                        PrecomputedDistanceIterator(dmat[r], keep, larger)
+                    )
+            return expected.Ok(iterators)
+
+        return guarded_expected(impl)

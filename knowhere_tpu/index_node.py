@@ -1,0 +1,280 @@
+"""IndexNode — the abstract index implementation interface + iterator framework.
+
+TPU-native equivalent of the reference L4 layer
+(reference: include/knowhere/index/index_node.h:88-326 for the abstract
+interface and default Build=Train+Add / RangeSearch-via-iterator;
+index_node.h:672-937 for the IndexIterator / PrecomputedDistanceIterator
+framework). emb_list glue (index_node.h:388-523) lives in models/emb_list.py
+and is dispatched from the facade.
+
+Conventions:
+- All inputs/outputs are `DataSet`; configs are typed `Config` objects already
+  loaded for the right stage by the facade.
+- Status-returning methods raise KnowhereException only internally; the facade
+  converts to Status via guarded_call.
+"""
+
+from __future__ import annotations
+
+import heapq
+from abc import ABC, abstractmethod
+from typing import Any, Iterator, List, Optional, Tuple, Type
+
+import numpy as np
+
+from .binaryset import BinarySet
+from .bitset import BitsetView
+from .config import BaseConfig, Config, Stage
+from .dataset import DataSet, GenRangeResultDataSet
+from .index_param import is_similarity_metric
+from .status import KnowhereException, Status, expected
+
+
+class IndexNode(ABC):
+    """Abstract index node (reference index_node.h:118-326)."""
+
+    def __init__(self, version: int, object: Any = None):  # noqa: A002
+        self.version = version
+        self.object = object
+
+    # --- lifecycle -----------------------------------------------------
+    def Build(self, dataset: DataSet, cfg: Config) -> Status:
+        """Default Build = Train + Add (reference index_node.h:88-92)."""
+        st = self.Train(dataset, cfg)
+        if st != Status.success:
+            return st
+        return self.Add(dataset, cfg)
+
+    @abstractmethod
+    def Train(self, dataset: DataSet, cfg: Config) -> Status: ...
+
+    @abstractmethod
+    def Add(self, dataset: DataSet, cfg: Config) -> Status: ...
+
+    # --- queries ---------------------------------------------------------
+    @abstractmethod
+    def Search(
+        self, dataset: DataSet, cfg: Config, bitset: BitsetView
+    ) -> "expected[DataSet]": ...
+
+    def RangeSearch(
+        self, dataset: DataSet, cfg: Config, bitset: BitsetView
+    ) -> "expected[DataSet]":
+        """Default range search via AnnIterator (reference index_node.h:200-213):
+        stream candidates best-first until the radius falls out of range."""
+        it_exp = self.AnnIterator(dataset, cfg, bitset, use_knowhere_search_pool=False)
+        if not it_exp.has_value():
+            return expected.Err(it_exp.error(), it_exp.what())
+        iterators = it_exp.value()
+        radius = cfg.get("radius", 0.0)
+        range_filter = cfg.get("range_filter", float("inf"))
+        two_sided = np.isfinite(range_filter)
+        range_search_k = cfg.get("range_search_k", -1)
+        is_ip = is_similarity_metric(cfg.get("metric_type", "L2"))
+        range_search_level = cfg.get("range_search_level", 0.01)
+
+        nq = len(iterators)
+        all_ids: List[np.ndarray] = []
+        all_dists: List[np.ndarray] = []
+        lims = np.zeros(nq + 1, dtype=np.int64)
+        for qi, it in enumerate(iterators):
+            ids_i: List[int] = []
+            dists_i: List[float] = []
+            # Expanding consumption: keep pulling while the frontier distance
+            # remains in range; tolerate a margin of out-of-range results
+            # proportional to range_search_level before stopping (mirrors the
+            # reference's tolerance heuristic for non-monotonic iterators).
+            out_of_range_budget = max(64, int(range_search_level * 8192))
+            misses = 0
+            while it.HasNext():
+                i, d = it.Next()
+                if is_ip:
+                    in_range = d > radius and (not two_sided or d <= range_filter)
+                else:
+                    in_range = d < radius and (not two_sided or d >= range_filter)
+                if in_range:
+                    ids_i.append(i)
+                    dists_i.append(d)
+                    misses = 0
+                else:
+                    misses += 1
+                    if misses > out_of_range_budget:
+                        break
+                if range_search_k >= 0 and len(ids_i) >= range_search_k:
+                    break
+            all_ids.append(np.asarray(ids_i, dtype=np.int64))
+            all_dists.append(np.asarray(dists_i, dtype=np.float32))
+            lims[qi + 1] = lims[qi] + len(ids_i)
+        ids = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
+        dists = np.concatenate(all_dists) if all_dists else np.empty(0, np.float32)
+        return expected.Ok(GenRangeResultDataSet(nq, ids, dists, lims))
+
+    def AnnIterator(
+        self,
+        dataset: DataSet,
+        cfg: Config,
+        bitset: BitsetView,
+        use_knowhere_search_pool: bool = True,
+    ) -> "expected[List[IndexIterator]]":
+        return expected.Err(
+            Status.not_implemented, f"AnnIterator not supported for {self.Type()}"
+        )
+
+    def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
+        return expected.Err(Status.not_implemented, "GetVectorByIds not supported")
+
+    def CalcDistByIDs(
+        self, query_ds: DataSet, bitset: BitsetView, ids: np.ndarray, rows: int
+    ) -> "expected[np.ndarray]":
+        """Exact distances between all query rows and the given stored ids —
+        used by emb_list rerank (reference index_node.h:167-172)."""
+        return expected.Err(Status.not_implemented, "CalcDistByIDs not supported")
+
+    @staticmethod
+    def HasRawData(metric_type: str) -> bool:
+        return False
+
+    def GetIndexMeta(self, cfg: Config) -> "expected[DataSet]":
+        return expected.Err(Status.not_implemented, "GetIndexMeta not supported")
+
+    # --- serialization -----------------------------------------------------
+    @abstractmethod
+    def Serialize(self, binset: BinarySet) -> Status: ...
+
+    @abstractmethod
+    def Deserialize(self, binset: BinarySet, cfg: Config) -> Status: ...
+
+    def DeserializeFromFile(self, filename: str, cfg: Config) -> Status:
+        """Default: mmap the file as one blob named after the index type
+        (mmap-equivalent of reference DeserializeFromFile, ivf.cc:1844-1903)."""
+        try:
+            data = np.memmap(filename, dtype=np.uint8, mode="r")
+        except OSError as e:
+            raise KnowhereException(str(e), Status.disk_file_error) from e
+        binset = BinarySet()
+        binset.Append(self.Type(), memoryview(data))
+        return self.Deserialize(binset, cfg)
+
+    # --- introspection ------------------------------------------------------
+    @staticmethod
+    @abstractmethod
+    def CreateConfig() -> Config: ...
+
+    @abstractmethod
+    def Dim(self) -> int: ...
+
+    def Size(self) -> int:
+        return 0
+
+    @abstractmethod
+    def Count(self) -> int: ...
+
+    @abstractmethod
+    def Type(self) -> str: ...
+
+
+# ---------------------------------------------------------------------------
+# Iterator framework (reference index_node.h:672-937)
+# ---------------------------------------------------------------------------
+
+
+class IndexIterator:
+    """Buffered best-first iterator.
+
+    Subclasses implement `next_batch()` -> (ids int64[], dists f32[]) in the
+    index's native approximate order; this base maintains a refine-capable
+    min-heap exactly like the reference IndexIterator (index_node.h:672-808):
+    if `refine_fn` is given, raw distances re-score candidates before they are
+    surfaced, with `refine_ratio` controlling the lookahead buffer.
+    """
+
+    def __init__(
+        self,
+        larger_is_closer: bool,
+        refine_fn=None,
+        refine_ratio: float = 0.0,
+        retain_order: bool = False,
+    ):
+        self.larger_is_closer = larger_is_closer
+        self.refine_fn = refine_fn
+        self.refine_ratio = refine_ratio
+        self.retain_order = retain_order
+        self._heap: List[Tuple[float, int]] = []  # (sort_key, id)
+        self._exhausted = False
+        self._returned = 0
+
+    def _sort_key(self, dist: float) -> float:
+        return -dist if self.larger_is_closer else dist
+
+    def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Produce the next chunk of (ids, dists); empty arrays when done."""
+        raise NotImplementedError
+
+    def _refill(self, min_size: int = 1) -> None:
+        while not self._exhausted and len(self._heap) < min_size:
+            ids, dists = self.next_batch()
+            if len(ids) == 0:
+                self._exhausted = True
+                break
+            if self.refine_fn is not None:
+                dists = self.refine_fn(ids, dists)
+            for i, d in zip(ids.tolist(), dists.tolist()):
+                heapq.heappush(self._heap, (self._sort_key(d), int(i)))
+
+    def HasNext(self) -> bool:
+        self._refill()
+        return len(self._heap) > 0
+
+    def Next(self) -> Tuple[int, float]:
+        # Keep a lookahead buffer when refining so surfaced order is closer to
+        # exact (reference refine_ratio semantics).
+        lookahead = 1
+        if self.refine_fn is not None and self.refine_ratio > 0:
+            lookahead = max(1, int(1.0 / max(self.refine_ratio, 1e-6)))
+        self._refill(lookahead)
+        if not self._heap:
+            raise KnowhereException("iterator exhausted", Status.empty_index)
+        key, idx = heapq.heappop(self._heap)
+        dist = -key if self.larger_is_closer else key
+        self._returned += 1
+        return idx, float(dist)
+
+
+class PrecomputedDistanceIterator(IndexIterator):
+    """Iterator over fully precomputed per-query distances with lazy batched
+    partial sort (reference index_node.h:815-937; sort chunks >=50k rows)."""
+
+    SORT_CHUNK = 50_000
+
+    def __init__(self, dists: np.ndarray, valid_mask: Optional[np.ndarray], larger_is_closer: bool):
+        super().__init__(larger_is_closer)
+        self._dists = np.asarray(dists, dtype=np.float32).reshape(-1)
+        n = self._dists.size
+        if valid_mask is not None:
+            self._valid_ids = np.nonzero(valid_mask)[0]
+        else:
+            self._valid_ids = np.arange(n)
+        vals = self._dists[self._valid_ids]
+        self._order = np.argsort(-vals if larger_is_closer else vals, kind="stable")
+        self._pos = 0
+
+    def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._pos >= self._order.size:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        end = min(self._pos + 1024, self._order.size)
+        sel = self._order[self._pos : end]
+        self._pos = end
+        ids = self._valid_ids[sel].astype(np.int64)
+        return ids, self._dists[self._valid_ids[sel]]
+
+
+class BatchedDistanceIterator(IndexIterator):
+    """Iterator fed by a callable producing successive approximate batches —
+    used by IVF/graph indexes to stream expanding candidate sets."""
+
+    def __init__(self, batch_fn, larger_is_closer: bool, refine_fn=None, refine_ratio: float = 0.0):
+        super().__init__(larger_is_closer, refine_fn=refine_fn, refine_ratio=refine_ratio)
+        self._batch_fn = batch_fn
+
+    def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self._batch_fn()

@@ -1,0 +1,5 @@
+"""Index families. Importing this package registers every index with the
+factory (the module-level @register_index decorators are the analog of the
+reference's static-init registration macros, index_factory.h:87-165)."""
+
+from . import flat  # noqa: F401

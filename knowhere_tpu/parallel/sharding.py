@@ -1,0 +1,224 @@
+"""Multi-chip sharding layer — database sharded over an ICI mesh.
+
+The reference has NO distributed layer: Milvus shards data into segments, each
+with its own single-process Knowhere index, and merges top-k on the CPU
+(SURVEY.md §2 "Parallelism strategies", §5.8). This module is the TPU-native
+first-class replacement: one LOGICAL index whose base rows are sharded across
+a `jax.sharding.Mesh` axis ("shard"), with
+
+- search  = shard_map'ed per-shard fused distance+top-k, then a global merge
+  via all_gather over ICI + final top-k (log-tree merge handled by XLA),
+- k-means training = data-parallel Lloyd: per-shard assign + partial sums,
+  psum over the mesh, replicated centroid update,
+- the same program runs single-chip (mesh of 1) so correctness tests run on a
+  CPU mesh (--xla_force_host_platform_device_count).
+
+Multi-host DCN meshes use the identical program (jax global arrays).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..ops import distances as D
+
+AXIS = "shard"
+
+
+def make_mesh(devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_rows(mesh: Mesh, x: np.ndarray) -> jax.Array:
+    """Put a (rows, d) host array onto the mesh, row-sharded. Rows are padded
+    to a multiple of the mesh size with +0 rows; callers track true counts."""
+    n = mesh.devices.size
+    rows = x.shape[0]
+    pad = (-rows) % n
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+    return jax.device_put(x, NamedSharding(mesh, P(AXIS, *([None] * (x.ndim - 1)))))
+
+
+def replicate(mesh: Mesh, x: np.ndarray) -> jax.Array:
+    return jax.device_put(np.asarray(x), NamedSharding(mesh, P(*([None] * np.asarray(x).ndim))))
+
+
+# ---------------------------------------------------------------------------
+# Sharded search: per-shard top-k + all_gather merge
+# ---------------------------------------------------------------------------
+
+
+def sharded_search(
+    mesh: Mesh,
+    queries: jax.Array,
+    base: jax.Array,
+    k: int,
+    metric_name: str,
+    aux: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    valid_rows: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """queries replicated, base row-sharded -> (dists (nq,k), ids (nq,k)) replicated.
+
+    ids are GLOBAL row indices (shard offset added inside the shard_map);
+    `valid_rows` masks out padding rows introduced by shard_rows.
+    """
+    metric_name = metric_name.upper()
+    n_shards = mesh.devices.size
+    nb_total = base.shape[0]
+    nb_per = nb_total // n_shards
+    larger = D.larger_is_better(metric_name)
+    sign = 1.0 if larger else -1.0
+    kk = min(k, nb_per)
+
+    in_specs = [P(None, None), P(AXIS, None)]
+    args = [queries, base]
+    if aux is not None:
+        in_specs.append(P(AXIS))
+        args.append(aux)
+    if mask is not None:
+        in_specs.append(P(AXIS))
+        args.append(mask)
+
+    def local_search(q, xb, *rest):
+        i = 0
+        aux_l = rest[i] if aux is not None else None
+        i += aux is not None
+        mask_l = rest[i] if mask is not None else None
+        dist = D.pairwise_distance(metric_name, q, xb, aux_l)
+        score = dist * sign
+        shard_id = jax.lax.axis_index(AXIS)
+        row0 = shard_id * nb_per
+        if valid_rows is not None:
+            gids_local = row0 + jax.lax.broadcasted_iota(jnp.int32, (1, nb_per), 1)
+            score = jnp.where(gids_local < valid_rows, score, -jnp.inf)
+        if mask_l is not None:
+            score = jnp.where(mask_l[None, :], score, -jnp.inf)
+        s, idx = jax.lax.top_k(score, kk)
+        gids = idx.astype(jnp.int32) + row0
+        # merge across shards: gather everyone's top-k, re-select
+        all_s = jax.lax.all_gather(s, AXIS, axis=1).reshape(s.shape[0], -1)
+        all_i = jax.lax.all_gather(gids, AXIS, axis=1).reshape(s.shape[0], -1)
+        best_s, sel = jax.lax.top_k(all_s, k)
+        best_i = jnp.take_along_axis(all_i, sel, axis=1)
+        best_i = jnp.where(best_s == -jnp.inf, -1, best_i)
+        return best_s * sign, best_i
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(*args)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel k-means step (Lloyd) with psum merge
+# ---------------------------------------------------------------------------
+
+
+def sharded_kmeans_step(mesh: Mesh, base: jax.Array, centroids: jax.Array) -> jax.Array:
+    """One Lloyd iteration over a row-sharded base: replicated new centroids."""
+    k = centroids.shape[0]
+
+    def step(xb, c):
+        c32 = c.astype(jnp.float32)
+        x32 = xb.astype(jnp.float32)
+        c_sq = jnp.sum(c32**2, axis=1)
+        dot = jax.lax.dot_general(
+            x32, c32, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        assign = jnp.argmin(c_sq[None, :] - 2.0 * dot, axis=1)
+        sums = jax.ops.segment_sum(x32, assign, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones((x32.shape[0],), jnp.float32), assign, num_segments=k)
+        sums = jax.lax.psum(sums, AXIS)
+        counts = jax.lax.psum(counts, AXIS)
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where((counts == 0)[:, None], c32, new_c)
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(base, centroids)
+
+
+def _kmeanspp_init(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding on a host subsample: guarantees cluster coverage that
+    plain random picks miss (the per-iteration reseed in ops/kmeans.py plays
+    the same role on the single-chip path)."""
+    sample = x[rng.choice(x.shape[0], size=min(x.shape[0], k * 64), replace=False)]
+    centers = [sample[rng.integers(sample.shape[0])]]
+    d2 = ((sample - centers[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-12)
+        nxt = sample[rng.choice(sample.shape[0], p=probs)]
+        centers.append(nxt)
+        d2 = np.minimum(d2, ((sample - nxt) ** 2).sum(1))
+    return np.stack(centers).astype(np.float32)
+
+
+def sharded_kmeans(
+    mesh: Mesh, x: np.ndarray, k: int, n_iters: int = 12, seed: int = 1234
+) -> np.ndarray:
+    """Full data-parallel k-means over the mesh; returns centroids (k,d)."""
+    rng = np.random.default_rng(seed)
+    init = _kmeanspp_init(np.asarray(x, dtype=np.float32), k, rng)
+    base = shard_rows(mesh, x)
+    cents = replicate(mesh, init)
+    for _ in range(n_iters):
+        cents = sharded_kmeans_step(mesh, base, cents)
+    return np.asarray(cents)
+
+
+class ShardedFlatIndex:
+    """A logical FLAT index sharded across the mesh — the multi-chip serving
+    path for exact search (the building block the IVF/graph sharded variants
+    compose with)."""
+
+    def __init__(self, mesh: Mesh, metric: str = "L2"):
+        self.mesh = mesh
+        self.metric = metric.upper()
+        self._base = None
+        self._aux = None
+        self._rows = 0
+
+    def build(self, xb: np.ndarray) -> None:
+        self._rows = xb.shape[0]
+        self._base = shard_rows(self.mesh, np.asarray(xb))
+        # aux is computed shard-local (sharding propagates through jnp ops)
+        self._aux = jax.jit(lambda b: D.base_aux(self.metric, b))(self._base) if self.metric != "IP" else None
+
+    def search(self, xq: np.ndarray, k: int, bitset_keep: Optional[np.ndarray] = None):
+        q = replicate(self.mesh, np.asarray(xq))
+        mask = None
+        if bitset_keep is not None:
+            pad = self._base.shape[0] - bitset_keep.shape[0]
+            if pad:
+                bitset_keep = np.concatenate([bitset_keep, np.zeros(pad, bool)])
+            mask = jax.device_put(bitset_keep, NamedSharding(self.mesh, P(AXIS)))
+        dists, ids = sharded_search(
+            self.mesh, q, self._base, k, self.metric,
+            aux=self._aux, mask=mask, valid_rows=self._rows,
+        )
+        return np.asarray(dists), np.asarray(ids, dtype=np.int64)

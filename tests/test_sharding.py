@@ -1,0 +1,104 @@
+"""Multi-chip sharding layer on the virtual 8-device CPU mesh (SURVEY.md §4:
+the TPU analog of multi-node tests; reference has none — single-node library)."""
+
+import numpy as np
+import pytest
+
+import knowhere_tpu as kt
+from knowhere_tpu.parallel.sharding import (
+    ShardedFlatIndex,
+    make_mesh,
+    replicate,
+    shard_rows,
+    sharded_kmeans,
+    sharded_kmeans_step,
+    sharded_search,
+)
+from .utils import brute_force_gt, gen_dataset, knn_recall
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+NB, NQ, DIM, K = 1000, 10, 64, 10
+
+
+class TestShardedSearch:
+    def test_matches_single_chip_exact(self, mesh):
+        base_ds = gen_dataset(NB, DIM, seed=21)
+        query_ds = gen_dataset(NQ, DIM, seed=22)
+        xb = np.asarray(base_ds.tensor)
+        xq = np.asarray(query_ds.tensor)
+
+        idx = ShardedFlatIndex(mesh, "L2")
+        idx.build(xb)
+        dists, ids = idx.search(xq, K)
+
+        gt_ids, gt_dists = brute_force_gt(base_ds, query_ds, "L2", K)
+        assert knn_recall(gt_ids, ids, NQ, K) >= 0.99
+        np.testing.assert_allclose(np.sort(dists, 1), np.sort(gt_dists, 1), rtol=1e-3, atol=1e-3)
+
+    def test_ip_metric(self, mesh):
+        base_ds = gen_dataset(NB, DIM, seed=23)
+        query_ds = gen_dataset(NQ, DIM, seed=24)
+        idx = ShardedFlatIndex(mesh, "IP")
+        idx.build(np.asarray(base_ds.tensor))
+        _, ids = idx.search(np.asarray(query_ds.tensor), K)
+        gt_ids, _ = brute_force_gt(base_ds, query_ds, "IP", K)
+        assert knn_recall(gt_ids, ids, NQ, K) >= 0.99
+
+    def test_filtered(self, mesh):
+        base_ds = gen_dataset(NB, DIM, seed=25)
+        query_ds = gen_dataset(NQ, DIM, seed=26)
+        rng = np.random.default_rng(0)
+        keep = rng.random(NB) > 0.5
+        idx = ShardedFlatIndex(mesh, "L2")
+        idx.build(np.asarray(base_ds.tensor))
+        _, ids = idx.search(np.asarray(query_ds.tensor), K, bitset_keep=keep)
+        for row in ids:
+            for i in row:
+                if i >= 0:
+                    assert keep[i]
+
+    def test_padding_rows_never_returned(self, mesh):
+        # 1003 rows does not divide 8 — padding must be masked out
+        base_ds = gen_dataset(1003, DIM, seed=27)
+        query_ds = gen_dataset(NQ, DIM, seed=28)
+        idx = ShardedFlatIndex(mesh, "L2")
+        idx.build(np.asarray(base_ds.tensor))
+        _, ids = idx.search(np.asarray(query_ds.tensor), K)
+        assert ids.max() < 1003
+
+
+class TestShardedKmeans:
+    def test_step_matches_host_lloyd(self, mesh):
+        rng = np.random.default_rng(31)
+        x = rng.standard_normal((800, DIM)).astype(np.float32)
+        init = x[:16].copy()
+        base = shard_rows(mesh, x)
+        cents = replicate(mesh, init)
+        out = np.asarray(sharded_kmeans_step(mesh, base, cents))
+
+        # host reference Lloyd step
+        d = ((x[:, None, :] - init[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        want = init.copy()
+        for c in range(16):
+            sel = a == c
+            if sel.any():
+                want[c] = x[sel].mean(0)
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    def test_full_kmeans_converges(self, mesh):
+        rng = np.random.default_rng(32)
+        centers = rng.standard_normal((8, DIM)).astype(np.float32) * 10
+        x = np.concatenate([c + rng.standard_normal((100, DIM)).astype(np.float32) for c in centers])
+        cents = sharded_kmeans(mesh, x, k=8, n_iters=15, seed=1)
+        # every true center should have a learned centroid nearby
+        d = ((centers[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assert (d.min(1) < DIM * 0.5).all()
