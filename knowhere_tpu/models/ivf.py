@@ -1,0 +1,949 @@
+"""IVF index family: IVF_FLAT[_CC], IVF_SQ8/IVF_SQ_CC, IVF_PQ, SCANN,
+IVF_RABITQ[_FASTSCAN], BIN_IVF_FLAT.
+
+Behavioral parity target: reference src/index/ivf/ivf.cc (1980 LoC) +
+ivf_config.h — train via k-means coarse quantizer with nlist auto-shrink
+(MatchNlist, ivf.cc:476-487), per-type construction incl. cosine
+normalize-then-IP (ivf.cc:556-562, 990-993), search with
+nprobe/ensure_topk_full/bitset filtering (ivf.cc:955-1210), SCANN =
+4-bit PQ + raw refine with reorder_k (ivf.cc:659-694), RaBitQ binary
+quantization with optional refine (ivf.cc:768-800), range search, iterators,
+GetVectorByIds reconstruct (ivf.cc:1538-1607), serialize/mmap-deserialize
+(ivf.cc:1723-1903), and CC concurrent-add variants (ivf.cc:605-631).
+
+TPU design: lists live sorted-by-list in HBM; search batches queries and runs
+the inverted (list-block x query-group) matmul task engine (ops/ivf_scan.py).
+PQ/SQ decode on the fly inside the scan (== ADC results); RaBitQ scores via
+sign-plane matmuls. The per-query thread fan-out of the reference becomes the
+batch axis; CC semantics are epoch appends (pending segment scanned exactly).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..binaryset import BinarySet
+from ..bitset import BitsetView
+from ..config import BaseConfig, Config, Entry, Stage
+from ..dataset import (
+    DataSet,
+    GenRangeResultDataSet,
+    GenResultDataSet,
+    GenTensorDataSet,
+)
+from ..factory import register_index
+from ..feature import feature
+from ..index_param import IndexEnum, metric as M, normalize_metric
+from ..index_node import BatchedDistanceIterator, IndexNode
+from ..io.serialize import read_sections, write_sections
+from ..ops import distances as D
+from ..ops import quant as Q
+from ..ops.ivf_scan import build_scan_tasks, coarse_probe, ivf_scan_search
+from ..ops.kmeans import assign_rows, kmeans
+from ..ops.refine import RefineStore, refine_topk
+from ..status import KnowhereException, Status, expected
+from ..utils.logging import log_warning
+
+MIN_POINTS_PER_CENTROID = 39  # reference ivf.cc:478
+
+
+def match_nlist(rows: int, nlist: int) -> int:
+    """nlist auto-shrink (reference MatchNlist, ivf.cc:476-487)."""
+    if nlist * MIN_POINTS_PER_CENTROID > rows:
+        new = max(1, rows // MIN_POINTS_PER_CENTROID)
+        log_warning(f"nlist({nlist}) is too large, adjust to {new}")
+        return new
+    return nlist
+
+
+def match_nbits(rows: int, nbits: int) -> int:
+    """nbits auto-shrink so each PQ codebook can be trained (MatchNbits)."""
+    while nbits > 1 and (1 << nbits) > max(rows, 2):
+        nbits -= 1
+    return nbits
+
+
+# ---------------------------------------------------------------------------
+# Configs (reference src/index/ivf/ivf_config.h; SURVEY Appendix A)
+# ---------------------------------------------------------------------------
+
+
+class IvfConfig(BaseConfig):
+    nlist = Entry(int, default=128, range=(1, 65536), stages=[Stage.TRAIN])
+    nprobe = Entry(int, default=8, range=(1, 65536), stages=[Stage.SEARCH, Stage.ITERATOR, Stage.RANGE_SEARCH])
+    use_elkan = Entry(bool, default=True, stages=[Stage.TRAIN])
+    ensure_topk_full = Entry(bool, default=True, stages=[Stage.SEARCH])
+    max_empty_result_buckets = Entry(int, default=2, range=(0, 65536), stages=[Stage.RANGE_SEARCH])
+
+
+class IvfFlatConfig(IvfConfig):
+    pass
+
+
+class IvfFlatCcConfig(IvfConfig):
+    ssize = Entry(int, default=48, range=(32, 2048), stages=[Stage.TRAIN])
+
+
+class IvfPqConfig(IvfConfig):
+    m = Entry(int, range=(1, 65536), stages=[Stage.TRAIN], allow_empty=True)
+    nbits = Entry(int, default=8, range=(1, 24), stages=[Stage.TRAIN])
+    refine = Entry(bool, default=False, stages=[Stage.TRAIN])
+    refine_type = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
+    refine_k = Entry(int, default=1, range=(1, None), stages=[Stage.SEARCH])
+
+
+class ScannConfig(IvfConfig):
+    reorder_k = Entry(int, range=(1, None), stages=[Stage.SEARCH], allow_empty=True)
+    with_raw_data = Entry(bool, default=True, stages=[Stage.TRAIN])
+    sub_dim = Entry(int, default=2, range=(1, 65536), stages=[Stage.TRAIN])
+    ensure_topk_full = Entry(bool, default=False, stages=[Stage.SEARCH])
+
+
+class IvfSqConfig(IvfConfig):
+    sq_type = Entry(str, default="SQ8", stages=[Stage.TRAIN])
+    refine = Entry(bool, default=False, stages=[Stage.TRAIN])
+    refine_type = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
+    refine_k = Entry(int, default=1, range=(1, None), stages=[Stage.SEARCH])
+
+
+class IvfSqCcConfig(IvfSqConfig):
+    ssize = Entry(int, default=48, range=(32, 2048), stages=[Stage.TRAIN])
+    code_size = Entry(int, default=8, range=(4, 8), stages=[Stage.TRAIN])
+    raw_data_store_prefix = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
+
+
+class IvfRaBitQConfig(IvfConfig):
+    rbq_bits = Entry(int, default=1, range=(1, 9), stages=[Stage.TRAIN])
+    rbq_bits_query = Entry(int, default=0, range=(0, 8), stages=[Stage.SEARCH])
+    refine = Entry(bool, default=True, stages=[Stage.TRAIN])
+    refine_type = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
+    refine_k = Entry(int, default=1, range=(1, None), stages=[Stage.SEARCH])
+
+
+# ---------------------------------------------------------------------------
+# Node
+# ---------------------------------------------------------------------------
+
+_VARIANT_METRICS = {
+    "flat": (M.L2, M.IP, M.COSINE),
+    "flat_cc": (M.L2, M.IP, M.COSINE),
+    "sq": (M.L2, M.IP, M.COSINE),
+    "sq_cc": (M.L2, M.IP, M.COSINE),
+    "pq": (M.L2, M.IP, M.COSINE),
+    "scann": (M.L2, M.IP, M.COSINE),
+    "rabitq": (M.L2, M.IP, M.COSINE),
+    "rabitq_fastscan": (M.L2, M.IP, M.COSINE),
+    "bin": (M.HAMMING, M.JACCARD),
+}
+
+_CONFIGS = {
+    "flat": IvfFlatConfig,
+    "flat_cc": IvfFlatCcConfig,
+    "sq": IvfSqConfig,
+    "sq_cc": IvfSqCcConfig,
+    "pq": IvfPqConfig,
+    "scann": ScannConfig,
+    "rabitq": IvfRaBitQConfig,
+    "rabitq_fastscan": IvfRaBitQConfig,
+    "bin": IvfFlatConfig,
+}
+
+
+class IvfIndexNode(IndexNode):
+    VARIANT = "flat"
+
+    def __init__(self, version: int, object=None):  # noqa: A002
+        super().__init__(version, object)
+        self.index_type = IndexEnum.INDEX_FAISS_IVFFLAT
+        self.data_type = "fp32"
+        self._lock = threading.RLock()
+        self._trained = False
+        self._metric = M.L2
+        self._dim = 0
+        self._nlist = 0
+        # codecs
+        self._pq: Optional[Q.PQCodec] = None
+        self._sq: Optional[Q.SQCodec] = None
+        self._rbq: Optional[Q.RaBitQCodec] = None
+        self._refine_cfg: Optional[str] = None  # refine store kind or None
+        # host state
+        self._centroids: Optional[np.ndarray] = None
+        self._xb_raw: Optional[np.ndarray] = None  # original-order raw rows (host)
+        self._norms_raw: Optional[np.ndarray] = None  # cosine restore norms
+        self._row_ids: Optional[np.ndarray] = None  # sorted pos -> row id
+        self._pos_of_row: Optional[np.ndarray] = None  # row id -> sorted pos
+        self._offsets: Optional[np.ndarray] = None  # (nlist+1,)
+        self._sorted_payload: Dict[str, np.ndarray] = {}
+        # pending (CC) segment: raw rows + their list assignment
+        self._pending_rows: List[np.ndarray] = []
+        self._pending_count = 0
+        # device state
+        self._store: Optional[Dict[str, jax.Array]] = None
+        self._kind = "raw"
+        self._refine_store: Optional[RefineStore] = None
+        self._sq_levels = 0
+        self._sq_packed4 = False
+
+    # --- helpers ---------------------------------------------------------
+    def _is_binary(self) -> bool:
+        return self.VARIANT == "bin"
+
+    def _is_cc(self) -> bool:
+        return self.VARIANT in ("flat_cc", "sq_cc")
+
+    def _internal_metric(self) -> str:
+        # cosine = normalize + IP (reference ivf.cc:556-562)
+        if self._metric == M.COSINE:
+            return M.IP
+        if self._metric in (M.HAMMING, M.JACCARD):
+            return self._metric
+        return self._metric
+
+    def _is_l2_like(self) -> bool:
+        return self._internal_metric() in (M.L2, M.HAMMING)
+
+    def _prep_rows(self, x: np.ndarray) -> np.ndarray:
+        """Raw input rows -> compute representation (f32; bits unpacked;
+        cosine-normalized)."""
+        if self._is_binary():
+            return D.unpack_bits_host(np.asarray(x).view(np.uint8), self._dim).astype(np.float32)
+        x = np.asarray(x, dtype=np.float32) if x.dtype != np.float32 else np.asarray(x)
+        x = x.astype(np.float32)
+        if self._metric == M.COSINE:
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            x = x / n
+        return x
+
+    # --- Train ---------------------------------------------------------------
+    def Train(self, dataset: DataSet, cfg: Config) -> Status:
+        self._metric = normalize_metric(cfg.metric_type)
+        if self._metric not in _VARIANT_METRICS["bin" if self._is_binary() else self.VARIANT]:
+            raise KnowhereException(
+                f"metric {self._metric} not supported by {self.Type()}",
+                Status.invalid_metric_type,
+            )
+        x_in = np.asarray(dataset.tensor)
+        rows = dataset.rows
+        self._dim = dataset.dim
+        x = self._prep_rows(x_in)
+
+        self._nlist = match_nlist(rows, int(cfg.nlist))
+        centroids, _ = kmeans(x, self._nlist, n_iters=12, seed=1234)
+        if self._is_binary():
+            # binary IVF: centroids snap to {0,1} bit planes (majority vote)
+            centroids = (centroids > 0.5).astype(np.float32)
+        self._centroids = centroids
+
+        # codec training
+        if self.VARIANT == "pq":
+            m = cfg.m if cfg.m is not None else max(1, self._dim // 2)
+            if self._dim % m != 0:
+                raise KnowhereException(
+                    f"dim {self._dim} not divisible by m {m}", Status.invalid_args
+                )
+            nbits = match_nbits(rows, int(cfg.nbits))
+            assign = assign_rows(x, centroids)
+            resid = x - centroids[assign]
+            self._pq = Q.pq_train(resid, int(m), nbits)
+            self._refine_cfg = self._refine_kind(cfg)
+        elif self.VARIANT == "scann":
+            sub_dim = int(cfg.sub_dim)
+            if self._dim % sub_dim != 0:
+                raise KnowhereException(
+                    f"dim {self._dim} not divisible by sub_dim {sub_dim}", Status.invalid_args
+                )
+            m = self._dim // sub_dim
+            assign = assign_rows(x, centroids)
+            resid = x - centroids[assign]
+            self._pq = Q.pq_train(resid, m, match_nbits(rows, 4))
+            self._refine_cfg = "raw" if cfg.with_raw_data else None
+        elif self.VARIANT in ("sq", "sq_cc"):
+            self._sq = Q.sq_train(x, cfg.sq_type or "SQ8")
+            self._refine_cfg = self._refine_kind(cfg)
+        elif self.VARIANT in ("rabitq", "rabitq_fastscan"):
+            self._rbq = Q.rabitq_make(self._dim)
+            self._refine_cfg = self._refine_kind(cfg) or ("raw" if cfg.get("refine", True) else None)
+
+        self._trained = True
+        return Status.success
+
+    @staticmethod
+    def _refine_kind(cfg: Config) -> Optional[str]:
+        if not cfg.get("refine", False):
+            return None
+        rt = (cfg.get("refine_type") or "DATA_VIEW").upper()
+        if rt in ("UINT8_QUANT", "UINT8", "SQ8"):
+            return "sq8"
+        if rt in ("FLOAT16_QUANT", "FP16"):
+            return "fp16"
+        if rt in ("BFLOAT16_QUANT", "BF16"):
+            return "bf16"
+        return "raw"
+
+    # --- Add -------------------------------------------------------------------
+    def Add(self, dataset: DataSet, cfg: Config) -> Status:
+        if not self._trained:
+            return Status.index_not_trained
+        x_in = np.asarray(dataset.tensor)
+        with self._lock:
+            if self._row_ids is not None:
+                # post-build Add: only CC variants allow it (reference CC
+                # semantics, ivf.cc:605-631); plain IVF keeps Build=Train+Add.
+                if not self._is_cc():
+                    return Status.index_already_trained
+                self._pending_rows.append(x_in)
+                self._pending_count += x_in.shape[0]
+                if self._pending_count > max(4096, len(self._row_ids) // 4):
+                    self._merge_pending()
+                return Status.success
+            self._build_storage(x_in)
+        return Status.success
+
+    def _build_storage(self, x_in: np.ndarray) -> None:
+        x = self._prep_rows(x_in)
+        nb = x.shape[0]
+        assign = assign_rows(x, self._centroids)
+        order = np.argsort(assign, kind="stable")
+        self._row_ids = order.astype(np.int64)
+        self._pos_of_row = np.argsort(order).astype(np.int64)
+        counts = np.bincount(assign, minlength=self._nlist)
+        self._offsets = np.zeros(self._nlist + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._offsets[1:])
+
+        # host payloads (sorted order)
+        x_sorted = x[order]
+        if self.VARIANT in ("flat", "flat_cc", "bin"):
+            if self._is_binary():
+                self._sorted_payload = {"bits": np.packbits(x_sorted.astype(np.uint8), axis=1, bitorder="little")}
+            else:
+                self._sorted_payload = {"data": np.asarray(x_in, dtype=np.float32)[order] if self._metric != M.COSINE else x_sorted}
+                if self._metric == M.COSINE:
+                    self._norms_raw = np.linalg.norm(
+                        np.asarray(x_in, dtype=np.float32), axis=1
+                    ).astype(np.float32)
+            self._xb_raw = None  # reconstruct from sorted payload
+        elif self.VARIANT in ("pq", "scann"):
+            codes = Q.pq_encode(self._pq, x - self._centroids[assign])
+            self._sorted_payload = {"codes": codes[order]}
+        elif self.VARIANT in ("sq", "sq_cc"):
+            self._sorted_payload = {"codes": Q.sq_encode(self._sq, x_sorted)}
+        elif self.VARIANT in ("rabitq", "rabitq_fastscan"):
+            packed, r_norm, t = Q.rabitq_encode(self._rbq, x, self._centroids, assign)
+            self._sorted_payload = {
+                "signs_packed": packed[order],
+                "r_norm": r_norm[order],
+                "t": t[order],
+            }
+        # refine store payload (sorted order so positions line up)
+        if self._refine_cfg:
+            if self._refine_cfg == "raw":
+                self._sorted_payload["refine"] = x_sorted.astype(np.float32)
+            elif self._refine_cfg == "sq8":
+                sq = Q.sq_train(x_sorted, "SQ8")
+                self._sorted_payload["refine"] = Q.sq_encode(sq, x_sorted)
+                self._sorted_payload["refine_vmin"] = sq.vmin
+                self._sorted_payload["refine_vdiff"] = sq.vdiff
+            elif self._refine_cfg == "fp16":
+                self._sorted_payload["refine"] = x_sorted.astype(np.float16)
+            elif self._refine_cfg == "bf16":
+                import ml_dtypes
+
+                self._sorted_payload["refine"] = x_sorted.astype(ml_dtypes.bfloat16)
+        self._upload()
+
+    def _merge_pending(self) -> None:
+        """Fold the pending CC segment into the sorted storage (epoch merge)."""
+        if not self._pending_rows:
+            return
+        all_rows = [self._reconstruct_all()] if self.Count() else []
+        all_rows.extend(self._pending_rows)
+        merged = np.concatenate(all_rows, axis=0)
+        self._pending_rows = []
+        self._pending_count = 0
+        self._row_ids = None
+        self._build_storage(merged)
+
+    def _reconstruct_all(self) -> np.ndarray:
+        """Original-order raw rows (flat variants store them sorted)."""
+        data = self._sorted_payload["data"]
+        out = data[self._pos_of_row]
+        if self._metric == M.COSINE and self._norms_raw is not None:
+            out = out * self._norms_raw[:, None]
+        return out
+
+    def _upload(self) -> None:
+        """Host payloads -> device store (pads B rows of slack at the end so
+        block dynamic-slices never clamp into garbage)."""
+        B_slack = 512
+        cents = jax.device_put(self._centroids)
+
+        def pad(a: np.ndarray, fill=0) -> jax.Array:
+            padding = np.full((B_slack, *a.shape[1:]), fill, a.dtype)
+            return jax.device_put(np.concatenate([a, padding], axis=0))
+
+        if self.VARIANT in ("flat", "flat_cc", "bin"):
+            if self._is_binary():
+                bits = D.unpack_bits_host(self._sorted_payload["bits"], self._dim).astype(np.float32)
+                data = bits
+            else:
+                data = self._sorted_payload["data"].astype(np.float32)
+                if self._metric == M.COSINE:
+                    pass  # already normalized
+            norms = np.sum(data.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            self._store = {"data": pad(data), "norms": pad(norms), "centroids": cents}
+            self._kind = "raw"
+        elif self.VARIANT in ("pq", "scann"):
+            self._store = {
+                "codes": pad(self._sorted_payload["codes"]),
+                "codebooks": jax.device_put(self._pq.codebooks),
+                "centroids": cents,
+            }
+            self._kind = "pq"
+        elif self.VARIANT in ("sq", "sq_cc"):
+            t = self._sq.sq_type
+            self._store = {"codes": pad(self._sorted_payload["codes"]), "centroids": cents}
+            if t in ("SQ4", "SQ6", "SQ8"):
+                self._store["vmin"] = jax.device_put(self._sq.vmin)
+                self._store["vdiff"] = jax.device_put(self._sq.vdiff)
+                self._sq_levels = self._sq.levels
+                self._sq_packed4 = t == "SQ4"
+            else:
+                self._sq_levels = 0
+                self._sq_packed4 = False
+            self._kind = "sq"
+        elif self.VARIANT in ("rabitq", "rabitq_fastscan"):
+            signs01 = D.unpack_bits_host(self._sorted_payload["signs_packed"], self._dim)
+            signs = (signs01.astype(np.int8) * 2 - 1).astype(np.int8)
+            self._store = {
+                "signs": pad(signs),
+                "r_norm": pad(self._sorted_payload["r_norm"]),
+                "t": pad(self._sorted_payload["t"], fill=1),
+                "centroids": cents,
+                "centroids_rot": jax.device_put(
+                    (self._centroids @ self._rbq.rotation.T).astype(np.float32)
+                ),
+            }
+            self._kind = "rabitq"
+        # refine store
+        if self._refine_cfg and "refine" in self._sorted_payload:
+            if self._refine_cfg == "sq8":
+                self._refine_store = RefineStore(
+                    "sq8",
+                    jax.device_put(self._sorted_payload["refine"]),
+                    jax.device_put(self._sorted_payload["refine_vmin"]),
+                    jax.device_put(self._sorted_payload["refine_vdiff"]),
+                )
+            else:
+                self._refine_store = RefineStore(
+                    "raw", jax.device_put(self._sorted_payload["refine"])
+                )
+
+    # --- Search ---------------------------------------------------------------
+    def _prep_queries(self, dataset: DataSet) -> np.ndarray:
+        xq = self._prep_rows(np.asarray(dataset.tensor))
+        return xq
+
+    def _search_batch(
+        self,
+        xq: np.ndarray,
+        k: int,
+        nprobe: int,
+        keep_sorted: Optional[jax.Array],
+        n_valid: int,
+        ensure_topk_full: bool,
+        refine_k: int = 1,
+        reorder_k: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (dists (nq,k) native convention, ids (nq,k) original rows)."""
+        nq = xq.shape[0]
+        is_l2 = self._is_l2_like()
+        internal = self._internal_metric()
+        nb = len(self._row_ids)
+
+        # coarse candidate count before refine
+        k_coarse = k
+        if self._refine_store is not None:
+            if reorder_k is not None:
+                k_coarse = max(k, reorder_k)
+            else:
+                k_coarse = max(k, k * max(1, refine_k))
+
+        def _pad_q(a: np.ndarray) -> np.ndarray:
+            # pad query batches to a power-of-2 ladder so jit shapes are reused
+            n = a.shape[0]
+            p = 16
+            while p < n:
+                p *= 2
+            if p == n:
+                return a
+            return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+
+        def _run_scan(xq_sub: np.ndarray, probes_sub: np.ndarray):
+            n_sub = xq_sub.shape[0]
+            xq_pad = _pad_q(xq_sub)
+            if xq_pad.shape[0] != n_sub:
+                probes_sub = np.concatenate(
+                    [probes_sub, np.full((xq_pad.shape[0] - n_sub, probes_sub.shape[1]), -1, np.int32)]
+                )
+            q_pad_dev = jax.device_put(xq_pad)
+            q_scan_dev = q_pad_dev
+            if self._kind == "rabitq":
+                q_scan_dev = jnp.dot(q_pad_dev, jax.device_put(self._rbq.rotation.T))
+            s, p = ivf_scan_search(
+                q_scan_dev,
+                self._store,
+                self._kind,
+                probes_sub,
+                self._offsets,
+                k_coarse,
+                is_l2,
+                keep_sorted=keep_sorted,
+                sq_levels=self._sq_levels,
+                sq_packed4=self._sq_packed4,
+                is_jaccard=internal == M.JACCARD,
+            )
+            return s[:n_sub], p[:n_sub]
+
+        q_dev = jax.device_put(xq)
+        nprobe_cur = min(max(1, nprobe), self._nlist)
+        probes = np.asarray(coarse_probe(q_dev, self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2))
+        active = np.arange(nq)
+        best_s = np.full((nq, k_coarse), -np.inf, np.float32)
+        best_p = np.full((nq, k_coarse), -1, np.int32)
+
+        while True:
+            s, p = _run_scan(xq[active], probes)
+            best_s[active], best_p[active] = s, p
+            if not ensure_topk_full or nprobe_cur >= self._nlist:
+                break
+            want = min(k_coarse, n_valid)
+            unfilled = (best_p >= 0).sum(axis=1) < want
+            if not unfilled.any():
+                break
+            active = np.nonzero(unfilled)[0]
+            nprobe_cur = min(self._nlist, nprobe_cur * 4)
+            probes = np.asarray(
+                coarse_probe(jax.device_put(xq[active]), self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2)
+            )
+
+        # convert scores -> native distances
+        if self._kind == "rabitq":
+            dists = -best_s if is_l2 else best_s
+        elif is_l2:
+            qsq = np.sum(xq.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            dists = qsq[:, None] - best_s
+        elif internal == M.JACCARD:
+            dists = 1.0 - best_s
+        else:
+            dists = best_s
+        dists = np.where(best_p >= 0, dists, np.float32(np.inf if is_l2 else -np.inf))
+
+        # refine pass (exact re-score over the coarse candidates)
+        if self._refine_store is not None:
+            dists_r, pos_r = refine_topk(q_dev, self._refine_store, best_p, k, is_l2)
+            ids = np.where(pos_r >= 0, self._row_ids[np.clip(pos_r, 0, nb - 1)], -1)
+            return dists_r, ids
+
+        # cut to k
+        dists, best_p = dists[:, :k], best_p[:, :k]
+        ids = np.where(best_p >= 0, self._row_ids[np.clip(best_p, 0, nb - 1)], -1)
+        return dists, ids
+
+    def _keep_sorted_mask(self, bitset: BitsetView) -> Optional[jax.Array]:
+        if bitset.empty_view():
+            return None
+        keep = bitset.host_mask(self.Count())
+        keep_sorted = keep[self._row_ids]
+        B_slack = 512
+        keep_sorted = np.concatenate([keep_sorted, np.zeros(B_slack, bool)])
+        return jax.device_put(keep_sorted)
+
+    def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        with self._lock:
+            if self._row_ids is None:
+                return expected.Err(Status.empty_index, "index not built")
+            metric = normalize_metric(cfg.metric_type)
+            if metric != self._metric:
+                return expected.Err(
+                    Status.invalid_metric_type,
+                    f"index built with {self._metric}, searched with {metric}",
+                )
+            xq = self._prep_queries(dataset)
+            k = cfg.k
+            keep_sorted = self._keep_sorted_mask(bitset)
+            n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
+            dists, ids = self._search_batch(
+                xq,
+                k,
+                int(cfg.get("nprobe", 8)),
+                keep_sorted,
+                n_valid,
+                bool(cfg.get("ensure_topk_full", True)),
+                refine_k=int(cfg.get("refine_k", 1) or 1),
+                reorder_k=cfg.get("reorder_k"),
+            )
+            # pending CC segment: exact scan + merge
+            if self._pending_count:
+                dists, ids = self._merge_with_pending(xq, k, dists, ids, bitset)
+            return expected.Ok(GenResultDataSet(dataset.rows, k, ids, dists))
+
+    def _merge_with_pending(self, xq, k, dists, ids, bitset: BitsetView):
+        pend = self._prep_rows(np.concatenate(self._pending_rows, axis=0))
+        base_count = len(self._row_ids)
+        from ..ops.topk import knn_device
+
+        pend_dev = jax.device_put(pend)
+        mask = None
+        if not bitset.empty_view():
+            keep = bitset.host_mask(base_count + pend.shape[0])[base_count:]
+            mask = jax.device_put(keep)
+        internal = self._internal_metric()
+        metric_for_scan = M.L2 if internal == M.HAMMING else internal
+        p_d, p_i = knn_device(
+            jax.device_put(xq), pend_dev, min(k, pend.shape[0]), metric_for_scan, mask=mask
+        )
+        p_d, p_i = np.asarray(p_d), np.asarray(p_i, dtype=np.int64)
+        p_i = np.where(p_i >= 0, p_i + base_count, -1)
+        # host merge of two sorted top-k sets
+        larger = not self._is_l2_like()
+        cat_d = np.concatenate([dists, p_d], axis=1)
+        cat_i = np.concatenate([ids, p_i], axis=1)
+        cat_d_for_sort = np.where(cat_i >= 0, cat_d, -np.inf if larger else np.inf)
+        order = np.argsort(-cat_d_for_sort if larger else cat_d_for_sort, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(cat_d, order, 1), np.take_along_axis(cat_i, order, 1)
+
+    # --- Range search -------------------------------------------------------------
+    def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        with self._lock:
+            if self._row_ids is None:
+                return expected.Err(Status.empty_index, "index not built")
+            xq = self._prep_queries(dataset)
+            nq = xq.shape[0]
+            radius = cfg.get("radius", 0.0)
+            range_filter = cfg.get("range_filter", float("inf"))
+            two_sided = np.isfinite(range_filter)
+            larger = not self._is_l2_like()
+            keep_sorted = self._keep_sorted_mask(bitset)
+            n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
+            nprobe = min(max(int(cfg.get("nprobe", 8) or 8), 8), self._nlist)
+
+            # expanding-k scan over probed lists until the frontier leaves range
+            k_cur = min(256, max(1, n_valid))
+            cap = min(n_valid, 65536)
+            while True:
+                dists, ids = self._search_batch(
+                    xq, k_cur, nprobe, keep_sorted, n_valid, ensure_topk_full=False
+                )
+                if k_cur >= cap:
+                    break
+                frontier = dists[:, -1]
+                still_in = (frontier > radius) if larger else (frontier < radius)
+                still_in &= ids[:, -1] >= 0
+                if not still_in.any():
+                    break
+                k_cur = min(cap, k_cur * 4)
+
+            lims = np.zeros(nq + 1, dtype=np.int64)
+            out_ids, out_d = [], []
+            rsk = cfg.get("range_search_k", -1)
+            for i in range(nq):
+                keep_i = ids[i] >= 0
+                if larger:
+                    keep_i &= dists[i] > radius
+                    if two_sided:
+                        keep_i &= dists[i] <= range_filter
+                else:
+                    keep_i &= dists[i] < radius
+                    if two_sided:
+                        keep_i &= dists[i] >= range_filter
+                sel = np.nonzero(keep_i)[0]
+                if rsk is not None and rsk >= 0:
+                    sel = sel[:rsk]
+                out_ids.append(ids[i, sel])
+                out_d.append(dists[i, sel])
+                lims[i + 1] = lims[i] + len(sel)
+            ids_cat = np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)
+            d_cat = np.concatenate(out_d) if out_d else np.empty(0, np.float32)
+            return expected.Ok(GenRangeResultDataSet(nq, ids_cat, d_cat, lims))
+
+    # --- Iterator ------------------------------------------------------------------
+    def AnnIterator(
+        self, dataset: DataSet, cfg: Config, bitset: BitsetView, use_knowhere_search_pool=True
+    ) -> "expected[List]":
+        with self._lock:
+            if self._row_ids is None:
+                return expected.Err(Status.empty_index, "index not built")
+            xq = self._prep_queries(dataset)
+            nq = xq.shape[0]
+            keep_sorted = self._keep_sorted_mask(bitset)
+            n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
+            nprobe = min(max(int(cfg.get("nprobe", 8) or 8), 16), self._nlist)
+            k_iter = int(min(max(n_valid, 1), 8192))
+            dists, ids = self._search_batch(
+                xq, k_iter, nprobe, keep_sorted, n_valid, ensure_topk_full=True
+            )
+            larger = not self._is_l2_like()
+            iterators = []
+            for i in range(nq):
+                valid = ids[i] >= 0
+                ids_i, d_i = ids[i][valid], dists[i][valid]
+                state = {"pos": 0}
+
+                def batch_fn(ids_i=ids_i, d_i=d_i, state=state):
+                    if state["pos"] >= len(ids_i):
+                        return np.empty(0, np.int64), np.empty(0, np.float32)
+                    s = state["pos"]
+                    e = min(s + 512, len(ids_i))
+                    state["pos"] = e
+                    return ids_i[s:e], d_i[s:e]
+
+                iterators.append(BatchedDistanceIterator(batch_fn, larger_is_closer=larger))
+            return expected.Ok(iterators)
+
+    # --- vectors ---------------------------------------------------------------------
+    def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
+        if not self.HasRawData(self._metric):
+            return expected.Err(Status.not_implemented, "index does not store raw data")
+        with self._lock:
+            if self._row_ids is None:
+                return expected.Err(Status.empty_index, "index not built")
+            ids = np.asarray(dataset.ids, dtype=np.int64)
+            if ids.min(initial=0) < 0 or ids.max(initial=-1) >= self.Count():
+                return expected.Err(Status.invalid_args, "id out of range")
+            if self._is_binary():
+                bits = self._sorted_payload["bits"]
+                out = bits[self._pos_of_row[ids]]
+            elif "refine" in self._sorted_payload and self._refine_cfg == "raw":
+                out = self._sorted_payload["refine"][self._pos_of_row[ids]]
+            else:
+                data = self._sorted_payload["data"]
+                out = data[self._pos_of_row[ids]]
+                if self._metric == M.COSINE and self._norms_raw is not None:
+                    out = out * self._norms_raw[ids][:, None]
+            return expected.Ok(GenTensorDataSet(out, len(ids), self._dim))
+
+    def CalcDistByIDs(self, query_ds, bitset, ids, rows) -> "expected[np.ndarray]":
+        if "data" not in self._sorted_payload and "refine" not in self._sorted_payload:
+            return expected.Err(Status.not_implemented, "no raw data for CalcDistByIDs")
+        xq = self._prep_queries(query_ds)
+        key = "data" if "data" in self._sorted_payload else "refine"
+        sub = self._sorted_payload[key][self._pos_of_row[np.asarray(ids)]]
+        internal = self._internal_metric()
+        q_dev = jax.device_put(xq)
+        s_dev = jax.device_put(np.asarray(sub, dtype=np.float32))
+        dmat = np.asarray(D.pairwise_distance(internal, q_dev, s_dev, D.base_aux(internal, s_dev)))
+        return expected.Ok(dmat)
+
+    def HasRawData(self, metric_type: str = "L2") -> bool:
+        # reference CommonHasRawData (ivf.cc:177-199): FLAT/FLAT_CC/BIN true,
+        # PQ/SQ/RaBitQ false, SCANN = with_raw_data.
+        if self.VARIANT in ("flat", "flat_cc", "bin"):
+            return True
+        if self.VARIANT == "scann":
+            return self._refine_cfg == "raw"
+        if self.VARIANT == "sq_cc":
+            return False
+        return False
+
+    def GetIndexMeta(self, cfg: Config) -> "expected[DataSet]":
+        import json as _json
+
+        if self._offsets is None:
+            return expected.Err(Status.empty_index, "index not built")
+        meta = {
+            "index_type": self.Type(),
+            "metric_type": self._metric,
+            "nlist": self._nlist,
+            "dim": self._dim,
+            "count": self.Count(),
+            "list_sizes": np.diff(self._offsets).tolist(),
+        }
+        ds = DataSet()
+        ds.set("json_info", _json.dumps(meta))
+        return expected.Ok(ds)
+
+    # --- serialization ------------------------------------------------------------------
+    def Serialize(self, binset: BinarySet) -> Status:
+        with self._lock:
+            if self._row_ids is None:
+                return Status.empty_index
+            if self._pending_count:
+                self._merge_pending()
+            arrays = {
+                "centroids": self._centroids,
+                "row_ids": self._row_ids,
+                "offsets": self._offsets,
+            }
+            for k_, v in self._sorted_payload.items():
+                arrays["payload_" + k_] = np.asarray(v)
+            if self._norms_raw is not None:
+                arrays["norms_raw"] = self._norms_raw
+            meta = {
+                "variant": self.VARIANT,
+                "metric": self._metric,
+                "dim": self._dim,
+                "nlist": self._nlist,
+                "data_type": self.data_type,
+                "refine_cfg": self._refine_cfg,
+            }
+            if self._pq is not None:
+                arrays["pq_codebooks"] = self._pq.codebooks
+                meta["pq_nbits"] = self._pq.nbits
+            if self._sq is not None:
+                meta["sq_type"] = self._sq.sq_type
+                if self._sq.vmin is not None:
+                    arrays["sq_vmin"] = self._sq.vmin
+                    arrays["sq_vdiff"] = self._sq.vdiff
+            if self._rbq is not None:
+                arrays["rbq_rotation"] = self._rbq.rotation
+            blob = write_sections(arrays, meta=meta)
+            binset.Append(self.Type(), blob)
+            return Status.success
+
+    def Deserialize(self, binset: BinarySet, cfg: Config) -> Status:
+        binary = binset.GetByName(self.Type())
+        if binary is None:
+            return Status.invalid_binary_set
+        arrays, meta = read_sections(binary.data)
+        if meta.get("variant") != self.VARIANT:
+            return Status.invalid_serialized_index_type
+        with self._lock:
+            self._metric = meta["metric"]
+            self._dim = int(meta["dim"])
+            self._nlist = int(meta["nlist"])
+            self.data_type = meta.get("data_type", "fp32")
+            self._refine_cfg = meta.get("refine_cfg")
+            self._centroids = np.asarray(arrays["centroids"])
+            self._row_ids = np.asarray(arrays["row_ids"])
+            self._pos_of_row = np.argsort(self._row_ids).astype(np.int64)
+            self._offsets = np.asarray(arrays["offsets"])
+            self._norms_raw = np.asarray(arrays["norms_raw"]) if "norms_raw" in arrays else None
+            self._sorted_payload = {
+                k_[len("payload_") :]: np.asarray(v)
+                for k_, v in arrays.items()
+                if k_.startswith("payload_")
+            }
+            if "pq_codebooks" in arrays:
+                books = np.asarray(arrays["pq_codebooks"])
+                self._pq = Q.PQCodec(books, books.shape[0], int(meta["pq_nbits"]))
+            if "sq_type" in meta:
+                self._sq = Q.SQCodec(
+                    meta["sq_type"],
+                    np.asarray(arrays["sq_vmin"]) if "sq_vmin" in arrays else None,
+                    np.asarray(arrays["sq_vdiff"]) if "sq_vdiff" in arrays else None,
+                    dim=self._dim,
+                )
+            if "rbq_rotation" in arrays:
+                self._rbq = Q.RaBitQCodec(np.asarray(arrays["rbq_rotation"]), self._dim)
+            self._trained = True
+            self._upload()
+        return Status.success
+
+    # --- introspection ---------------------------------------------------------------------
+    def Dim(self) -> int:
+        return self._dim
+
+    def Size(self) -> int:
+        return sum(np.asarray(v).nbytes for v in self._sorted_payload.values()) + (
+            self._centroids.nbytes if self._centroids is not None else 0
+        )
+
+    def Count(self) -> int:
+        base = 0 if self._row_ids is None else len(self._row_ids)
+        return base + self._pending_count
+
+    def Type(self) -> str:
+        return self.index_type
+
+    @classmethod
+    def CreateConfig(cls) -> Config:
+        return _CONFIGS[cls.VARIANT]()
+
+
+# Concrete variants -----------------------------------------------------------
+
+
+class IvfFlatNode(IvfIndexNode):
+    VARIANT = "flat"
+
+
+class IvfFlatCcNode(IvfIndexNode):
+    VARIANT = "flat_cc"
+
+
+class IvfSqNode(IvfIndexNode):
+    VARIANT = "sq"
+
+
+class IvfSqCcNode(IvfIndexNode):
+    VARIANT = "sq_cc"
+
+
+class IvfPqNode(IvfIndexNode):
+    VARIANT = "pq"
+
+
+class ScannNode(IvfIndexNode):
+    VARIANT = "scann"
+
+
+class IvfRaBitQNode(IvfIndexNode):
+    VARIANT = "rabitq"
+
+
+class IvfRaBitQFastScanNode(IvfIndexNode):
+    VARIANT = "rabitq_fastscan"
+
+
+class BinIvfFlatNode(IvfIndexNode):
+    VARIANT = "bin"
+
+
+_DENSE_TYPES = ("fp32", "fp16", "bf16", "int8")
+_F = feature
+
+register_index(
+    IndexEnum.INDEX_FAISS_IVFFLAT, _DENSE_TYPES,
+    _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP | _F.EMB_LIST,
+)(IvfFlatNode)
+register_index(
+    IndexEnum.INDEX_FAISS_IVFFLAT_CC, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN,
+)(IvfFlatCcNode)
+register_index(
+    IndexEnum.INDEX_FAISS_IVFSQ8, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP,
+)(IvfSqNode)
+register_index(
+    IndexEnum.INDEX_FAISS_IVFSQ_CC, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN,
+)(IvfSqCcNode)
+register_index(
+    IndexEnum.INDEX_FAISS_IVFPQ, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP,
+)(IvfPqNode)
+register_index(
+    IndexEnum.INDEX_FAISS_SCANN, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP,
+)(ScannNode)
+register_index(
+    IndexEnum.INDEX_FAISS_IVFRABITQ, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP,
+)(IvfRaBitQNode)
+register_index(
+    IndexEnum.INDEX_FAISS_IVFRABITQ_FASTSCAN, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN,
+)(IvfRaBitQFastScanNode)
+register_index(
+    IndexEnum.INDEX_FAISS_BIN_IVFFLAT, ("bin1",), _F.BINARY | _F.KNN | _F.MMAP,
+)(BinIvfFlatNode)
+
+# TPU_*/GPU_* accelerated aliases (reference GPU_CUVS_* equivalents)
+for _alias, _node in (
+    (IndexEnum.INDEX_TPU_IVFFLAT, IvfFlatNode),
+    (IndexEnum.INDEX_CUVS_IVFFLAT, IvfFlatNode),
+    (IndexEnum.INDEX_GPU_IVFFLAT, IvfFlatNode),
+    (IndexEnum.INDEX_TPU_IVFPQ, IvfPqNode),
+    (IndexEnum.INDEX_CUVS_IVFPQ, IvfPqNode),
+    (IndexEnum.INDEX_GPU_IVFPQ, IvfPqNode),
+):
+    register_index(_alias, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(_node)

@@ -1,0 +1,231 @@
+"""Quantization codecs: PQ, scalar quantizers (SQ4/SQ6/SQ8/FP16/BF16), RaBitQ.
+
+Functional replacements for the reference's faiss codecs
+(reference: thirdparty/faiss/.../IndexScalarQuantizer.cpp SQ codecs,
+IndexIVFPQ.cpp PQ/ADC, IndexIVFRaBitQ.cpp RaBitQ), re-designed TPU-first:
+
+- PQ scan is NOT an ADC table-lookup loop. Codes are decoded on the fly
+  (one-hot matmul against the codebook — MXU work) and candidates scored with
+  one batched matmul; for L2/IP this is mathematically identical to ADC
+  (distance to the decoded vector), at far higher MXU utilization than
+  per-byte gathers. PQ is trained on residuals (faiss by_residual=true).
+- SQ decode is an affine epilogue fused into the scan matmul by XLA.
+- RaBitQ stores the sign bits of the rotated residual (as +/-1 int8 planes on
+  device) + two per-vector scalars; the estimated inner product is one int8
+  matmul + elementwise correction (the popcount-dot of the reference mapped
+  onto the MXU).
+
+Memory notes vs the reference: PQ codes are 1 byte/subspace (nbits<=8);
+SQ4 packs two dims/byte on device and in serialization; SQ6 stores 64-level
+codes in 1 byte/dim (levels match the reference, byte-aligned for TPU).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmeans import kmeans
+
+
+# ---------------------------------------------------------------------------
+# Product quantizer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PQCodec:
+    codebooks: np.ndarray  # (m, ksub, sub_dim) f32
+    m: int
+    nbits: int
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def sub_dim(self) -> int:
+        return self.codebooks.shape[2]
+
+
+def pq_train(x: np.ndarray, m: int, nbits: int, seed: int = 1234, n_iters: int = 12) -> PQCodec:
+    """Train per-subspace codebooks with k-means (faiss ProductQuantizer::train)."""
+    n, d = x.shape
+    assert d % m == 0, f"dim {d} not divisible by m {m}"
+    sub_dim = d // m
+    ksub = 1 << nbits
+    books = np.empty((m, ksub, sub_dim), dtype=np.float32)
+    xs = x.reshape(n, m, sub_dim)
+    for j in range(m):
+        c, _ = kmeans(np.ascontiguousarray(xs[:, j, :]), ksub, n_iters=n_iters, seed=seed + j)
+        books[j] = c
+    return PQCodec(books, m, nbits)
+
+
+def pq_encode(codec: PQCodec, x: np.ndarray, chunk: int = 131072) -> np.ndarray:
+    """(n, d) -> (n, m) uint8 codes via per-subspace nearest centroid."""
+    n, d = x.shape
+    m, sub_dim = codec.m, codec.sub_dim
+    books = jax.device_put(codec.codebooks)
+
+    @jax.jit
+    def enc(xc):
+        xs = xc.reshape(xc.shape[0], m, sub_dim)
+        # (n, m, ksub) squared distances per subspace
+        dots = jnp.einsum("nms,mks->nmk", xs, books, preferred_element_type=jnp.float32)
+        c_sq = jnp.sum(books**2, axis=2)  # (m, ksub)
+        return jnp.argmin(c_sq[None] - 2.0 * dots, axis=2).astype(jnp.uint8)
+
+    out = np.empty((n, m), dtype=np.uint8)
+    for s in range(0, n, chunk):
+        out[s : s + chunk] = np.asarray(enc(jax.device_put(x[s : s + chunk].astype(np.float32))))
+    return out
+
+
+def pq_decode_dev(codebooks: jax.Array, codes: jax.Array) -> jax.Array:
+    """(..., m) uint8 -> (..., d) f32 via one-hot matmul (MXU-friendly gather)."""
+    m, ksub, sub_dim = codebooks.shape
+    onehot = jax.nn.one_hot(codes, ksub, dtype=jnp.float32)  # (..., m, ksub)
+    dec = jnp.einsum("...mk,mks->...ms", onehot, codebooks, preferred_element_type=jnp.float32)
+    return dec.reshape(*codes.shape[:-1], m * sub_dim)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantizers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SQCodec:
+    sq_type: str  # SQ8 | SQ6 | SQ4 | FP16 | BF16
+    vmin: Optional[np.ndarray] = None  # (d,) f32
+    vdiff: Optional[np.ndarray] = None  # (d,) f32
+    dim: int = 0
+
+    @property
+    def levels(self) -> int:
+        return {"SQ8": 256, "SQ6": 64, "SQ4": 16}[self.sq_type]
+
+
+def sq_train(x: np.ndarray, sq_type: str) -> SQCodec:
+    sq_type = sq_type.upper()
+    d = x.shape[1]
+    if sq_type in ("FP16", "BF16"):
+        return SQCodec(sq_type, dim=d)
+    vmin = x.min(axis=0).astype(np.float32)
+    vmax = x.max(axis=0).astype(np.float32)
+    vdiff = np.maximum(vmax - vmin, 1e-20).astype(np.float32)
+    return SQCodec(sq_type, vmin, vdiff, dim=d)
+
+
+def sq_encode(codec: SQCodec, x: np.ndarray) -> np.ndarray:
+    t = codec.sq_type
+    if t == "FP16":
+        return x.astype(np.float16)
+    if t == "BF16":
+        import ml_dtypes
+
+        return x.astype(ml_dtypes.bfloat16)
+    levels = codec.levels
+    q = np.clip(
+        np.floor((x - codec.vmin[None, :]) / codec.vdiff[None, :] * levels),
+        0,
+        levels - 1,
+    ).astype(np.uint8)
+    if t == "SQ4":  # pack two 4-bit codes per byte
+        if q.shape[1] % 2:
+            q = np.concatenate([q, np.zeros((q.shape[0], 1), np.uint8)], axis=1)
+        return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+    return q
+
+
+def sq_decode_dev(codec: SQCodec, codes: jax.Array, vmin: jax.Array, vdiff: jax.Array) -> jax.Array:
+    """Decode device codes -> f32 (faiss: vmin + (code+0.5)/levels * vdiff)."""
+    t = codec.sq_type
+    if t in ("FP16", "BF16"):
+        return codes.astype(jnp.float32)
+    if t == "SQ4":
+        lo = (codes & 0xF).astype(jnp.float32)
+        hi = (codes >> 4).astype(jnp.float32)
+        q = jnp.stack([lo, hi], axis=-1).reshape(*codes.shape[:-1], -1)[..., : codec.dim]
+    else:
+        q = codes.astype(jnp.float32)
+    return vmin + (q + 0.5) / codec.levels * vdiff
+
+
+# ---------------------------------------------------------------------------
+# RaBitQ (1-bit binary quantization of the rotated residual + corrections)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RaBitQCodec:
+    rotation: np.ndarray  # (d, d) orthonormal
+    dim: int
+
+
+def rabitq_make(dim: int, seed: int = 1234) -> RaBitQCodec:
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((dim, dim)).astype(np.float64)
+    q, _ = np.linalg.qr(a)
+    return RaBitQCodec(q.astype(np.float32), dim)
+
+
+def rabitq_encode(
+    codec: RaBitQCodec, x: np.ndarray, centroids: np.ndarray, assign: np.ndarray, chunk: int = 131072
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (bits_packed (n, ceil(d/8)) uint8, r_norm (n,) f32, t (n,) f32)
+    where t = <r/|r|, sign(Pr)/sqrt(d)> is the RaBitQ correction factor."""
+    n, d = x.shape
+    P = jax.device_put(codec.rotation)
+
+    @jax.jit
+    def enc(xc, cc):
+        r = xc - cc
+        rr = r @ P.T  # rotated residual
+        norm = jnp.linalg.norm(rr, axis=1)
+        s = jnp.where(rr >= 0, 1.0, -1.0)
+        safe = jnp.maximum(norm, 1e-20)
+        t = jnp.sum(rr * s, axis=1) / (safe * np.sqrt(d))
+        return (rr >= 0), norm, t
+
+    bits = np.empty((n, d), dtype=bool)
+    r_norm = np.empty(n, dtype=np.float32)
+    t_out = np.empty(n, dtype=np.float32)
+    for s0 in range(0, n, chunk):
+        e = min(s0 + chunk, n)
+        b, nm, t = enc(
+            jax.device_put(x[s0:e].astype(np.float32)),
+            jax.device_put(centroids[assign[s0:e]].astype(np.float32)),
+        )
+        bits[s0:e] = np.asarray(b)
+        r_norm[s0:e] = np.asarray(nm)
+        t_out[s0:e] = np.asarray(t)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return packed, r_norm, t_out
+
+
+def rabitq_estimate_dev(
+    q_rot_res: jax.Array,  # (nq, d) rotated query residual (P(q - c_list))
+    sign_planes: jax.Array,  # (nb_tile, d) +/-1 int8
+    r_norm: jax.Array,  # (nb_tile,)
+    t: jax.Array,  # (nb_tile,)
+    q_res_norm_sqr: jax.Array,  # (nq,) |q - c|^2
+) -> jax.Array:
+    """Estimated squared L2 distance (RaBitQ estimator):
+    |q-c|^2 + |r|^2 - 2 |r| <q_rot_res, s>/(sqrt(d) * t)."""
+    d = q_rot_res.shape[1]
+    dots = jax.lax.dot_general(
+        q_rot_res,
+        sign_planes.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (nq, nb_tile)
+    denom = jnp.maximum(t, 1e-6)[None, :] * np.sqrt(d)
+    ip_est = r_norm[None, :] * dots / denom
+    return q_res_norm_sqr[:, None] + (r_norm**2)[None, :] - 2.0 * ip_est
