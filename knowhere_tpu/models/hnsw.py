@@ -1,0 +1,686 @@
+"""HNSW family: HNSW, HNSW_SQ, HNSW_PQ, HNSW_PRQ (+ TPU_CAGRA aliases).
+
+Behavioral parity target: reference src/index/hnsw/faiss_hnsw.cc (3289 LoC)
++ faiss_hnsw_config.h — HNSW/SQ/PQ/PRQ over fp32/fp16/bf16/int8/bin1
+(faiss_hnsw.cc:3255-3287), optional refine store with refine_k, bitset
+filtering with brute-force fallback when the filter is too dense
+(HNSWIndexNodeWithFallback, faiss_hnsw.cc:2191; IndexConditionalWrapper),
+iterators (faiss_hnsw.cc:843-940), range search, mmap deserialize.
+
+TPU design (ops/graph.py): the level hierarchy + sequential inserts become a
+flat fixed-degree diversified graph (same neighbor-selection heuristic,
+RobustPrune/select_neighbors_heuristic) built from a batched kNN graph;
+search is batched best-first beam search under one jit'd while_loop with ef
+beam width. Equal quality contract at equal (M, ef) budgets; build is MXU
+batched instead of lock-striped inserts.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..binaryset import BinarySet
+from ..bitset import BitsetView
+from ..config import BaseConfig, Config, Entry, Stage
+from ..dataset import DataSet, GenResultDataSet, GenTensorDataSet
+from ..factory import register_index
+from ..feature import feature
+from ..index_param import IndexEnum, metric as M, normalize_metric
+from ..index_node import BatchedDistanceIterator, IndexNode
+from ..io.serialize import read_sections, write_sections
+from ..ops import distances as D
+from ..ops import quant as Q
+from ..ops.graph import beam_search, build_graph, pick_entry_points
+from ..ops.refine import RefineStore, refine_topk
+from ..ops.topk import knn_device
+from ..status import KnowhereException, Status, expected
+
+# Bitset density beyond which graph search degrades and the reference falls
+# back to brute force (IndexConditionalWrapper behavior).
+BRUTE_FORCE_FALLBACK_RATIO = 0.9
+
+
+class BaseHnswConfig(BaseConfig):
+    """reference src/index/hnsw/base_hnsw_config.h:28-58 + faiss additions."""
+
+    M = Entry(int, default=30, range=(2, 2048), stages=[Stage.TRAIN])
+    efConstruction = Entry(int, default=360, range=(1, None), stages=[Stage.TRAIN])
+    ef = Entry(int, range=(1, None), stages=[Stage.SEARCH, Stage.ITERATOR, Stage.RANGE_SEARCH], allow_empty=True)
+    seed_ef = Entry(int, range=(1, None), stages=[Stage.ITERATOR], allow_empty=True)
+    overview_levels = Entry(int, default=3, range=(1, 5), stages=[Stage.FEDER])
+    disable_fallback_brute_force = Entry(bool, default=False, stages=[Stage.SEARCH])
+    refine = Entry(bool, default=False, stages=[Stage.TRAIN])
+    refine_type = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
+    refine_k = Entry(int, default=1, range=(1, None), stages=[Stage.SEARCH])
+
+
+class HnswConfig(BaseHnswConfig):
+    pass
+
+
+class HnswSqConfig(BaseHnswConfig):
+    sq_type = Entry(str, default="SQ8", stages=[Stage.TRAIN])
+
+
+class HnswPqConfig(BaseHnswConfig):
+    m = Entry(int, default=32, range=(1, 65536), stages=[Stage.TRAIN])
+    nbits = Entry(int, default=8, range=(1, 16), stages=[Stage.TRAIN])
+
+
+class HnswPrqConfig(BaseHnswConfig):
+    m = Entry(int, default=2, range=(1, 65536), stages=[Stage.TRAIN])
+    nrq = Entry(int, default=2, range=(1, 16), stages=[Stage.TRAIN])
+    nbits = Entry(int, default=8, range=(1, 16), stages=[Stage.TRAIN])
+
+
+_CONFIGS = {
+    "flat": HnswConfig,
+    "sq": HnswSqConfig,
+    "pq": HnswPqConfig,
+    "prq": HnswPrqConfig,
+}
+
+
+class HnswIndexNode(IndexNode):
+    VARIANT = "flat"
+
+    def __init__(self, version: int, object=None):  # noqa: A002
+        super().__init__(version, object)
+        self.index_type = IndexEnum.INDEX_HNSW
+        self.data_type = "fp32"
+        self._lock = threading.RLock()
+        self._metric = M.L2
+        self._dim = 0
+        self._M = 30
+        self._graph: Optional[np.ndarray] = None
+        self._entry: Optional[np.ndarray] = None
+        self._xb_host: Optional[np.ndarray] = None  # compute rows (host)
+        self._raw_host: Optional[np.ndarray] = None  # original rows for GetVectorByIds
+        self._payload: Dict[str, np.ndarray] = {}
+        self._pq: Optional[Q.PQCodec] = None
+        self._prq_books: Optional[np.ndarray] = None
+        self._sq: Optional[Q.SQCodec] = None
+        self._refine_cfg: Optional[str] = None
+        self._store: Optional[Dict[str, jax.Array]] = None
+        self._graph_dev = None
+        self._refine_store: Optional[RefineStore] = None
+        self._kind = "raw"
+        self._pending: List[np.ndarray] = []
+
+    # --- helpers ------------------------------------------------------------
+    def _is_binary(self) -> bool:
+        return self.data_type == "bin1"
+
+    def _internal_metric(self) -> str:
+        return M.IP if self._metric == M.COSINE else self._metric
+
+    def _is_l2_like(self) -> bool:
+        return self._internal_metric() in (M.L2, M.HAMMING)
+
+    def _prep_rows(self, x: np.ndarray) -> np.ndarray:
+        if self._is_binary():
+            return D.unpack_bits_host(np.asarray(x).view(np.uint8), self._dim).astype(np.float32)
+        x = np.asarray(x).astype(np.float32)
+        if self._metric == M.COSINE:
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            x = x / n
+        return x
+
+    # --- build --------------------------------------------------------------
+    def Train(self, dataset: DataSet, cfg: Config) -> Status:
+        self._metric = normalize_metric(cfg.metric_type)
+        ok_metrics = (M.HAMMING, M.JACCARD) if self._is_binary() else (M.L2, M.IP, M.COSINE)
+        if self._metric not in ok_metrics:
+            raise KnowhereException(
+                f"metric {self._metric} not supported by {self.Type()}", Status.invalid_metric_type
+            )
+        self._dim = dataset.dim
+        self._M = int(cfg.M)
+        self._efc = int(cfg.efConstruction)
+        self._refine_cfg = self._refine_kind(cfg)
+        self._train_cfg = cfg
+        return Status.success
+
+    @staticmethod
+    def _refine_kind(cfg: Config) -> Optional[str]:
+        if not cfg.get("refine", False):
+            return None
+        rt = (cfg.get("refine_type") or "DATA_VIEW").upper()
+        if rt in ("UINT8_QUANT", "UINT8", "SQ8"):
+            return "sq8"
+        if rt in ("FLOAT16_QUANT", "FP16"):
+            return "fp16"
+        if rt in ("BFLOAT16_QUANT", "BF16"):
+            return "bf16"
+        return "raw"
+
+    def Add(self, dataset: DataSet, cfg: Config) -> Status:
+        x_in = np.asarray(dataset.tensor)
+        with self._lock:
+            if self._graph is not None:
+                # incremental add: stage rows; graph is rebuilt lazily before
+                # the next search (batched rebuild replaces per-insert updates)
+                self._pending.append(x_in)
+                return Status.success
+            self._build_all(x_in)
+        return Status.success
+
+    def _build_all(self, x_in: np.ndarray) -> None:
+        x = self._prep_rows(x_in)
+        nb = x.shape[0]
+        # degree: HNSW level-0 uses 2*M links (hnswlib maxM0_ = 2*M)
+        deg = min(max(2 * self._M, 4), max(nb - 1, 1))
+        # intermediate candidate pool scales with efConstruction (quality knob)
+        inter = min(max(deg, min(self._efc // 4, 128)), max(nb - 1, 1))
+        self._graph = build_graph(x, deg, self._internal_metric(), intermediate_deg=inter)
+        self._entry = pick_entry_points(x, n_entry=min(32, nb))
+        if not self._is_binary():
+            self._raw_host = np.asarray(x_in)
+        # payload per variant
+        if self.VARIANT == "flat":
+            self._payload = {"data": x}
+            if self._is_binary():
+                self._payload["bits_raw"] = np.asarray(x_in)
+        elif self.VARIANT == "sq":
+            self._sq = Q.sq_train(x, getattr(self._train_cfg, "sq_type", "SQ8") or "SQ8")
+            if self._sq.sq_type != "SQ8":
+                # graph kernel decodes SQ8; other widths fall back to SQ8 rate
+                self._sq = Q.sq_train(x, "SQ8")
+            self._payload = {"codes": Q.sq_encode(self._sq, x)}
+        elif self.VARIANT == "pq":
+            m = int(getattr(self._train_cfg, "m", 32) or 32)
+            if self._dim % m != 0:
+                m = self._fix_m(m)
+            self._pq = Q.pq_train(x, m, int(getattr(self._train_cfg, "nbits", 8) or 8))
+            self._payload = {"codes": Q.pq_encode(self._pq, x)}
+        elif self.VARIANT == "prq":
+            m = int(getattr(self._train_cfg, "m", 2) or 2)
+            if self._dim % m != 0:
+                m = self._fix_m(m)
+            nrq = int(getattr(self._train_cfg, "nrq", 2) or 2)
+            nbits = int(getattr(self._train_cfg, "nbits", 8) or 8)
+            books, codes = self._train_prq(x, m, nrq, nbits)
+            self._prq_books = books
+            self._payload = {"codes": codes}
+        if self._refine_cfg or self.VARIANT in ("sq", "pq", "prq"):
+            # quantized variants keep a refine store (default raw) so refine_k
+            # works; HNSW(flat) only when requested
+            kind = self._refine_cfg or "raw"
+            if self.VARIANT == "flat" and not self._refine_cfg:
+                pass
+            else:
+                self._add_refine_payload(x, kind)
+        self._upload()
+
+    def _fix_m(self, m: int) -> int:
+        while m > 1 and self._dim % m != 0:
+            m -= 1
+        return max(m, 1)
+
+    def _train_prq(self, x: np.ndarray, m: int, nrq: int, nbits: int):
+        """Product residual quantizer: per dim-group, chain of nrq PQ stages."""
+        nb, d = x.shape
+        books = []
+        codes = np.empty((nb, nrq * m), dtype=np.uint8)
+        resid = x.copy()
+        for s in range(nrq):
+            pq = Q.pq_train(resid, m, nbits, seed=1000 + s)
+            c = Q.pq_encode(pq, resid)
+            codes[:, s * m : (s + 1) * m] = c
+            dec = np.asarray(Q.pq_decode_dev(jax.device_put(pq.codebooks), jax.device_put(c)))
+            resid = resid - dec
+            books.append(pq.codebooks)
+        return np.stack(books), codes
+
+    def _add_refine_payload(self, x: np.ndarray, kind: str) -> None:
+        self._refine_cfg = kind
+        if kind == "raw":
+            self._payload["refine"] = x.astype(np.float32)
+        elif kind == "sq8":
+            sq = Q.sq_train(x, "SQ8")
+            self._payload["refine"] = Q.sq_encode(sq, x)
+            self._payload["refine_vmin"] = sq.vmin
+            self._payload["refine_vdiff"] = sq.vdiff
+        elif kind == "fp16":
+            self._payload["refine"] = x.astype(np.float16)
+        elif kind == "bf16":
+            import ml_dtypes
+
+            self._payload["refine"] = x.astype(ml_dtypes.bfloat16)
+
+    def _upload(self) -> None:
+        self._graph_dev = jax.device_put(self._graph)
+        if self.VARIANT == "flat":
+            self._store = {"data": jax.device_put(self._payload["data"])}
+            self._kind = "raw"
+        elif self.VARIANT == "sq":
+            self._store = {
+                "codes": jax.device_put(self._payload["codes"]),
+                "vmin": jax.device_put(self._sq.vmin),
+                "vdiff": jax.device_put(self._sq.vdiff),
+            }
+            self._kind = "sq"
+        elif self.VARIANT == "pq":
+            self._store = {
+                "codes": jax.device_put(self._payload["codes"]),
+                "codebooks": jax.device_put(self._pq.codebooks),
+            }
+            self._kind = "pq"
+        elif self.VARIANT == "prq":
+            self._store = {
+                "codes": jax.device_put(self._payload["codes"]),
+                "codebooks": jax.device_put(self._prq_books),
+            }
+            self._kind = "prq"
+        if "refine" in self._payload:
+            if self._refine_cfg == "sq8":
+                self._refine_store = RefineStore(
+                    "sq8",
+                    jax.device_put(self._payload["refine"]),
+                    jax.device_put(self._payload["refine_vmin"]),
+                    jax.device_put(self._payload["refine_vdiff"]),
+                )
+            else:
+                self._refine_store = RefineStore("raw", jax.device_put(self._payload["refine"]))
+
+    def _flush_pending(self) -> None:
+        if self._pending:
+            parts = []
+            if self._raw_host is not None:
+                parts.append(self._raw_host)
+            elif self._is_binary():
+                parts.append(self._payload["bits_raw"])
+            parts.extend(self._pending)
+            merged = np.concatenate(parts, axis=0)
+            self._pending = []
+            self._graph = None
+            self._build_all(merged)
+
+    # --- search --------------------------------------------------------------
+    def _effective_ef(self, cfg: Config, k: int) -> int:
+        ef = cfg.get("ef")
+        if ef is None:
+            ef = max(k, 16)  # reference defaults ef from k
+        return int(max(ef, k))
+
+    def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        with self._lock:
+            self._flush_pending()
+            if self._graph is None:
+                return expected.Err(Status.empty_index, "index not built")
+            metric = normalize_metric(cfg.metric_type)
+            if metric != self._metric:
+                return expected.Err(
+                    Status.invalid_metric_type,
+                    f"index built with {self._metric}, searched with {metric}",
+                )
+            k = cfg.k
+            ef = self._effective_ef(cfg, k)
+            xq = self._prep_rows(np.asarray(dataset.tensor))
+            nq = xq.shape[0]
+
+            # dense-filter fallback to exact scan (reference conditional wrapper)
+            ratio = bitset.filter_ratio() if not bitset.empty_view() else 0.0
+            if ratio >= BRUTE_FORCE_FALLBACK_RATIO and not cfg.get("disable_fallback_brute_force", False):
+                dists, ids = self._brute_force(xq, k, bitset)
+                return expected.Ok(GenResultDataSet(nq, k, ids, dists))
+
+            dists, ids = self._graph_search(xq, k, ef, bitset, refine_k=int(cfg.get("refine_k", 1) or 1))
+            # under filters the walk may strand some queries: exact-fill them
+            if not bitset.empty_view():
+                n_valid = self.Count() - bitset.count()
+                want = min(k, n_valid)
+                unfilled = (ids >= 0).sum(1) < want
+                if unfilled.any():
+                    bd, bi = self._brute_force(xq[unfilled], k, bitset)
+                    dists[unfilled], ids[unfilled] = bd, bi
+            return expected.Ok(GenResultDataSet(nq, k, ids, dists))
+
+    def _pad_q(self, a: np.ndarray) -> np.ndarray:
+        n, p = a.shape[0], 16
+        while p < n:
+            p *= 2
+        if p == n:
+            return a
+        return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+
+    def _graph_search(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1):
+        nq = xq.shape[0]
+        is_l2 = self._is_l2_like()
+        internal = self._internal_metric()
+        keep = (
+            bitset.device_mask(self.Count()) if not bitset.empty_view() else None
+        )
+        k_out = k if self._refine_store is None else max(k, k * max(refine_k, 1))
+        k_out = min(k_out, ef)
+        xq_pad = self._pad_q(xq)
+        max_iters = 2 * ef + 32
+        scores, ids = beam_search(
+            jax.device_put(xq_pad),
+            self._store,
+            self._graph_dev,
+            jax.device_put(self._entry),
+            keep,
+            kind=self._kind,
+            ef=ef,
+            k=k_out,
+            deg=self._graph.shape[1],
+            max_iters=max_iters,
+            is_l2=is_l2,
+            is_jaccard=internal == M.JACCARD,
+            has_mask=keep is not None,
+        )
+        scores = np.asarray(scores)[:nq]
+        ids = np.asarray(ids)[:nq]
+        if self._refine_store is not None:
+            dists, ids = refine_topk(jax.device_put(xq), self._refine_store, ids, k, is_l2)
+            invalid = ids < 0
+        else:
+            scores, ids = scores[:, :k], ids[:, :k]
+            if internal == M.JACCARD:
+                dists = 1.0 - scores
+            elif is_l2:
+                qsq = np.sum(xq.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                dists = qsq[:, None] - scores
+            else:
+                dists = scores
+            invalid = ids < 0
+        dists = np.where(invalid, np.float32(np.inf if is_l2 else -np.inf), dists)
+        return dists, ids.astype(np.int64)
+
+    def _brute_force(self, xq, k, bitset: BitsetView):
+        internal = self._internal_metric()
+        metric_for_scan = M.L2 if internal == M.HAMMING else internal
+        data = self._store["data"] if self._kind == "raw" else (
+            self._refine_store.data if self._refine_store is not None and self._refine_store.kind == "raw" else None
+        )
+        if data is None:
+            # decode-free fallback: use compute rows from host payload
+            data = jax.device_put(self._decode_all())
+        mask = bitset.device_mask(self.Count()) if not bitset.empty_view() else None
+        if internal == M.JACCARD:
+            from ..ops import topk as T
+
+            # jaccard over bit planes via dedicated tile metric
+            d_np, i_np = T.knn_search(xq, data, k, M.JACCARD, bitset_mask=mask)
+            return d_np, i_np
+        d_dev, i_dev = knn_device(jax.device_put(xq), data, k, metric_for_scan, mask=mask)
+        d_np, i_np = np.asarray(d_dev), np.asarray(i_dev, dtype=np.int64)
+        if internal == M.HAMMING:
+            pass  # L2 on bit planes == hamming
+        return d_np, i_np
+
+    def _decode_all(self) -> np.ndarray:
+        if self.VARIANT == "flat":
+            return self._payload["data"]
+        if "refine" in self._payload and self._refine_cfg == "raw":
+            return self._payload["refine"]
+        if self.VARIANT == "sq":
+            return np.asarray(
+                Q.sq_decode_dev(
+                    self._sq,
+                    jax.device_put(self._payload["codes"]),
+                    jax.device_put(self._sq.vmin),
+                    jax.device_put(self._sq.vdiff),
+                )
+            )
+        if self.VARIANT == "pq":
+            return np.asarray(
+                Q.pq_decode_dev(jax.device_put(self._pq.codebooks), jax.device_put(self._payload["codes"]))
+            )
+        raise KnowhereException("cannot decode", Status.internal_error)
+
+    # --- range search / iterator ------------------------------------------------
+    def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        # expanding-ef graph walk, then radius filter (reference uses the
+        # iterator; direct expansion is equivalent and batched)
+        with self._lock:
+            self._flush_pending()
+            if self._graph is None:
+                return expected.Err(Status.empty_index, "index not built")
+            xq = self._prep_rows(np.asarray(dataset.tensor))
+            nq = xq.shape[0]
+            radius = cfg.get("radius", 0.0)
+            range_filter = cfg.get("range_filter", float("inf"))
+            two_sided = np.isfinite(range_filter)
+            larger = not self._is_l2_like()
+            ef = self._effective_ef(cfg, 64)
+            cap = min(self.Count(), 8192)
+            k_cur = min(max(ef, 64), cap)
+            while True:
+                dists, ids = self._graph_search(xq, k_cur, max(k_cur, ef), bitset)
+                if k_cur >= cap:
+                    break
+                frontier = dists[:, -1]
+                still = (frontier > radius) if larger else (frontier < radius)
+                still &= ids[:, -1] >= 0
+                if not still.any():
+                    break
+                k_cur = min(cap, k_cur * 4)
+            import numpy as _np
+
+            lims = _np.zeros(nq + 1, dtype=_np.int64)
+            out_i, out_d = [], []
+            rsk = cfg.get("range_search_k", -1)
+            for i in range(nq):
+                keep_i = ids[i] >= 0
+                if larger:
+                    keep_i &= dists[i] > radius
+                    if two_sided:
+                        keep_i &= dists[i] <= range_filter
+                else:
+                    keep_i &= dists[i] < radius
+                    if two_sided:
+                        keep_i &= dists[i] >= range_filter
+                sel = _np.nonzero(keep_i)[0]
+                if rsk is not None and rsk >= 0:
+                    sel = sel[:rsk]
+                out_i.append(ids[i, sel])
+                out_d.append(dists[i, sel])
+                lims[i + 1] = lims[i] + len(sel)
+            from ..dataset import GenRangeResultDataSet
+
+            ids_cat = _np.concatenate(out_i) if out_i else _np.empty(0, _np.int64)
+            d_cat = _np.concatenate(out_d) if out_d else _np.empty(0, _np.float32)
+            return expected.Ok(GenRangeResultDataSet(nq, ids_cat, d_cat, lims))
+
+    def AnnIterator(
+        self, dataset: DataSet, cfg: Config, bitset: BitsetView, use_knowhere_search_pool=True
+    ) -> "expected[List]":
+        with self._lock:
+            self._flush_pending()
+            if self._graph is None:
+                return expected.Err(Status.empty_index, "index not built")
+            xq = self._prep_rows(np.asarray(dataset.tensor))
+            seed_ef = int(cfg.get("seed_ef") or cfg.get("ef") or 64)
+            k_iter = min(self.Count(), max(seed_ef * 4, 1024))
+            dists, ids = self._graph_search(xq, k_iter, max(k_iter, seed_ef), bitset)
+            larger = not self._is_l2_like()
+            iterators = []
+            for i in range(xq.shape[0]):
+                valid = ids[i] >= 0
+                ids_i, d_i = ids[i][valid], dists[i][valid]
+                state = {"pos": 0}
+
+                def batch_fn(ids_i=ids_i, d_i=d_i, state=state):
+                    if state["pos"] >= len(ids_i):
+                        return np.empty(0, np.int64), np.empty(0, np.float32)
+                    s = state["pos"]
+                    e = min(s + 256, len(ids_i))
+                    state["pos"] = e
+                    return ids_i[s:e], d_i[s:e]
+
+                iterators.append(BatchedDistanceIterator(batch_fn, larger_is_closer=larger))
+            return expected.Ok(iterators)
+
+    # --- vectors / meta --------------------------------------------------------
+    def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
+        if not self.HasRawData(self._metric):
+            return expected.Err(Status.not_implemented, "no raw data stored")
+        with self._lock:
+            self._flush_pending()
+            ids = np.asarray(dataset.ids, dtype=np.int64)
+            if ids.min(initial=0) < 0 or ids.max(initial=-1) >= self.Count():
+                return expected.Err(Status.invalid_args, "id out of range")
+            if self._is_binary():
+                bits = self._payload.get("bits_raw")
+                return expected.Ok(GenTensorDataSet(bits[ids], len(ids), self._dim))
+            return expected.Ok(GenTensorDataSet(self._raw_host[ids], len(ids), self._dim))
+
+    def CalcDistByIDs(self, query_ds, bitset, ids, rows) -> "expected[np.ndarray]":
+        xq = self._prep_rows(np.asarray(query_ds.tensor))
+        sub = self._prep_rows(self._raw_host[np.asarray(ids)]) if self._raw_host is not None else self._decode_all()[np.asarray(ids)]
+        internal = self._internal_metric()
+        q_dev, s_dev = jax.device_put(xq), jax.device_put(np.asarray(sub, np.float32))
+        dmat = np.asarray(D.pairwise_distance(internal, q_dev, s_dev, D.base_aux(internal, s_dev)))
+        return expected.Ok(dmat)
+
+    def HasRawData(self, metric_type: str = "L2") -> bool:
+        # flat HNSW keeps raw rows; quantized variants only via raw refine
+        if self.VARIANT == "flat":
+            return True
+        return self._refine_cfg == "raw"
+
+    def GetIndexMeta(self, cfg: Config) -> "expected[DataSet]":
+        import json as _json
+
+        if self._graph is None:
+            return expected.Err(Status.empty_index, "index not built")
+        deg_hist = (self._graph >= 0).sum(axis=1)
+        meta = {
+            "index_type": self.Type(),
+            "metric_type": self._metric,
+            "M": self._M,
+            "dim": self._dim,
+            "count": self.Count(),
+            "avg_degree": float(deg_hist.mean()),
+            "entry_points": self._entry.tolist(),
+        }
+        ds = DataSet()
+        ds.set("json_info", _json.dumps(meta))
+        return expected.Ok(ds)
+
+    # --- serialization -----------------------------------------------------------
+    def Serialize(self, binset: BinarySet) -> Status:
+        with self._lock:
+            self._flush_pending()
+            if self._graph is None:
+                return Status.empty_index
+            arrays = {"graph": self._graph, "entry": self._entry}
+            for k_, v in self._payload.items():
+                arrays["payload_" + k_] = np.asarray(v)
+            if self._raw_host is not None:
+                arrays["raw"] = np.asarray(self._raw_host)
+            meta = {
+                "variant": self.VARIANT,
+                "metric": self._metric,
+                "dim": self._dim,
+                "M": self._M,
+                "data_type": self.data_type,
+                "refine_cfg": self._refine_cfg,
+            }
+            if self._sq is not None:
+                meta["sq_type"] = self._sq.sq_type
+                arrays["sq_vmin"] = self._sq.vmin
+                arrays["sq_vdiff"] = self._sq.vdiff
+            if self._pq is not None:
+                arrays["pq_codebooks"] = self._pq.codebooks
+                meta["pq_nbits"] = self._pq.nbits
+            if self._prq_books is not None:
+                arrays["prq_codebooks"] = self._prq_books
+            blob = write_sections(arrays, meta=meta)
+            binset.Append(self.Type(), blob)
+            return Status.success
+
+    def Deserialize(self, binset: BinarySet, cfg: Config) -> Status:
+        binary = binset.GetByName(self.Type())
+        if binary is None:
+            return Status.invalid_binary_set
+        arrays, meta = read_sections(binary.data)
+        if meta.get("variant") != self.VARIANT:
+            return Status.invalid_serialized_index_type
+        with self._lock:
+            self._metric = meta["metric"]
+            self._dim = int(meta["dim"])
+            self._M = int(meta["M"])
+            self.data_type = meta.get("data_type", "fp32")
+            self._refine_cfg = meta.get("refine_cfg")
+            self._graph = np.asarray(arrays["graph"])
+            self._entry = np.asarray(arrays["entry"])
+            self._raw_host = np.asarray(arrays["raw"]) if "raw" in arrays else None
+            self._payload = {
+                k_[len("payload_") :]: np.asarray(v)
+                for k_, v in arrays.items()
+                if k_.startswith("payload_")
+            }
+            if "sq_type" in meta:
+                self._sq = Q.SQCodec(
+                    meta["sq_type"], np.asarray(arrays["sq_vmin"]), np.asarray(arrays["sq_vdiff"]), dim=self._dim
+                )
+            if "pq_codebooks" in arrays:
+                books = np.asarray(arrays["pq_codebooks"])
+                self._pq = Q.PQCodec(books, books.shape[0], int(meta.get("pq_nbits", 8)))
+            if "prq_codebooks" in arrays:
+                self._prq_books = np.asarray(arrays["prq_codebooks"])
+            self._upload()
+        return Status.success
+
+    # --- introspection ---------------------------------------------------------------
+    def Dim(self) -> int:
+        return self._dim
+
+    def Size(self) -> int:
+        total = 0 if self._graph is None else self._graph.nbytes
+        total += sum(np.asarray(v).nbytes for v in self._payload.values())
+        return total
+
+    def Count(self) -> int:
+        base = 0 if self._graph is None else self._graph.shape[0]
+        return base + sum(p.shape[0] for p in self._pending)
+
+    def Type(self) -> str:
+        return self.index_type
+
+    @classmethod
+    def CreateConfig(cls) -> Config:
+        return _CONFIGS[cls.VARIANT]()
+
+
+class HnswFlatNode(HnswIndexNode):
+    VARIANT = "flat"
+
+
+class HnswSqNode(HnswIndexNode):
+    VARIANT = "sq"
+
+
+class HnswPqNode(HnswIndexNode):
+    VARIANT = "pq"
+
+
+class HnswPrqNode(HnswIndexNode):
+    VARIANT = "prq"
+
+
+_F = feature
+_DENSE = ("fp32", "fp16", "bf16", "int8")
+
+register_index(
+    IndexEnum.INDEX_HNSW, _DENSE + ("bin1",),
+    _F.ALL_DENSE_TYPE | _F.BINARY | _F.KNN | _F.MMAP | _F.MV | _F.EMB_LIST,
+)(HnswFlatNode)
+register_index(IndexEnum.INDEX_HNSW_SQ, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP)(HnswSqNode)
+register_index(IndexEnum.INDEX_HNSW_PQ, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP)(HnswPqNode)
+register_index(IndexEnum.INDEX_HNSW_PRQ, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP)(HnswPrqNode)
+
+# CAGRA-style aliases: the reference's GPU graph index maps onto the same
+# flat-graph engine (intermediate_graph_degree/graph_degree ~ inter/deg).
+register_index(IndexEnum.INDEX_TPU_CAGRA, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(HnswFlatNode)
+register_index(IndexEnum.INDEX_CUVS_CAGRA, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(HnswFlatNode)
+register_index(IndexEnum.INDEX_GPU_CAGRA, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(HnswFlatNode)

@@ -1,0 +1,184 @@
+"""HNSW family: recall vs brute force, filtered search + BF fallback,
+iterators, serialization (reference coverage model: tests/ut/test_faiss_hnsw.cc)."""
+
+import numpy as np
+import pytest
+
+import knowhere_tpu as kt
+from .utils import (
+    KNN_RECALL_THRESHOLD,
+    brute_force_gt,
+    gen_binary_dataset,
+    gen_bitset,
+    gen_dataset,
+    knn_recall,
+)
+
+NB, NQ, DIM, K = 2000, 10, 64, 10
+
+
+@pytest.fixture(scope="module")
+def base():
+    return gen_dataset(NB, DIM, seed=61)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return gen_dataset(NQ, DIM, seed=62)
+
+
+def build(name, base, tcfg, data_type="fp32"):
+    created = kt.IndexFactory.Instance().Create(name, data_type=data_type)
+    assert created.has_value(), created.what()
+    idx = created.value()
+    st = idx.Build(base, tcfg)
+    assert st == kt.Status.success, st
+    return idx
+
+
+CONFIGS = [
+    ("HNSW", {"M": 16, "efConstruction": 200}, {"ef": 64}),
+    ("HNSW_SQ", {"M": 16, "efConstruction": 200, "sq_type": "SQ8"}, {"ef": 64, "refine_k": 4}),
+    ("HNSW_PQ", {"M": 16, "efConstruction": 200, "m": 16}, {"ef": 96, "refine_k": 8}),
+    ("HNSW_PRQ", {"M": 16, "efConstruction": 200, "m": 8, "nrq": 2}, {"ef": 96, "refine_k": 8}),
+]
+
+
+class TestHnswSearch:
+    @pytest.mark.parametrize("name,tcfg,scfg", CONFIGS)
+    @pytest.mark.parametrize("metric", ["L2", "IP"])
+    def test_recall(self, base, queries, name, tcfg, scfg, metric):
+        idx = build(name, base, {"metric_type": metric, **tcfg})
+        res = idx.Search(queries, {"metric_type": metric, "k": K, **scfg})
+        assert res.has_value(), res.what()
+        gt_ids, _ = brute_force_gt(base, queries, metric, K)
+        rec = knn_recall(gt_ids, res.value().ids, NQ, K)
+        assert rec >= KNN_RECALL_THRESHOLD, f"{name} {metric} recall {rec}"
+
+    def test_high_ef_high_recall(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 200})
+        gt_ids, _ = brute_force_gt(base, queries, "L2", K)
+        assert knn_recall(gt_ids, res.value().ids, NQ, K) >= 0.9
+
+    def test_cosine(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "COSINE", "M": 16, "efConstruction": 200})
+        res = idx.Search(queries, {"metric_type": "COSINE", "k": K, "ef": 96})
+        gt_ids, _ = brute_force_gt(base, queries, "COSINE", K)
+        assert knn_recall(gt_ids, res.value().ids, NQ, K) >= KNN_RECALL_THRESHOLD
+
+    def test_filtered(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        bitset = gen_bitset(NB, 0.4)
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 96}, bitset)
+        assert res.has_value(), res.what()
+        ids = res.value().ids.reshape(NQ, K)
+        for row in ids:
+            for i in row:
+                if i >= 0:
+                    assert not bitset.test(int(i))
+        gt_ids, _ = brute_force_gt(base, queries, "L2", K, bitset)
+        assert knn_recall(gt_ids, ids, NQ, K) >= KNN_RECALL_THRESHOLD
+
+    def test_dense_filter_brute_force_fallback(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        filtered = np.ones(NB, bool)
+        filtered[:40] = False  # 98% filtered -> BF fallback path
+        bitset = kt.BitsetView.from_bool_array(filtered)
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 32}, bitset)
+        ids = res.value().ids.reshape(NQ, K)
+        assert (ids >= 0).all()
+        assert (ids[ids >= 0] < 40).all()
+        # exact because fallback is exact
+        gt_ids, _ = brute_force_gt(base, queries, "L2", K, bitset)
+        assert knn_recall(gt_ids, ids, NQ, K) >= 0.99
+
+    def test_ef_defaults_from_k(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        res = idx.Search(queries, {"metric_type": "L2", "k": 50})
+        assert res.has_value()
+        assert (res.value().ids.reshape(NQ, 50)[:, 0] >= 0).all()
+
+    def test_metric_mismatch(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16})
+        res = idx.Search(queries, {"metric_type": "IP", "k": K})
+        assert res.error() == kt.Status.invalid_metric_type
+
+
+class TestHnswRangeIterator:
+    def test_range_search(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        _, gt_d = brute_force_gt(base, queries, "L2", 60)
+        radius = float(np.median(gt_d[:, 30]))
+        res = idx.RangeSearch(queries, {"metric_type": "L2", "radius": radius, "ef": 128})
+        assert res.has_value(), res.what()
+        ds = res.value()
+        assert ds.lims[-1] > 0
+        assert (ds.distance < radius + 1e-3).all()
+
+    def test_iterator(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        res = idx.AnnIterator(queries, {"metric_type": "L2"})
+        assert res.has_value(), res.what()
+        it = res.value()[0]
+        prev = -np.inf
+        seen = set()
+        for _ in range(200):
+            assert it.HasNext()
+            i, d = it.Next()
+            assert d >= prev - 1e-5
+            assert i not in seen
+            seen.add(i)
+            prev = d
+
+
+class TestHnswLifecycle:
+    def test_serialize_roundtrip(self, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 128})
+        binset = kt.BinarySet()
+        assert idx.Serialize(binset) == kt.Status.success
+        idx2 = kt.IndexFactory.Instance().Create("HNSW").value()
+        assert idx2.Deserialize(binset) == kt.Status.success
+        r1 = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 64}).value()
+        r2 = idx2.Search(queries, {"metric_type": "L2", "k": K, "ef": 64}).value()
+        np.testing.assert_array_equal(r1.ids, r2.ids)
+
+    def test_get_vector(self, base):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16})
+        assert idx.HasRawData("L2")
+        ids = np.array([1, 42, 1999])
+        res = idx.GetVectorByIds(kt.GenIdsDataSet(ids))
+        np.testing.assert_allclose(res.value().tensor, np.asarray(base.tensor)[ids], rtol=1e-6)
+
+    def test_incremental_add(self, queries):
+        x1 = gen_dataset(800, DIM, seed=63)
+        x2 = gen_dataset(400, DIM, seed=64)
+        idx = build("HNSW", x1, {"metric_type": "L2", "M": 16, "efConstruction": 128})
+        assert idx.Add(x2, {"metric_type": "L2"}) == kt.Status.success
+        assert idx.Count() == 1200
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 96})
+        xall = np.concatenate([np.asarray(x1.tensor), np.asarray(x2.tensor)])
+        gt = np.argsort(((np.asarray(queries.tensor)[:, None] - xall[None]) ** 2).sum(-1), 1)[:, :K]
+        assert knn_recall(gt, res.value().ids, NQ, K) >= KNN_RECALL_THRESHOLD
+
+    def test_index_meta(self, base):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16})
+        meta = idx.GetIndexMeta({})
+        assert meta.has_value()
+        import json
+
+        info = json.loads(meta.value().get("json_info"))
+        assert info["count"] == NB and info["M"] == 16
+
+
+class TestBinaryHnsw:
+    def test_hamming(self):
+        base = gen_binary_dataset(1000, 128, seed=65)
+        queries = gen_binary_dataset(5, 128, seed=66)
+        idx = build("HNSW", base, {"metric_type": "HAMMING", "M": 16, "efConstruction": 128}, data_type="bin1")
+        res = idx.Search(queries, {"metric_type": "HAMMING", "k": 5, "ef": 64})
+        assert res.has_value(), res.what()
+        xb = np.unpackbits(np.asarray(base.tensor), axis=1, bitorder="little")
+        xq = np.unpackbits(np.asarray(queries.tensor), axis=1, bitorder="little")
+        gt = np.argsort((xq[:, None] != xb[None]).sum(-1), 1, kind="stable")[:, :5]
+        assert knn_recall(gt, res.value().ids, 5, 5) >= KNN_RECALL_THRESHOLD
