@@ -62,10 +62,24 @@ class Index:
 
     def __init__(self, node: IndexNode):
         self._node = node
+        self._emb = None  # EmbListIndex adapter when metric is MAX_SIM_*/DTW_*
 
     @property
     def node(self) -> IndexNode:
         return self._node
+
+    def _make_underlying(self):
+        clone = type(self._node)(version=self._node.version, object=self._node.object)
+        clone.index_type = self._node.Type()
+        clone.data_type = getattr(self._node, "data_type", "fp32")
+        return clone
+
+    def _maybe_emb_list(self, json_cfg) -> bool:
+        """emb_list dispatch (reference BuildEmbListIfNeed, index_node.h:388-408)."""
+        from .models.emb_list import is_emb_list_metric
+
+        m = (json_cfg or {}).get("metric_type", "")
+        return is_emb_list_metric(str(m))
 
     # --- config plumbing ---------------------------------------------------
     def _load_cfg(self, json_cfg: Optional[Dict[str, Any]], stage: Stage):
@@ -81,7 +95,16 @@ class Index:
                 log_info(f"Build config load failed: {msg}")
                 return st
             t0 = time.perf_counter()
-            st = self._node.Build(dataset, cfg)
+            if self._maybe_emb_list(json_cfg):
+                from .feature import KnowhereCheck
+                from .models.emb_list import EmbListIndex
+
+                if not KnowhereCheck.SupportEmbListIndexTypeCheck(self._node.Type()):
+                    return Status.invalid_metric_type
+                self._emb = EmbListIndex(self._make_underlying, self._node.Type())
+                st = self._emb.Build(dataset, cfg)
+            else:
+                st = self._node.Build(dataset, cfg)
             if st == Status.success:
                 _metrics.observe_build_latency(self._node.Type(), time.perf_counter() - t0)
             return st
@@ -114,7 +137,7 @@ class Index:
     def _check_bitset(self, bitset: Optional[BitsetView]) -> Optional[Status]:
         """Bitset size sanity check (reference index.cc:146-151)."""
         if bitset is not None and not bitset.empty_view():
-            cnt = self._node.Count()
+            cnt = self._emb.Count() if self._emb is not None else self._node.Count()
             if cnt > 0 and bitset.size() != cnt:
                 return Status.invalid_args
         return None
@@ -142,7 +165,10 @@ class Index:
                 index=self._node.Type(),
             ):
                 t0 = time.perf_counter()
-                res = self._node.Search(dataset, cfg, bs)
+                if self._emb is not None:
+                    res = self._emb.Search(dataset, cfg, bs)
+                else:
+                    res = self._node.Search(dataset, cfg, bs)
                 if res.has_value():
                     _metrics.observe_search_latency(self._node.Type(), time.perf_counter() - t0)
                     _metrics.observe_topk(cfg.get("k", 0))
@@ -217,6 +243,8 @@ class Index:
 
     # --- serialization --------------------------------------------------------
     def Serialize(self, binset: BinarySet) -> Status:
+        if self._emb is not None:
+            return guarded_call(lambda: self._emb.Serialize(binset))
         return guarded_call(lambda: self._node.Serialize(binset))
 
     def Deserialize(
@@ -227,6 +255,14 @@ class Index:
             if st != Status.success:
                 return st
             t0 = time.perf_counter()
+            if binset.Contains("EMB_LIST_META"):
+                from .models.emb_list import EmbListIndex
+
+                self._emb = EmbListIndex(self._make_underlying, self._node.Type())
+                st = self._emb.Deserialize(binset, cfg)
+                if st == Status.success:
+                    _metrics.observe_load_latency(self._node.Type(), time.perf_counter() - t0)
+                return st
             st = self._node.Deserialize(binset, cfg)
             if st == Status.success:
                 _metrics.observe_load_latency(self._node.Type(), time.perf_counter() - t0)
@@ -257,6 +293,8 @@ class Index:
         return self._node.Size()
 
     def Count(self) -> int:
+        if self._emb is not None:
+            return self._emb.Count()
         return self._node.Count()
 
     def Type(self) -> str:

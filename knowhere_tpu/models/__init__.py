@@ -2,4 +2,4 @@
 factory (the module-level @register_index decorators are the analog of the
 reference's static-init registration macros, index_factory.h:87-165)."""
 
-from . import flat, hnsw, ivf  # noqa: F401
+from . import data_view, diskann, emb_list, flat, hnsw, ivf, minhash, sparse  # noqa: F401

@@ -1,0 +1,488 @@
+"""DISKANN — disk-resident Vamana index.
+
+Behavioral parity target: reference src/index/diskann/diskann.cc (1076 LoC) +
+diskann_config.h and the forked DiskANN engine
+(thirdparty/DiskANN/src/{index,partition_and_pq,aux_utils,pq_flash_index}.cpp):
+
+- Build requires `index_prefix` + `data_path` (diskann.cc:436-448); the data
+  file is DiskANN bin format [npts:int32][dim:int32][row-major data]; build
+  writes index files under index_prefix through the injected FileManager
+  (Pack DI object, diskann.cc:48-51) and leaves the node unloaded.
+- Serialize is a no-op (the index lives on disk, diskann.cc:133-139);
+  Deserialize(index_prefix) = open + optional cache/warmup (diskann.cc:640-760).
+- Search = beam search over the graph using in-memory PQ distances with
+  disk-resident full-precision rerank (pq_flash_index cached_beam_search).
+
+TPU design: the Vamana graph (RobustPrune alpha) + PQ codes live in HBM and
+the batched beam-search kernel (ops/graph.py) replaces the per-query
+libaio-driven walk; the SSD read of the reference becomes an np.memmap gather
+feeding a device rerank pass (host page cache plays the node cache's role;
+`search_cache_budget_gb` pins the hottest rows in HBM instead).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..binaryset import BinarySet
+from ..bitset import BitsetView
+from ..config import BaseConfig, Config, Entry, Stage
+from ..dataset import DataSet, GenResultDataSet, GenTensorDataSet
+from ..factory import register_index
+from ..feature import feature
+from ..index_param import IndexEnum, metric as M, normalize_metric
+from ..index_node import BatchedDistanceIterator, IndexNode
+from ..io.serialize import read_sections, write_sections
+from ..ops import quant as Q
+from ..ops.graph import beam_search, build_graph, pick_entry_points
+from ..ops.refine import RefineStore, refine_topk
+from ..status import KnowhereException, Status, expected
+from ..utils.logging import log_info, log_warning
+
+VAMANA_ALPHA = 1.2  # DiskANN default
+
+
+class DiskANNConfig(BaseConfig):
+    max_degree = Entry(int, default=48, range=(1, 2048), stages=[Stage.TRAIN])
+    search_list_size = Entry(int, range=(1, None), stages=[Stage.TRAIN, Stage.SEARCH, Stage.ITERATOR], allow_empty=True)
+    pq_code_budget_gb = Entry(float, range=(0.0, None), stages=[Stage.TRAIN], allow_empty=True)
+    pq_code_budget_gb_ratio = Entry(float, range=(0.0, None), stages=[Stage.TRAIN], allow_empty=True)
+    build_dram_budget_gb = Entry(float, default=16.0, range=(0.0, None), stages=[Stage.TRAIN])
+    disk_pq_dims = Entry(int, default=0, range=(0, None), stages=[Stage.TRAIN])
+    accelerate_build = Entry(bool, default=False, stages=[Stage.TRAIN])
+    search_cache_budget_gb = Entry(float, default=0.0, range=(0.0, None), stages=[Stage.DESERIALIZE])
+    search_cache_budget_gb_ratio = Entry(float, range=(0.0, None), stages=[Stage.DESERIALIZE], allow_empty=True)
+    warm_up = Entry(bool, default=False, stages=[Stage.DESERIALIZE])
+    use_bfs_cache = Entry(bool, default=False, stages=[Stage.DESERIALIZE])
+    beamwidth = Entry(int, default=8, range=(1, 128), stages=[Stage.SEARCH, Stage.ITERATOR])
+    min_k = Entry(int, default=100, range=(1, None), stages=[Stage.RANGE_SEARCH])
+    max_k = Entry(int, default=10000, range=(1, None), stages=[Stage.RANGE_SEARCH])
+    filter_threshold = Entry(float, default=-1.0, range=(-1.0, 1.0), stages=[Stage.SEARCH])
+
+
+def _read_diskann_bin(path: str, dtype: np.dtype) -> np.ndarray:
+    """DiskANN bin format: [npts int32][dim int32][row-major payload]."""
+    with open(path, "rb") as f:
+        header = np.fromfile(f, dtype=np.int32, count=2)
+        if header.size != 2:
+            raise KnowhereException(f"bad diskann bin file {path}", Status.disk_file_error)
+        npts, dim = int(header[0]), int(header[1])
+        data = np.fromfile(f, dtype=dtype, count=npts * dim)
+    if data.size != npts * dim:
+        raise KnowhereException(f"truncated diskann bin file {path}", Status.disk_file_error)
+    return data.reshape(npts, dim)
+
+
+class DiskANNIndexNode(IndexNode):
+    def __init__(self, version: int, object=None):  # noqa: A002
+        super().__init__(version, object)
+        self.index_type = IndexEnum.INDEX_DISKANN
+        self.data_type = "fp32"
+        self.file_manager = object  # reference: Pack<shared_ptr<FileManager>>
+        self._lock = threading.RLock()
+        self._metric = M.L2
+        self._dim = 0
+        self._count = 0
+        self._index_prefix: Optional[str] = None
+        # loaded state
+        self._graph_dev = None
+        self._graph_shape = None
+        self._entry = None
+        self._store: Optional[Dict[str, jax.Array]] = None
+        self._disk_data: Optional[np.memmap] = None  # raw rows on disk
+        self._refine_store: Optional[RefineStore] = None  # HBM cache of raw rows
+        self._loaded = False
+
+    # --- paths --------------------------------------------------------------
+    def _mem_path(self, prefix: str) -> str:
+        return prefix + "_kwtpu_mem.bin"
+
+    def _disk_path(self, prefix: str) -> str:
+        return prefix + "_kwtpu_disk.bin"
+
+    def _fm_load(self, path: str) -> None:
+        if self.file_manager is not None and hasattr(self.file_manager, "LoadFile"):
+            if not self.file_manager.LoadFile(path):
+                raise KnowhereException(f"FileManager failed to load {path}", Status.disk_file_error)
+
+    def _fm_add(self, path: str) -> None:
+        if self.file_manager is not None and hasattr(self.file_manager, "AddFile"):
+            if not self.file_manager.AddFile(path):
+                raise KnowhereException(f"FileManager failed to add {path}", Status.disk_file_error)
+
+    # --- build ---------------------------------------------------------------
+    def Train(self, dataset: DataSet, cfg: Config) -> Status:
+        return self.Build(dataset, cfg)  # reference builds in one shot
+
+    def Add(self, dataset: DataSet, cfg: Config) -> Status:
+        return Status.success  # Build already wrote everything
+
+    def Build(self, dataset: DataSet, cfg: Config) -> Status:
+        if not (cfg.get("index_prefix") and cfg.get("data_path")):
+            return Status.invalid_param_in_json
+        prefix = cfg.index_prefix
+        if os.path.exists(self._mem_path(prefix)):
+            log_warning(f"index files already exist under {prefix}")
+            return Status.index_already_trained
+        self._fm_load(cfg.data_path)
+        self._metric = normalize_metric(cfg.metric_type)
+        if self._metric not in (M.L2, M.IP, M.COSINE):
+            return Status.invalid_metric_type
+        np_dtype = {"fp32": np.float32, "fp16": np.float16, "int8": np.int8}.get(self.data_type, np.float32)
+        x_raw = _read_diskann_bin(cfg.data_path, np_dtype)
+        self._count, self._dim = x_raw.shape
+        x = x_raw.astype(np.float32)
+        if self._metric == M.COSINE:
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            x = x / n
+
+        # Vamana graph (RobustPrune alpha=1.2)
+        deg = int(cfg.max_degree)
+        efc = int(cfg.get("search_list_size") or 128)
+        inter = min(max(deg * 2, min(efc, 128)), max(self._count - 1, 1))
+        internal = M.IP if self._metric == M.COSINE else self._metric
+        graph = build_graph(x, deg, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA)
+        entry = pick_entry_points(x, n_entry=min(32, self._count))
+
+        # PQ codes sized by pq_code_budget_gb (bytes/vector)
+        budget_gb = cfg.get("pq_code_budget_gb")
+        if budget_gb:
+            m = int(max(1, min(self._dim, budget_gb * 1e9 / max(self._count, 1))))
+        else:
+            m = max(1, self._dim // 4)
+        while m > 1 and self._dim % m != 0:
+            m -= 1
+        pq = Q.pq_train(x, m, 8)
+        codes = Q.pq_encode(pq, x)
+
+        mem_blob = write_sections(
+            {
+                "graph": graph,
+                "entry": entry,
+                "pq_codebooks": pq.codebooks,
+                "pq_codes": codes,
+            },
+            meta={
+                "metric": self._metric,
+                "dim": self._dim,
+                "count": self._count,
+                "data_type": self.data_type,
+                "max_degree": deg,
+            },
+        )
+        with open(self._mem_path(prefix), "wb") as f:
+            f.write(mem_blob)
+        disk_blob = write_sections(
+            {"data": x if self._metric == M.COSINE else x_raw},
+            meta={"dim": self._dim, "count": self._count},
+        )
+        with open(self._disk_path(prefix), "wb") as f:
+            f.write(disk_blob)
+        self._fm_add(self._mem_path(prefix))
+        self._fm_add(self._disk_path(prefix))
+        log_info(f"diskann build complete: {self._count} rows -> {prefix}")
+        # reference leaves the node unloaded after Build; Deserialize loads it
+        return Status.success
+
+    # --- load ------------------------------------------------------------------
+    def Deserialize(self, binset: BinarySet, cfg: Config) -> Status:
+        prefix = cfg.get("index_prefix")
+        if not prefix:
+            return Status.invalid_param_in_json
+        self._fm_load(self._mem_path(prefix))
+        self._fm_load(self._disk_path(prefix))
+        try:
+            mem = np.memmap(self._mem_path(prefix), dtype=np.uint8, mode="r")
+            disk = np.memmap(self._disk_path(prefix), dtype=np.uint8, mode="r")
+        except OSError as e:
+            raise KnowhereException(str(e), Status.disk_file_error) from e
+        arrays, meta = read_sections(memoryview(mem))
+        d_arrays, _d_meta = read_sections(memoryview(disk))
+        with self._lock:
+            self._index_prefix = prefix
+            self._metric = meta["metric"]
+            self._dim = int(meta["dim"])
+            self._count = int(meta["count"])
+            self.data_type = meta.get("data_type", "fp32")
+            graph = np.asarray(arrays["graph"])
+            self._graph_dev = jax.device_put(graph)
+            self._graph_shape = graph.shape
+            self._entry = jax.device_put(np.asarray(arrays["entry"]))
+            books = np.asarray(arrays["pq_codebooks"])
+            self._store = {
+                "codes": jax.device_put(np.asarray(arrays["pq_codes"])),
+                "codebooks": jax.device_put(books),
+            }
+            self._disk_data = d_arrays["data"]  # zero-copy memmap view
+            # node cache: pin raw rows in HBM when budget allows
+            budget = float(cfg.get("search_cache_budget_gb", 0.0) or 0.0)
+            row_bytes = self._dim * 4
+            if budget * 1e9 >= self._count * row_bytes:
+                self._refine_store = RefineStore(
+                    "raw", jax.device_put(np.asarray(self._disk_data, dtype=np.float32))
+                )
+            else:
+                self._refine_store = None
+            if cfg.get("warm_up", False):
+                _ = np.asarray(self._disk_data[: min(1024, self._count)])  # touch pages
+            self._loaded = True
+        return Status.success
+
+    def DeserializeFromFile(self, filename: str, cfg: Config) -> Status:
+        return self.Deserialize(BinarySet(), cfg)
+
+    def Serialize(self, binset: BinarySet) -> Status:
+        # index lives on disk (reference diskann.cc:133-139)
+        return Status.success
+
+    # --- search ----------------------------------------------------------------
+    def _prep_q(self, dataset: DataSet) -> np.ndarray:
+        xq = np.asarray(dataset.tensor).astype(np.float32)
+        if self._metric == M.COSINE:
+            n = np.linalg.norm(xq, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            xq = xq / n
+        return xq
+
+    def _rerank_from_disk(self, xq: np.ndarray, cand: np.ndarray, k: int, is_l2: bool):
+        """Exact rerank of beam candidates with raw rows (HBM cache or disk)."""
+        if self._refine_store is not None:
+            return refine_topk(jax.device_put(xq), self._refine_store, cand, k, is_l2)
+        nq, R = cand.shape
+        uniq = np.unique(cand[cand >= 0])
+        rows = np.asarray(self._disk_data[uniq], dtype=np.float32)  # one disk gather
+        remap = {int(v): i for i, v in enumerate(uniq)}
+        local = np.full_like(cand, -1)
+        for i in range(nq):
+            for j in range(R):
+                if cand[i, j] >= 0:
+                    local[i, j] = remap[int(cand[i, j])]
+        store = RefineStore("raw", jax.device_put(rows))
+        dists, loc = refine_topk(jax.device_put(xq), store, local, k, is_l2)
+        ids = np.where(loc >= 0, uniq[np.clip(loc, 0, None)], -1)
+        return dists, ids
+
+    def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        with self._lock:
+            if not self._loaded:
+                return expected.Err(Status.empty_index, "diskann index not loaded")
+            metric = normalize_metric(cfg.metric_type)
+            if metric != self._metric:
+                return expected.Err(Status.invalid_metric_type, "metric mismatch")
+            k = cfg.k
+            L = int(cfg.get("search_list_size") or max(k * 10, 100))
+            L = max(L, k)
+            xq = self._prep_q(dataset)
+            nq = xq.shape[0]
+            is_l2 = self._metric == M.L2
+            keep = bitset.device_mask(self._count) if not bitset.empty_view() else None
+
+            # dense-filter fallback: stream raw rows from disk (reference uses
+            # filter_threshold to switch to brute force)
+            ratio = bitset.filter_ratio() if not bitset.empty_view() else 0.0
+            thresh = cfg.get("filter_threshold", -1.0)
+            if thresh is not None and thresh >= 0 and ratio >= thresh or ratio >= 0.95:
+                dists, ids = self._brute_force_disk(xq, k, bitset)
+                return expected.Ok(GenResultDataSet(nq, k, ids, dists))
+
+            xq_pad = self._pad_q(xq)
+            scores, cand = beam_search(
+                jax.device_put(xq_pad),
+                self._store,
+                self._graph_dev,
+                self._entry,
+                keep,
+                kind="pq",
+                ef=L,
+                k=min(L, max(k * 2, 32)),
+                deg=self._graph_shape[1],
+                max_iters=2 * L + 32,
+                is_l2=is_l2,
+                has_mask=keep is not None,
+            )
+            cand = np.asarray(cand)[:nq]
+            dists, ids = self._rerank_from_disk(xq, cand, k, is_l2)
+            # fill stranded queries under filters
+            if not bitset.empty_view():
+                n_valid = self._count - bitset.count()
+                unfilled = (ids >= 0).sum(1) < min(k, n_valid)
+                if unfilled.any():
+                    bd, bi = self._brute_force_disk(xq[unfilled], k, bitset)
+                    dists[unfilled], ids[unfilled] = bd, bi
+            return expected.Ok(GenResultDataSet(nq, k, ids.astype(np.int64), dists))
+
+    def _pad_q(self, a: np.ndarray) -> np.ndarray:
+        n, p = a.shape[0], 16
+        while p < n:
+            p *= 2
+        if p == n:
+            return a
+        return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+
+    def _brute_force_disk(self, xq, k, bitset: BitsetView):
+        from ..ops.topk import knn_device
+
+        internal = M.IP if self._metric == M.COSINE else self._metric
+        is_l2 = internal == M.L2
+        q_dev = jax.device_put(xq)
+        chunk = 131072
+        best_d = np.full((xq.shape[0], k), np.inf if is_l2 else -np.inf, np.float32)
+        best_i = np.full((xq.shape[0], k), -1, np.int64)
+        keep_all = bitset.host_mask(self._count) if not bitset.empty_view() else None
+        for s in range(0, self._count, chunk):
+            e = min(s + chunk, self._count)
+            block = jax.device_put(np.asarray(self._disk_data[s:e], dtype=np.float32))
+            mask = jax.device_put(keep_all[s:e]) if keep_all is not None else None
+            d, i = knn_device(q_dev, block, min(k, e - s), internal, mask=mask)
+            d, i = np.asarray(d), np.asarray(i, np.int64)
+            i = np.where(i >= 0, i + s, -1)
+            cat_d = np.concatenate([best_d, d], axis=1)
+            cat_i = np.concatenate([best_i, i], axis=1)
+            sort_d = np.where(cat_i >= 0, cat_d, np.inf if is_l2 else -np.inf)
+            order = np.argsort(sort_d if is_l2 else -sort_d, axis=1, kind="stable")[:, :k]
+            best_d = np.take_along_axis(cat_d, order, 1)
+            best_i = np.take_along_axis(cat_i, order, 1)
+        return best_d, best_i
+
+    # --- range search / iterator --------------------------------------------------
+    def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        with self._lock:
+            if not self._loaded:
+                return expected.Err(Status.empty_index, "diskann index not loaded")
+            radius = cfg.get("radius", 0.0)
+            range_filter = cfg.get("range_filter", float("inf"))
+            two_sided = np.isfinite(range_filter)
+            min_k = int(cfg.get("min_k", 100) or 100)
+            max_k = int(cfg.get("max_k", 10000) or 10000)
+            is_l2 = self._metric == M.L2
+            larger = not is_l2
+            xq = self._prep_q(dataset)
+            nq = xq.shape[0]
+            k_cur = min(min_k, self._count)
+            cap = min(max_k, self._count)
+            search_cfg_k = lambda kk: {"metric_type": self._metric, "k": kk, "search_list_size": max(kk, 100)}
+            while True:
+                sub = DataSet()
+                sub.set("tensor", xq)
+                sub.rows = nq
+                sub.dim = self._dim
+                scfg = self.CreateConfig()
+                Config.load(scfg, search_cfg_k(k_cur), Stage.SEARCH)
+                res = self.Search(sub, scfg, bitset)
+                if not res.has_value():
+                    return res
+                ds = res.value()
+                dists = ds.distance.reshape(nq, k_cur)
+                ids = ds.ids.reshape(nq, k_cur)
+                if k_cur >= cap:
+                    break
+                frontier = dists[:, -1]
+                still = (frontier > radius) if larger else (frontier < radius)
+                still &= ids[:, -1] >= 0
+                if not still.any():
+                    break
+                k_cur = min(cap, k_cur * 4)
+            lims = np.zeros(nq + 1, np.int64)
+            out_i, out_d = [], []
+            for i in range(nq):
+                keep_i = ids[i] >= 0
+                if larger:
+                    keep_i &= dists[i] > radius
+                    if two_sided:
+                        keep_i &= dists[i] <= range_filter
+                else:
+                    keep_i &= dists[i] < radius
+                    if two_sided:
+                        keep_i &= dists[i] >= range_filter
+                sel = np.nonzero(keep_i)[0]
+                out_i.append(ids[i, sel])
+                out_d.append(dists[i, sel])
+                lims[i + 1] = lims[i] + len(sel)
+            from ..dataset import GenRangeResultDataSet
+
+            ids_cat = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+            d_cat = np.concatenate(out_d) if out_d else np.empty(0, np.float32)
+            return expected.Ok(GenRangeResultDataSet(nq, ids_cat, d_cat, lims))
+
+    def AnnIterator(self, dataset: DataSet, cfg: Config, bitset: BitsetView, use_knowhere_search_pool=True):
+        with self._lock:
+            if not self._loaded:
+                return expected.Err(Status.empty_index, "diskann index not loaded")
+            k_iter = min(self._count, 4096)
+            scfg = self.CreateConfig()
+            Config.load(
+                scfg,
+                {"metric_type": self._metric, "k": k_iter, "search_list_size": max(k_iter // 2, 100)},
+                Stage.SEARCH,
+            )
+            res = self.Search(dataset, scfg, bitset)
+            if not res.has_value():
+                return res
+            ds = res.value()
+            nq = dataset.rows
+            dists = ds.distance.reshape(nq, k_iter)
+            ids = ds.ids.reshape(nq, k_iter)
+            larger = self._metric != M.L2
+            its = []
+            for i in range(nq):
+                valid = ids[i] >= 0
+                ids_i, d_i = ids[i][valid], dists[i][valid]
+                state = {"pos": 0}
+
+                def batch_fn(ids_i=ids_i, d_i=d_i, state=state):
+                    if state["pos"] >= len(ids_i):
+                        return np.empty(0, np.int64), np.empty(0, np.float32)
+                    s = state["pos"]
+                    e = min(s + 256, len(ids_i))
+                    state["pos"] = e
+                    return ids_i[s:e], d_i[s:e]
+
+                its.append(BatchedDistanceIterator(batch_fn, larger_is_closer=larger))
+            return expected.Ok(its)
+
+    # --- vectors / meta --------------------------------------------------------------
+    def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
+        with self._lock:
+            if not self._loaded:
+                return expected.Err(Status.empty_index, "diskann index not loaded")
+            if self._metric == M.COSINE:
+                return expected.Err(Status.not_implemented, "cosine diskann stores normalized rows")
+            ids = np.asarray(dataset.ids, dtype=np.int64)
+            if ids.min(initial=0) < 0 or ids.max(initial=-1) >= self._count:
+                return expected.Err(Status.invalid_args, "id out of range")
+            out = np.asarray(self._disk_data[ids])
+            return expected.Ok(GenTensorDataSet(out, len(ids), self._dim))
+
+    def HasRawData(self, metric_type: str = "L2") -> bool:
+        return normalize_metric(metric_type) != M.COSINE
+
+    def Dim(self) -> int:
+        return self._dim
+
+    def Size(self) -> int:
+        if self._store is None:
+            return 0
+        return int(self._graph_shape[0] * self._graph_shape[1] * 4)
+
+    def Count(self) -> int:
+        return self._count
+
+    def Type(self) -> str:
+        return self.index_type
+
+    @staticmethod
+    def CreateConfig() -> Config:
+        return DiskANNConfig()
+
+
+register_index(
+    IndexEnum.INDEX_DISKANN,
+    ("fp32", "fp16", "bf16", "int8"),
+    feature.ALL_DENSE_FLOAT_TYPE | feature.INT8 | feature.KNN | feature.DISK | feature.LAZY_LOAD,
+)(DiskANNIndexNode)

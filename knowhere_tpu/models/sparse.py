@@ -205,3 +205,321 @@ def brute_force_ann_iterator_sparse(
     keep = bitset.host_mask(nb) if bitset is not None and not bitset.empty_view() else None
     its = [PrecomputedDistanceIterator(scores[i], keep, larger_is_closer=True) for i in range(scores.shape[0])]
     return expected.Ok(its)
+
+
+# ===========================================================================
+# Sparse inverted index family (SPARSE_INVERTED_INDEX[_CC], SPARSE_WAND[_CC])
+# ===========================================================================
+#
+# Behavioral parity target: reference src/index/sparse/sparse_index_node.cc
+# (1072 LoC) + inverted_index.h — IP and BM25 metrics, drop_ratio_build/search
+# pruning, per-query algorithm selection (inverted_index_algo), growable CC
+# variants with concurrent read/write, sectioned serialization, mmap loads.
+# All DAAT algorithm names are accepted; they route to the batched TAAT device
+# engine in ops/sparse_ops.py (identical scores — WAND/MaxScore are pruning
+# schedules, not different metrics).
+
+import threading as _threading
+
+import jax as _jax
+
+from ..binaryset import BinarySet
+from ..config import Entry
+from ..dataset import GenTensorDataSet
+from ..factory import register_index
+from ..feature import feature as _feature
+from ..index_param import IndexEnum
+from ..index_node import IndexNode
+from ..io.serialize import read_sections, write_sections
+from ..ops.sparse_ops import SparsePostings, bm25_transform, build_postings, sparse_search
+
+_ALGOS = (
+    "INHERIT",
+    "TAAT_NAIVE",
+    "DAAT_WAND",
+    "DAAT_MAXSCORE",
+    "BLOCK_MAX_WAND",
+    "BLOCK_MAX_MAXSCORE",
+    "SINDI",
+)
+
+
+class SparseInvertedIndexConfig(BaseConfig):
+    drop_ratio_build = Entry(float, default=0.0, range=(0.0, 1.0), stages=[Stage.TRAIN])
+    drop_ratio_search = Entry(
+        float, default=0.0, range=(0.0, 1.0),
+        stages=[Stage.SEARCH, Stage.RANGE_SEARCH, Stage.ITERATOR],
+    )
+    refine_factor = Entry(int, default=1, range=(1, None), stages=[Stage.SEARCH])
+    dim_max_score_ratio = Entry(float, default=1.05, range=(0.5, 1.3), stages=[Stage.SEARCH])
+    search_algo = Entry(str, default="INHERIT", stages=[Stage.SEARCH])
+    inverted_index_algo = Entry(str, default="DAAT_MAXSCORE", stages=[Stage.TRAIN])
+    inverted_index_codec = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
+    block_max_block_size = Entry(int, default=128, range=(1, 65536), stages=[Stage.TRAIN])
+    quant_type = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
+    sindi_window_size = Entry(int, default=65535, range=(1024, 65535), stages=[Stage.SEARCH])
+
+    def check_and_adjust(self, stage):
+        st, msg = super().check_and_adjust(stage)
+        if st != Status.success:
+            return st, msg
+        algo = (self.inverted_index_algo or "DAAT_MAXSCORE").upper()
+        if algo not in _ALGOS:
+            return Status.invalid_value_in_json, f"unknown inverted_index_algo {algo}"
+        return Status.success, ""
+
+
+class SparseInvertedIndexNode(IndexNode):
+    IS_WAND = False  # SPARSE_WAND differs only in pruning strategy upstream
+
+    def __init__(self, version: int, object=None):  # noqa: A002
+        super().__init__(version, object)
+        self.index_type = IndexEnum.INDEX_SPARSE_INVERTED_INDEX
+        self.data_type = "sparse"
+        self._lock = _threading.RLock()
+        self._metric = M.IP
+        self._dim = 0
+        self._rows: List[Dict[int, float]] = []
+        self._postings: Optional[SparsePostings] = None
+        self._drop_ratio_build = 0.0
+        self._doc_ids_dev = None
+        self._vals_dev = None
+        self._bm25_cache: Dict[tuple, object] = {}
+        self._pending: List[Dict[int, float]] = []
+
+    # --- build ----------------------------------------------------------
+    def Train(self, dataset: DataSet, cfg: Config) -> Status:
+        self._metric = normalize_metric(cfg.metric_type)
+        if self._metric not in (M.IP, M.BM25):
+            raise KnowhereException(
+                f"sparse index supports IP/BM25, got {self._metric}", Status.invalid_metric_type
+            )
+        self._drop_ratio_build = float(cfg.get("drop_ratio_build", 0.0) or 0.0)
+        self._dim = dataset.dim
+        return Status.success
+
+    def Add(self, dataset: DataSet, cfg: Config) -> Status:
+        rows = list(dataset.tensor)
+        with self._lock:
+            if self._postings is None and not self._rows:
+                self._rows = rows
+                self._rebuild()
+            else:
+                # growable semantics (CC variants); plain nodes also accept
+                # appends, matching the reference's growable base behavior
+                self._pending.extend(rows)
+                if len(self._pending) > max(1024, len(self._rows) // 4):
+                    self._merge_pending()
+        return Status.success
+
+    def _merge_pending(self) -> None:
+        if not self._pending:
+            return
+        self._rows = self._rows + self._pending
+        self._pending = []
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        self._postings = build_postings(self._rows, self._drop_ratio_build)
+        self._doc_ids_dev = _jax.device_put(self._postings.doc_ids)
+        self._vals_dev = _jax.device_put(self._postings.vals)
+        self._bm25_cache.clear()
+
+    def _vals_for(self, cfg: Config):
+        if self._metric != M.BM25:
+            return self._vals_dev
+        k1 = cfg.get("bm25_k1")
+        b = cfg.get("bm25_b")
+        avgdl = cfg.get("bm25_avgdl")
+        if k1 is None or b is None or avgdl is None:
+            raise KnowhereException(
+                "BM25 requires bm25_k1/bm25_b/bm25_avgdl", Status.invalid_param_in_json
+            )
+        key = (round(k1, 6), round(b, 6), round(avgdl, 6))
+        if key not in self._bm25_cache:
+            self._bm25_cache[key] = _jax.device_put(
+                bm25_transform(self._postings, k1, b, avgdl)
+            )
+        return self._bm25_cache[key]
+
+    # --- search ------------------------------------------------------------
+    def _search_scores(self, dataset: DataSet, cfg: Config, bitset: BitsetView, k: int):
+        with self._lock:
+            self._merge_pending()
+            if self._postings is None:
+                raise KnowhereException("index not built", Status.empty_index)
+            q_rows = list(dataset.tensor)
+            mask = None
+            if not bitset.empty_view():
+                keep = bitset.host_mask(self._postings.nb)
+                mask = _jax.device_put(keep)
+            vals = self._vals_for(cfg)
+            drop = float(cfg.get("drop_ratio_search", 0.0) or 0.0)
+            return sparse_search(
+                self._postings, vals, self._doc_ids_dev, q_rows, k,
+                drop_ratio_search=drop, mask=mask,
+            )
+
+    def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        metric = normalize_metric(cfg.metric_type)
+        if metric != self._metric:
+            return expected.Err(
+                Status.invalid_metric_type,
+                f"index built with {self._metric}, searched with {metric}",
+            )
+        k = cfg.k
+        scores, ids = self._search_scores(dataset, cfg, bitset, k)
+        scores = np.where(ids >= 0, scores, 0.0)
+        return expected.Ok(GenResultDataSet(dataset.rows, k, ids, scores))
+
+    def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        radius = cfg.get("radius", 0.0)
+        range_filter = cfg.get("range_filter", float("inf"))
+        two_sided = np.isfinite(range_filter)
+        cap = min(self.Count(), 16384)
+        k_cur = min(512, max(cap, 1))
+        while True:
+            scores, ids = self._search_scores(dataset, cfg, bitset, k_cur)
+            if k_cur >= cap:
+                break
+            frontier_in = (scores[:, -1] > radius) & (ids[:, -1] >= 0)
+            if not frontier_in.any():
+                break
+            k_cur = min(cap, k_cur * 4)
+        nq = len(list(dataset.tensor))
+        lims = np.zeros(nq + 1, np.int64)
+        out_i, out_d = [], []
+        for i in range(nq):
+            keep_i = (ids[i] >= 0) & (scores[i] > radius)
+            if two_sided:
+                keep_i &= scores[i] <= range_filter
+            sel = np.nonzero(keep_i)[0]
+            out_i.append(ids[i, sel])
+            out_d.append(scores[i, sel])
+            lims[i + 1] = lims[i] + len(sel)
+        ids_cat = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+        d_cat = np.concatenate(out_d) if out_d else np.empty(0, np.float32)
+        return expected.Ok(GenRangeResultDataSet(nq, ids_cat, d_cat, lims))
+
+    def AnnIterator(self, dataset: DataSet, cfg: Config, bitset: BitsetView, use_knowhere_search_pool=True):
+        k_iter = min(self.Count(), 8192)
+        scores, ids = self._search_scores(dataset, cfg, bitset, k_iter)
+        its = []
+        for i in range(scores.shape[0]):
+            valid = ids[i] >= 0
+            its.append(
+                PrecomputedDistanceIterator(
+                    np.where(valid, scores[i], -np.inf), None, larger_is_closer=True
+                )
+            )
+            # remap iterator positions to doc ids
+            its[-1]._valid_ids = ids[i]
+        return expected.Ok(its)
+
+    # --- vectors / lifecycle ---------------------------------------------------
+    def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
+        with self._lock:
+            self._merge_pending()
+            ids = np.asarray(dataset.ids, dtype=np.int64)
+            if len(self._rows) == 0:
+                return expected.Err(Status.empty_index, "index not built")
+            if ids.min(initial=0) < 0 or ids.max(initial=-1) >= len(self._rows):
+                return expected.Err(Status.invalid_args, "id out of range")
+            out = [self._rows[int(i)] for i in ids]
+            ds = DataSet()
+            ds.set("tensor", out)
+            ds.is_sparse = True
+            ds.rows = len(out)
+            ds.dim = self._dim
+            return expected.Ok(ds)
+
+    def HasRawData(self, metric_type: str = "IP") -> bool:
+        # reference: raw data reconstructible only when nothing was dropped
+        return self._drop_ratio_build == 0.0 and normalize_metric(metric_type) == M.IP
+
+    def Serialize(self, binset: BinarySet) -> Status:
+        with self._lock:
+            self._merge_pending()
+            if self._postings is None:
+                return Status.empty_index
+            # row-major CSR serialization (sectioned, versioned format)
+            indptr = np.zeros(len(self._rows) + 1, np.int64)
+            idx_l, val_l = [], []
+            for i, row in enumerate(self._rows):
+                items = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
+                idx_l.extend(k_ for k_, _ in items)
+                val_l.extend(v for _, v in items)
+                indptr[i + 1] = len(idx_l)
+            arrays = {
+                "indptr": indptr,
+                "indices": np.asarray(idx_l, np.int32),
+                "values": np.asarray(val_l, np.float32),
+            }
+            meta = {
+                "metric": self._metric,
+                "dim": self._dim,
+                "rows": len(self._rows),
+                "drop_ratio_build": self._drop_ratio_build,
+                "index_type": self.Type(),
+            }
+            binset.Append(self.Type(), write_sections(arrays, meta=meta))
+            return Status.success
+
+    def Deserialize(self, binset: BinarySet, cfg: Config) -> Status:
+        binary = binset.GetByName(self.Type())
+        if binary is None:
+            return Status.invalid_binary_set
+        arrays, meta = read_sections(binary.data)
+        with self._lock:
+            self._metric = meta["metric"]
+            self._dim = int(meta["dim"])
+            self._drop_ratio_build = float(meta.get("drop_ratio_build", 0.0))
+            indptr = np.asarray(arrays["indptr"])
+            indices = np.asarray(arrays["indices"])
+            values = np.asarray(arrays["values"])
+            self._rows = [
+                {int(d): float(v) for d, v in zip(indices[indptr[i] : indptr[i + 1]], values[indptr[i] : indptr[i + 1]])}
+                for i in range(len(indptr) - 1)
+            ]
+            self._rebuild()
+        return Status.success
+
+    def Dim(self) -> int:
+        return self._dim
+
+    def Size(self) -> int:
+        if self._postings is None:
+            return 0
+        return int(self._postings.doc_ids.nbytes + self._postings.vals.nbytes)
+
+    def Count(self) -> int:
+        return len(self._rows) + len(self._pending)
+
+    def Type(self) -> str:
+        return self.index_type
+
+    @staticmethod
+    def CreateConfig() -> Config:
+        return SparseInvertedIndexConfig()
+
+
+class SparseWandNode(SparseInvertedIndexNode):
+    IS_WAND = True
+
+
+register_index(
+    IndexEnum.INDEX_SPARSE_INVERTED_INDEX, ("sparse",),
+    _feature.SPARSE_FLOAT32 | _feature.KNN | _feature.MMAP,
+)(SparseInvertedIndexNode)
+register_index(
+    IndexEnum.INDEX_SPARSE_WAND, ("sparse",),
+    _feature.SPARSE_FLOAT32 | _feature.KNN | _feature.MMAP,
+)(SparseWandNode)
+register_index(
+    IndexEnum.INDEX_SPARSE_INVERTED_INDEX_CC, ("sparse",),
+    _feature.SPARSE_FLOAT32 | _feature.KNN,
+)(SparseInvertedIndexNode)
+register_index(
+    IndexEnum.INDEX_SPARSE_WAND_CC, ("sparse",),
+    _feature.SPARSE_FLOAT32 | _feature.KNN,
+)(SparseWandNode)

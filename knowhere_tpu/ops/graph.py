@@ -98,7 +98,7 @@ def _approx_knn_graph(x: np.ndarray, k: int, metric: str) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("deg", "is_l2"))
+@partial(jax.jit, static_argnames=("deg", "is_l2", "alpha"))
 def _prune_chunk(
     x_nodes: jax.Array,  # (C, d) the nodes being pruned
     cand_vecs: jax.Array,  # (C, K, d) candidate neighbor vectors
@@ -106,9 +106,11 @@ def _prune_chunk(
     *,
     deg: int,
     is_l2: bool,
+    alpha: float = 1.0,
 ) -> jax.Array:
-    """HNSW select_neighbors_heuristic / Vamana RobustPrune(alpha=1),
-    vectorized over a chunk of nodes. Candidates must be sorted best-first."""
+    """HNSW select_neighbors_heuristic / Vamana RobustPrune(alpha),
+    vectorized over a chunk of nodes. Candidates must be sorted best-first.
+    alpha > 1 (DiskANN) keeps more long-range edges."""
     C, K, d = cand_vecs.shape
 
     if is_l2:
@@ -123,8 +125,8 @@ def _prune_chunk(
     valid = cand_ids >= 0
 
     def body(j, kept):
-        # keep candidate j iff for all kept s: pair[j, s] >= d_node[j]
-        conflict = kept & (pair[:, j, :] < d_node[:, j][:, None])  # (C,K)
+        # keep candidate j iff for all kept s: alpha * pair[j, s] >= d_node[j]
+        conflict = kept & (alpha * pair[:, j, :] < d_node[:, j][:, None])  # (C,K)
         ok = ~jnp.any(conflict, axis=1) & valid[:, j]
         ok &= jnp.sum(kept, axis=1) < deg
         return kept.at[:, j].set(ok)
@@ -144,6 +146,7 @@ def build_graph(
     metric: str,
     intermediate_deg: Optional[int] = None,
     add_reverse: bool = True,
+    alpha: float = 1.0,
 ) -> np.ndarray:
     """Returns (nb, deg) int32 adjacency (-1 padded)."""
     nb, d = x.shape
@@ -165,6 +168,7 @@ def build_graph(
             jax.device_put(ids),
             deg=deg,
             is_l2=is_l2,
+            alpha=alpha,
         )
         graph[s:e] = np.asarray(out)
 
