@@ -1,20 +1,21 @@
 #!/usr/bin/env python
-"""Headline benchmark — QPS at recall@10 >= 0.95 on SIFT1M-scale data.
+"""Headline benchmark — IVF_PQ QPS at recall@10 >= 0.95 on SIFT1M-scale data.
 
 Protocol parity with the reference harness
-(reference: benchmark/hdf5/benchmark_float_qps.cpp:80-119): for the target
-recall, binary-search the smallest search knob (nprobe for IVF; exact scan has
-none) that reaches it, then report nq/elapsed.
+(reference: benchmark/hdf5/benchmark_float_qps.cpp:80-119): binary-search the
+smallest nprobe whose recall@10 reaches the target, then report nq/elapsed.
+The index config matches BASELINE.md's north-star row (IVF_PQ m=16 nbits=8 on
+SIFT-scale fp32 with refine; target >= 2x a multicore AVX512 CPU).
 
-Datasets: ann-benchmarks HDF5 files are not fetchable in this environment
-(zero egress), so a SIFT1M-like synthetic corpus (1M x 128 fp32, clustered
-gaussian mixture — matches SIFT's clusterability for IVF) is generated with a
-fixed seed, and ground truth is computed with the EXACT fp32 path.
+Datasets: ann-benchmarks HDF5 is not fetchable here (zero egress); a
+SIFT1M-like corpus (1M x 128 fp32, gaussian mixture with overlapping
+clusters; queries drawn FRESH from the mixture, not perturbed base rows) is
+generated with fixed seeds, ground truth computed with the EXACT fp32 path.
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` compares against the north-star contract (BASELINE.md): 2x a
-multicore AVX512 CPU running the same index family at the same recall —
-vs_baseline >= 1.0 means the >=2x-CPU target is met.
+vs_baseline >= 1.0 means the >=2x-CPU north-star target is met
+(CPU baseline estimate: 15k QPS for knowhere IVF-family search at
+recall@10=0.95 on SIFT1M with all host cores).
 """
 
 import json
@@ -29,9 +30,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import knowhere_tpu as kt  # noqa: E402
 from knowhere_tpu.ops.distances import DistancePrecision, set_distance_precision  # noqa: E402
 
-# Estimated multicore AVX512 CPU baseline for IVF-family search on SIFT1M at
-# recall@10=0.95 (reference methodology, no published numbers in-repo; typical
-# knowhere IVF_FLAT nlist=1024 full-host-pool throughput). North star = 2x this.
 CPU_BASELINE_QPS = 15000.0
 TARGET_QPS = 2.0 * CPU_BASELINE_QPS
 
@@ -41,57 +39,61 @@ NQ = 10_000
 K = 10
 NLIST = 1024
 RECALL_TARGET = 0.95
+GT_NQ = 1000
 
 
-def gen_clustered(nb, dim, n_clusters=1000, seed=0):
+def gen_corpus(nb, nq, dim, n_clusters=500, seed=0):
+    """Gaussian mixture with overlapping clusters; queries are fresh draws."""
     rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 4.0
-    assign = rng.integers(0, n_clusters, size=nb)
-    x = centers[assign] + rng.standard_normal((nb, dim)).astype(np.float32)
-    return x
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 2.0
+    a_b = rng.integers(0, n_clusters, size=nb)
+    xb = centers[a_b] + rng.standard_normal((nb, dim)).astype(np.float32)
+    a_q = rng.integers(0, n_clusters, size=nq)
+    xq = centers[a_q] + rng.standard_normal((nq, dim)).astype(np.float32)
+    return xb, xq
 
 
 def recall_at_k(gt, ids, nq, k):
-    hits = 0
-    for i in range(nq):
-        hits += len(set(gt[i, :k].tolist()) & set(ids[i, :k].tolist()) - {-1})
+    hits = sum(len(set(gt[i].tolist()) & set(ids[i].tolist()) - {-1}) for i in range(nq))
     return hits / (nq * k)
 
 
 def main():
-    xb = gen_clustered(NB, DIM, seed=0)
-    rng = np.random.default_rng(1)
-    xq = xb[rng.choice(NB, NQ, replace=False)] + 0.1 * rng.standard_normal((NQ, DIM)).astype(np.float32)
-
+    xb, xq = gen_corpus(NB, NQ, DIM)
     base_ds = kt.GenDataSetFromArray(xb)
     query_ds = kt.GenDataSetFromArray(xq)
+    gt_queries = kt.GenDataSetFromArray(xq[:GT_NQ])
 
-    # Ground truth with the exact path on a query subsample (GT cost control).
-    gt_nq = 1000
-    gt_queries = kt.GenDataSetFromArray(xq[:gt_nq])
     set_distance_precision(DistancePrecision.EXACT)
     gt_res = kt.BruteForce.Search(base_ds, gt_queries, {"metric_type": "L2", "k": K})
-    gt_ids = gt_res.value().ids.reshape(gt_nq, K)
+    gt_ids = gt_res.value().ids.reshape(GT_NQ, K)
 
-    # Flagship index: IVF_FLAT if registered, else FLAT exact scan.
-    factory = kt.IndexFactory.Instance()
-    use_ivf = factory.HasIndex("IVF_FLAT", "fp32")
     set_distance_precision(DistancePrecision.FAST)
+    idx = kt.IndexFactory.Instance().Create("IVF_PQ").value()
+    t0 = time.perf_counter()
+    st = idx.Build(
+        base_ds,
+        {"metric_type": "L2", "nlist": NLIST, "m": 16, "nbits": 8,
+         "refine": True, "refine_type": "FP16"},
+    )
+    build_s = time.perf_counter() - t0
+    assert st == kt.Status.success, st
 
-    if use_ivf:
-        idx = factory.Create("IVF_FLAT").value()
-        t0 = time.perf_counter()
-        st = idx.Build(base_ds, {"metric_type": "L2", "nlist": NLIST})
-        build_s = time.perf_counter() - t0
-        assert st == kt.Status.success, st
-        index_name = "IVF_FLAT"
+    def search(nprobe, queries):
+        return idx.Search(
+            queries,
+            {"metric_type": "L2", "k": K, "nprobe": nprobe, "refine_k": 4},
+        )
 
-        # binary-search smallest nprobe reaching the recall target
-        def recall_for(nprobe):
-            r = idx.Search(gt_queries, {"metric_type": "L2", "k": K, "nprobe": nprobe})
-            return recall_at_k(gt_ids, r.value().ids.reshape(gt_nq, K), gt_nq, K)
+    def recall_for(nprobe):
+        r = search(nprobe, gt_queries)
+        return recall_at_k(gt_ids, r.value().ids.reshape(GT_NQ, K), GT_NQ, K)
 
-        lo, hi = 1, 256
+    # binary-search smallest nprobe reaching the target (reference protocol)
+    lo, hi = 1, min(256, NLIST)
+    if recall_for(hi) < RECALL_TARGET:
+        nprobe = hi
+    else:
         while lo < hi:
             mid = (lo + hi) // 2
             if recall_for(mid) >= RECALL_TARGET:
@@ -99,24 +101,11 @@ def main():
             else:
                 lo = mid + 1
         nprobe = lo
-        search_cfg = {"metric_type": "L2", "k": K, "nprobe": nprobe}
-        achieved = recall_for(nprobe)
-    else:
-        idx = factory.Create("FLAT").value()
-        t0 = time.perf_counter()
-        st = idx.Build(base_ds, {"metric_type": "L2"})
-        build_s = time.perf_counter() - t0
-        assert st == kt.Status.success, st
-        index_name = "FLAT"
-        search_cfg = {"metric_type": "L2", "k": K}
-        nprobe = None
-        r = idx.Search(gt_queries, search_cfg)
-        achieved = recall_at_k(gt_ids, r.value().ids.reshape(gt_nq, K), gt_nq, K)
+    achieved = recall_for(nprobe)
 
-    # warmup (compile) then timed runs
-    idx.Search(kt.GenDataSetFromArray(xq[:256]), search_cfg)
+    search(nprobe, query_ds)  # warm / compile
     t0 = time.perf_counter()
-    res = idx.Search(query_ds, search_cfg)
+    res = search(nprobe, query_ds)
     elapsed = time.perf_counter() - t0
     assert res.has_value(), res.what()
     qps = NQ / elapsed
@@ -124,8 +113,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"QPS@recall10>={RECALL_TARGET} SIFT1M-like {index_name}"
-                + (f" nprobe={nprobe}" if nprobe else ""),
+                "metric": f"IVF_PQ(m=16,refine) QPS@recall10>={RECALL_TARGET} SIFT1M-like, nprobe={nprobe}",
                 "value": round(qps, 1),
                 "unit": "QPS/chip",
                 "vs_baseline": round(qps / TARGET_QPS, 3),

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""QPS-at-recall benchmark suite over every dense index family.
+
+Methodology parity with the reference harness
+(reference: benchmark/hdf5/benchmark_float_qps.cpp:80-161 — for each target
+recall, binary-search the smallest search knob (nprobe / ef / reorder_k /
+search_list_size) whose recall@k reaches it, then report nq/elapsed;
+EXPECTED_RECALLs default {0.9}).
+
+Datasets: ann-benchmarks HDF5 files load when present under ./data (SIFT/GIST
+layouts: train/test/neighbors); otherwise a seeded SIFT-like clustered
+gaussian corpus is generated and ground truth computed with the exact fp32
+path (zero-egress environments).
+
+Usage:
+  python benchmark/suite.py [--nb 1000000] [--dim 128] [--recall 0.95]
+                            [--index IVF_FLAT,IVF_PQ,SCANN,HNSW] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import knowhere_tpu as kt  # noqa: E402
+from knowhere_tpu.ops.distances import DistancePrecision, set_distance_precision  # noqa: E402
+
+# search-knob search spaces per index (reference sweeps the same knobs)
+KNOBS = {
+    "IVF_FLAT": ("nprobe", [1, 2, 4, 8, 16, 32, 64, 128, 256]),
+    "IVF_SQ8": ("nprobe", [1, 2, 4, 8, 16, 32, 64, 128, 256]),
+    "IVF_PQ": ("nprobe", [1, 2, 4, 8, 16, 32, 64, 128, 256]),
+    "SCANN": ("nprobe", [1, 2, 4, 8, 16, 32, 64, 128, 256]),
+    "IVF_RABITQ": ("nprobe", [1, 2, 4, 8, 16, 32, 64, 128, 256]),
+    "HNSW": ("ef", [16, 32, 64, 128, 256, 512]),
+    "FLAT": (None, [None]),
+}
+
+BUILD_CFG = {
+    "IVF_FLAT": {"nlist": 1024},
+    "IVF_SQ8": {"nlist": 1024, "sq_type": "SQ8"},
+    "IVF_PQ": {"nlist": 1024, "m": 16, "nbits": 8, "refine": True, "refine_type": "FP16"},
+    "SCANN": {"nlist": 1024, "sub_dim": 2, "with_raw_data": True},
+    "IVF_RABITQ": {"nlist": 1024, "refine": True},
+    "HNSW": {"M": 16, "efConstruction": 200},
+    "FLAT": {},
+}
+
+SEARCH_EXTRA = {
+    "IVF_PQ": {"refine_k": 4},
+    "SCANN": {"reorder_k": 100},
+    "IVF_RABITQ": {"refine_k": 8},
+}
+
+
+def gen_clustered(nb, dim, n_clusters=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_clusters, size=nb)
+    return centers[assign] + rng.standard_normal((nb, dim)).astype(np.float32)
+
+
+def load_dataset(nb, dim, nq, data_dir="data"):
+    h5 = os.path.join(data_dir, "sift-128-euclidean.hdf5")
+    if os.path.exists(h5):
+        try:
+            import h5py
+
+            with h5py.File(h5, "r") as f:
+                xb = np.asarray(f["train"], np.float32)[:nb]
+                xq = np.asarray(f["test"], np.float32)[:nq]
+                gt = np.asarray(f["neighbors"], np.int64)[:nq]
+                return xb, xq, gt, "sift-128-euclidean"
+        except Exception:
+            pass
+    xb = gen_clustered(nb, dim)
+    rng = np.random.default_rng(1)
+    xq = xb[rng.choice(nb, nq, replace=False)] + 0.1 * rng.standard_normal((nq, dim)).astype(np.float32)
+    return xb, xq, None, f"synthetic-clustered-{nb}x{dim}"
+
+
+def recall_at_k(gt, ids, k):
+    nq = ids.shape[0]
+    hits = sum(len(set(gt[i, :k].tolist()) & set(ids[i, :k].tolist()) - {-1}) for i in range(nq))
+    return hits / (nq * k)
+
+
+def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192):
+    base = kt.GenDataSetFromArray(xb)
+    created = kt.IndexFactory.Instance().Create(name)
+    if not created.has_value():
+        return None
+    idx = created.value()
+    t0 = time.perf_counter()
+    st = idx.Build(base, {"metric_type": "L2", **BUILD_CFG.get(name, {})})
+    build_s = time.perf_counter() - t0
+    if st != kt.Status.success:
+        return {"index": name, "error": st.name}
+
+    knob, values = KNOBS[name]
+    gt_nq = gt_ids.shape[0]
+    q_gt = kt.GenDataSetFromArray(xq[:gt_nq])
+
+    def search(knob_val, queries):
+        cfg = {"metric_type": "L2", "k": k, **SEARCH_EXTRA.get(name, {})}
+        if knob:
+            cfg[knob] = knob_val
+        return idx.Search(queries, cfg)
+
+    chosen, achieved = None, 0.0
+    for v in values:
+        r = search(v, q_gt)
+        if not r.has_value():
+            continue
+        rec = recall_at_k(gt_ids, r.value().ids.reshape(gt_nq, k), k)
+        if rec >= recall_target:
+            chosen, achieved = v, rec
+            break
+        chosen, achieved = v, rec  # keep best effort
+    # timed runs on the full query set (warm)
+    q_timed = kt.GenDataSetFromArray(xq[:nq_timed])
+    search(chosen, q_timed)  # warm/compile
+    t0 = time.perf_counter()
+    search(chosen, q_timed)
+    dt = time.perf_counter() - t0
+    return {
+        "index": name,
+        "knob": f"{knob}={chosen}" if knob else "exact",
+        "recall": round(achieved, 4),
+        "qps": round(min(nq_timed, xq.shape[0]) / dt, 1),
+        "build_s": round(build_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--nq", type=int, default=10_000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--recall", type=float, default=0.95)
+    ap.add_argument("--gt-nq", type=int, default=1000)
+    ap.add_argument("--index", type=str, default="IVF_FLAT,IVF_PQ,SCANN,HNSW")
+    args = ap.parse_args()
+
+    xb, xq, gt, ds_name = load_dataset(args.nb, args.dim, args.nq)
+    set_distance_precision(DistancePrecision.EXACT)
+    if gt is None:
+        g = kt.BruteForce.Search(
+            kt.GenDataSetFromArray(xb),
+            kt.GenDataSetFromArray(xq[: args.gt_nq]),
+            {"metric_type": "L2", "k": args.k},
+        )
+        gt = g.value().ids.reshape(args.gt_nq, args.k)
+    else:
+        gt = gt[: args.gt_nq, : args.k]
+    set_distance_precision(DistancePrecision.FAST)
+
+    print(json.dumps({"dataset": ds_name, "recall_target": args.recall, "k": args.k}))
+    for name in args.index.split(","):
+        res = bench_index(name.strip(), xb, xq, gt, args.k, args.recall)
+        if res:
+            print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

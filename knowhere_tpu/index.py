@@ -147,8 +147,12 @@ class Index:
         dataset: DataSet,
         json_cfg: Optional[Dict[str, Any]] = None,
         bitset: Optional[BitsetView] = None,
+        op_context=None,
     ) -> "expected[DataSet]":
         def impl() -> "expected[DataSet]":
+            from .comp import check_cancellation
+
+            check_cancellation(op_context)
             cfg, st, msg = self._load_cfg(json_cfg, Stage.SEARCH)
             if st != Status.success:
                 return expected.Err(st, msg)

@@ -2,4 +2,14 @@
 factory (the module-level @register_index decorators are the analog of the
 reference's static-init registration macros, index_factory.h:87-165)."""
 
-from . import data_view, diskann, emb_list, flat, hnsw, ivf, minhash, sparse  # noqa: F401
+from . import (  # noqa: F401
+    data_view,
+    diskann,
+    emb_list,
+    faiss_generic,
+    flat,
+    hnsw,
+    ivf,
+    minhash,
+    sparse,
+)

@@ -292,6 +292,8 @@ class DiskANNIndexNode(IndexNode):
                 return expected.Ok(GenResultDataSet(nq, k, ids, dists))
 
             xq_pad = self._pad_q(xq)
+            from ..ops.distances import matmul_precision_name
+
             scores, cand = beam_search(
                 jax.device_put(xq_pad),
                 self._store,
@@ -305,6 +307,7 @@ class DiskANNIndexNode(IndexNode):
                 max_iters=2 * L + 32,
                 is_l2=is_l2,
                 has_mask=keep is not None,
+                prec=matmul_precision_name(),
             )
             cand = np.asarray(cand)[:nq]
             dists, ids = self._rerank_from_disk(xq, cand, k, is_l2)

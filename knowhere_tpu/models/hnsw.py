@@ -361,6 +361,8 @@ class HnswIndexNode(IndexNode):
         k_out = min(k_out, ef)
         xq_pad = self._pad_q(xq)
         max_iters = 2 * ef + 32
+        from ..ops.distances import matmul_precision_name
+
         scores, ids = beam_search(
             jax.device_put(xq_pad),
             self._store,
@@ -375,6 +377,7 @@ class HnswIndexNode(IndexNode):
             is_l2=is_l2,
             is_jaccard=internal == M.JACCARD,
             has_mask=keep is not None,
+            prec=matmul_precision_name(),
         )
         scores = np.asarray(scores)[:nq]
         ids = np.asarray(ids)[:nq]

@@ -484,6 +484,34 @@ class IvfIndexNode(IndexNode):
                 return a
             return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
 
+        # Precision strategy (SURVEY north-star: speed at recall>=target):
+        # - EXACT: full-fp32 scan. - FAST: single 3-pass-bf16 scan (~fp32
+        #   ranking; measured recall .999+ on SIFT-like 1M). - BF16: raw bf16
+        #   scan; for RAW float data it widens to 4k candidates + exact refine
+        #   (two-stage) since single-pass bf16 alone caps recall. Binary
+        #   metrics always scan bf16 (0/1 inputs, fp32 accumulate — exact);
+        #   quantized codecs scan bf16 (decode noise dominates).
+        from ..ops.distances import DistancePrecision, get_distance_precision
+
+        gp = get_distance_precision()
+        if gp == DistancePrecision.EXACT:
+            scan_prec = "exact"
+        elif self._is_binary() or self._kind in ("pq", "sq", "rabitq"):
+            scan_prec = "bf16"
+        elif gp == DistancePrecision.BF16:
+            scan_prec = "bf16"
+        else:
+            scan_prec = "fast"
+        two_stage = (
+            gp == DistancePrecision.BF16
+            and self._kind == "raw"
+            and self._refine_store is None
+            and not self._is_binary()
+        )
+        k_scan = k_coarse
+        if two_stage:
+            k_scan = min(max(4 * k_coarse, 32), max(nb, 1))
+
         def _run_scan(xq_sub: np.ndarray, probes_sub: np.ndarray):
             n_sub = xq_sub.shape[0]
             xq_pad = _pad_q(xq_sub)
@@ -501,13 +529,27 @@ class IvfIndexNode(IndexNode):
                 self._kind,
                 probes_sub,
                 self._offsets,
-                k_coarse,
+                k_scan,
                 is_l2,
                 keep_sorted=keep_sorted,
                 sq_levels=self._sq_levels,
                 sq_packed4=self._sq_packed4,
                 is_jaccard=internal == M.JACCARD,
+                prec=scan_prec,
             )
+            if two_stage:
+                # exact re-rank of the bf16 candidates straight off the
+                # sorted device storage (positions == row indices there)
+                store = RefineStore("raw", self._store["data"])
+                d_r, p_r = refine_topk(q_pad_dev, store, p, k_coarse, is_l2)
+                if is_l2:
+                    # refine returns true distances; convert back to the scan's
+                    # score convention (score = 2qb - |b|^2 = |q|^2 - dist)
+                    qsq_pad = np.sum(xq_pad.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                    s = qsq_pad[:, None] - d_r
+                else:
+                    s = d_r
+                p = p_r
             return s[:n_sub], p[:n_sub]
 
         q_dev = jax.device_put(xq)

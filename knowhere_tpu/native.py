@@ -1,0 +1,199 @@
+"""ctypes bindings for the native runtime (native/knowhere_native.cpp).
+
+Compiles the shared library on first use (g++ -O3); every entry point has a
+pure-numpy fallback so the framework works without a toolchain. The native
+pieces mirror the reference's host-side native layers: posting-list codecs
+(src/index/sparse/codec/), aligned row-gather reads (DiskANN
+linux_aligned_file_reader), popcount utilities.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+_LOCK = threading.Lock()
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native", "knowhere_native.cpp")
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so_path = os.path.join(os.path.dirname(_SRC), "libknowhere_native.so")
+        try:
+            if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", so_path],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(so_path)
+        except Exception:  # pragma: no cover - toolchain-less environments
+            _LIB = None
+            return None
+        c = ctypes.c_int64
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kn_varint_encode.restype = c
+        lib.kn_varint_encode.argtypes = [u32p, c, u8p]
+        lib.kn_varint_decode.restype = c
+        lib.kn_varint_decode.argtypes = [u8p, c, u32p, c]
+        lib.kn_delta_encode.argtypes = [u32p, c, u32p]
+        lib.kn_delta_decode.argtypes = [u32p, c, u32p]
+        lib.kn_bitpack_encode.restype = c
+        lib.kn_bitpack_encode.argtypes = [u32p, c, ctypes.c_int, u8p]
+        lib.kn_bitpack_decode.restype = c
+        lib.kn_bitpack_decode.argtypes = [u8p, c, ctypes.c_int, u32p]
+        lib.kn_max_bits.restype = ctypes.c_int
+        lib.kn_max_bits.argtypes = [u32p, c]
+        lib.kn_popcount.restype = c
+        lib.kn_popcount.argtypes = [u8p, c]
+        lib.kn_gather_rows.restype = ctypes.c_int
+        lib.kn_gather_rows.argtypes = [ctypes.c_char_p, c, c, i64p, c, u8p]
+        _LIB = lib
+        return lib
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _u32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+# ---------------------------------------------------------------------------
+# posting-list codec: delta + varint (native) with numpy fallback
+# ---------------------------------------------------------------------------
+
+
+def encode_postings(doc_ids: np.ndarray) -> bytes:
+    """Strictly-increasing u32 doc ids -> delta varint bytes."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
+    lib = _build_and_load()
+    if lib is not None:
+        deltas = np.empty_like(ids)
+        lib.kn_delta_encode(_u32p(ids), len(ids), _u32p(deltas))
+        out = np.empty(len(ids) * 5 + 8, dtype=np.uint8)
+        n = lib.kn_varint_encode(_u32p(deltas), len(ids), _u8p(out))
+        return out[:n].tobytes()
+    # numpy fallback (vectorized LEB128)
+    deltas = np.diff(ids, prepend=np.uint32(0)).astype(np.uint64)
+    parts = []
+    cur = deltas
+    mask = np.ones(len(cur), bool)
+    while mask.any():
+        byte = (cur & 0x7F).astype(np.uint8)
+        more = cur >= 0x80
+        byte[more] |= 0x80
+        parts.append((byte, mask.copy()))
+        cur = cur >> np.uint64(7)
+        mask = more
+    # interleave per-element bytes
+    out = bytearray()
+    per_elem = [[] for _ in range(len(deltas))]
+    for byte, m in parts:
+        for i in np.nonzero(m)[0]:
+            per_elem[i].append(byte[i])
+    for bs in per_elem:
+        out.extend(bs)
+    return bytes(out)
+
+
+def decode_postings(blob: bytes, n: int) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    lib = _build_and_load()
+    if lib is not None:
+        deltas = np.empty(n, dtype=np.uint32)
+        consumed = lib.kn_varint_decode(_u8p(np.ascontiguousarray(buf)), len(buf), _u32p(deltas), n)
+        if consumed < 0:
+            raise ValueError("truncated posting blob")
+        out = np.empty(n, dtype=np.uint32)
+        lib.kn_delta_decode(_u32p(deltas), n, _u32p(out))
+        return out.astype(np.int64)
+    # python fallback
+    deltas = np.empty(n, dtype=np.uint64)
+    pos = 0
+    for i in range(n):
+        shift, v = 0, 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            v |= (int(b) & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        deltas[i] = v
+    return np.cumsum(deltas).astype(np.int64)
+
+
+def bitpack(values: np.ndarray) -> Tuple[bytes, int]:
+    """Fixed-width pack of u32 values; returns (blob, bits)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint32)
+    lib = _build_and_load()
+    if lib is not None:
+        bits = lib.kn_max_bits(_u32p(vals), len(vals))
+        out = np.empty((len(vals) * bits + 7) // 8 + 8, dtype=np.uint8)
+        n = lib.kn_bitpack_encode(_u32p(vals), len(vals), bits, _u8p(out))
+        return out[:n].tobytes(), bits
+    bits = max(int(vals.max(initial=1)).bit_length(), 1)
+    packed = np.packbits(
+        ((vals[:, None] >> np.arange(bits, dtype=np.uint32)[None, :]) & 1).astype(np.uint8),
+        bitorder="little",
+    )
+    return packed.tobytes(), bits
+
+
+def bitunpack(blob: bytes, n: int, bits: int) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    lib = _build_and_load()
+    if lib is not None:
+        out = np.empty(n, dtype=np.uint32)
+        lib.kn_bitpack_decode(_u8p(np.ascontiguousarray(buf)), n, bits, _u32p(out))
+        return out
+    bit_arr = np.unpackbits(buf, bitorder="little")[: n * bits].reshape(n, bits)
+    return (bit_arr.astype(np.uint32) * (1 << np.arange(bits, dtype=np.uint32))[None, :]).sum(1)
+
+
+def popcount(buf: np.ndarray) -> int:
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    lib = _build_and_load()
+    if lib is not None:
+        return int(lib.kn_popcount(_u8p(b), b.size))
+    return int(np.unpackbits(b).sum())
+
+
+def gather_rows(path: str, base_offset: int, row_bytes: int, row_ids: np.ndarray) -> np.ndarray:
+    """Gather rows from a file on disk (DiskANN-style pread fan-in)."""
+    ids = np.ascontiguousarray(row_ids, dtype=np.int64)
+    out = np.empty(len(ids) * row_bytes, dtype=np.uint8)
+    lib = _build_and_load()
+    if lib is not None:
+        rc = lib.kn_gather_rows(
+            path.encode(), base_offset, row_bytes,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(ids), _u8p(out),
+        )
+        if rc != 0:
+            raise OSError(f"kn_gather_rows failed for {path}")
+        return out.reshape(len(ids), row_bytes)
+    with open(path, "rb") as f:
+        for i, rid in enumerate(ids):
+            f.seek(base_offset + int(rid) * row_bytes)
+            out[i * row_bytes : (i + 1) * row_bytes] = np.frombuffer(f.read(row_bytes), np.uint8)
+    return out.reshape(len(ids), row_bytes)

@@ -83,19 +83,13 @@ def _approx_knn_graph(x: np.ndarray, k: int, metric: str) -> np.ndarray:
             probes = np.asarray(coarse_probe(q_dev, store["centroids"], nprobe=12, is_l2=is_l2))
             _, pos = ivf_scan_search(q_dev, store, "raw", probes, offsets, k + 1, is_l2)
             ids[s:e] = np.where(pos >= 0, row_ids[np.clip(pos, 0, nb - 1)], -1)
-    # drop self edges
-    out = np.empty((nb, k), dtype=np.int32)
-    for i_chunk in range(0, nb, 65536):
-        e = min(i_chunk + 65536, nb)
-        block = ids[i_chunk:e]
-        self_col = np.arange(i_chunk, e)[:, None]
-        keep = block != self_col
-        for r in range(block.shape[0]):
-            sel = block[r][keep[r]][:k]
-            row = np.full(k, -1, np.int32)
-            row[: len(sel)] = sel
-            out[i_chunk + r] = row
-    return out
+    # drop self edges (vectorized: stable-sort self-hits to the end, cut to k)
+    ids = np.asarray(ids, dtype=np.int64)
+    is_self = ids == np.arange(nb, dtype=np.int64)[:, None]
+    order = np.argsort(is_self, axis=1, kind="stable")
+    cleaned = np.take_along_axis(ids, order, axis=1)
+    cleaned = np.where(np.take_along_axis(is_self, order, axis=1), -1, cleaned)
+    return cleaned[:, :k].astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("deg", "is_l2", "alpha"))
@@ -174,30 +168,37 @@ def build_graph(
 
     if add_reverse:
         # backfill spare slots with reverse edges (connectivity, like HNSW's
-        # bidirectional links / Vamana's reverse pass)
+        # bidirectional links / Vamana's reverse pass) — fully vectorized:
+        # group (src->dst) pairs by dst, rank within group, keep rank < free.
+        # Occasional duplicate neighbors are tolerated (the search kernel's
+        # visited hash dedupes); they only waste a slot.
         slots_used = (graph >= 0).sum(axis=1)
         src = np.repeat(np.arange(nb, dtype=np.int32), deg)
         dst = graph.reshape(-1)
-        ok = dst >= 0
+        ok = (dst >= 0) & (src != dst)
         src, dst = src[ok], dst[ok]
-        order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
-        uniq, starts = np.unique(dst, return_index=True)
-        ends = np.append(starts[1:], dst.size)
-        for node, s0, e0 in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
-            free = deg - slots_used[node]
-            if free <= 0:
-                continue
-            existing = set(graph[node][graph[node] >= 0].tolist())
-            added = 0
-            for cand in src[s0:e0]:
-                if added >= free:
-                    break
-                if int(cand) != node and int(cand) not in existing:
-                    graph[node, slots_used[node] + added] = cand
-                    existing.add(int(cand))
-                    added += 1
-            slots_used[node] += added
+        if dst.size:
+            # drop reverse edges that already exist as forward edges of dst
+            # (vectorized set-membership on hashed (node, nbr) keys)
+            fwd_node = np.repeat(np.arange(nb, dtype=np.int64), deg)
+            fwd_nbr = graph.reshape(-1).astype(np.int64)
+            fwd_keys = fwd_node[fwd_nbr >= 0] * nb + fwd_nbr[fwd_nbr >= 0]
+            rev_keys = dst.astype(np.int64) * nb + src.astype(np.int64)
+            fresh = ~np.isin(rev_keys, fwd_keys, kind="sort")
+            src, dst = src[fresh], dst[fresh]
+        if dst.size:
+            order = np.argsort(dst, kind="stable")
+            src, dst = src[order], dst[order]
+            change = np.empty(dst.size, bool)
+            change[0] = True
+            change[1:] = dst[1:] != dst[:-1]
+            grp_start = np.nonzero(change)[0]
+            grp_id = np.cumsum(change) - 1
+            rank = np.arange(dst.size) - grp_start[grp_id]
+            free = deg - slots_used
+            keep = rank < free[dst]
+            s2, d2, r2 = src[keep], dst[keep], rank[keep]
+            graph[d2, slots_used[d2] + r2] = s2
     return graph
 
 
@@ -221,7 +222,10 @@ def pick_entry_points(x: np.ndarray, n_entry: int = 32, seed: int = 7) -> np.nda
 
 @partial(
     jax.jit,
-    static_argnames=("kind", "ef", "k", "deg", "max_iters", "is_l2", "is_jaccard", "has_mask", "hash_bits"),
+    static_argnames=(
+        "kind", "ef", "k", "deg", "max_iters", "is_l2", "is_jaccard", "has_mask",
+        "hash_bits", "prec",
+    ),
 )
 def beam_search(
     q: jax.Array,  # (nq, d) f32
@@ -239,8 +243,12 @@ def beam_search(
     is_jaccard: bool = False,
     has_mask: bool = False,
     hash_bits: int = 12,
+    prec: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (nq,k) larger-is-better, ids (nq,k) int32, -1 pad)."""
+    from .distances import precision_from_name
+
+    mp = precision_from_name(prec)
     nq, d = q.shape
     E = entry.shape[0]
     H = 1 << hash_bits
@@ -280,12 +288,14 @@ def beam_search(
         C = ids.shape[1]
         vecs = decode(ids.reshape(-1)).reshape(nq, C, d)
         if is_jaccard:
-            inter = jnp.einsum("qd,qcd->qc", q, vecs, preferred_element_type=jnp.float32)
+            inter = jnp.einsum(
+                "qd,qcd->qc", q, vecs, preferred_element_type=jnp.float32, precision=mp
+            )
             q_pop = jnp.sum(q, axis=1, keepdims=True)
             b_pop = jnp.sum(vecs, axis=2)
             union = jnp.maximum(q_pop + b_pop - inter, 1e-9)
             return inter / union
-        dots = jnp.einsum("qd,qcd->qc", q, vecs, preferred_element_type=jnp.float32)
+        dots = jnp.einsum("qd,qcd->qc", q, vecs, preferred_element_type=jnp.float32, precision=mp)
         if is_l2:
             vn = jnp.sum(vecs**2, axis=2)
             return 2.0 * dots - vn  # dist = |q|^2 - score

@@ -57,63 +57,93 @@ class TaskBatch:
 def build_scan_tasks(
     probes: np.ndarray, list_offsets: np.ndarray, B: int, Qg: int
 ) -> Optional[TaskBatch]:
-    """Invert (query -> probed lists) into (list-block -> query-group) tasks.
+    """Invert (query -> probed lists) into (list-block x query-group) tasks.
 
-    `probes` is (nq, nprobe) int32 (entries may be -1 = padding).
+    `probes` is (nq, nprobe) int32 (entries may be -1 = padding). Fully
+    vectorized — O(nq*nprobe) numpy with no Python per-list loops, so the
+    host scheduler stays off the critical path even at nq=10k x nprobe=256.
     """
     nq, _ = probes.shape
-    flat_l = probes.reshape(-1)
+    list_offsets = np.asarray(list_offsets, dtype=np.int64)
+    flat_l = probes.reshape(-1).astype(np.int64)
     flat_q = np.repeat(np.arange(nq, dtype=np.int32), probes.shape[1])
+    lens_all = np.diff(list_offsets)
     valid = flat_l >= 0
+    valid &= np.where(valid, lens_all[np.clip(flat_l, 0, None)] > 0, False)
     flat_l, flat_q = flat_l[valid], flat_q[valid]
     if flat_l.size == 0:
         return None
+
     order = np.argsort(flat_l, kind="stable")
     sl, sq = flat_l[order], flat_q[order]
-    uniq, starts = np.unique(sl, return_index=True)
-    ends = np.append(starts[1:], sl.size)
+    P = sl.size
 
-    row_start: List[np.ndarray] = []
-    nrows: List[np.ndarray] = []
-    list_ids: List[np.ndarray] = []
-    qids: List[np.ndarray] = []
-    slots: List[np.ndarray] = []
-    slot_counter = np.zeros(nq, dtype=np.int32)
+    # per-pair list geometry
+    pair_len = lens_all[sl]
+    pair_blocks = ((pair_len + B - 1) // B).astype(np.int32)
 
-    for li, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
-        lo, hi = int(list_offsets[li]), int(list_offsets[li + 1])
-        length = hi - lo
-        if length == 0:
-            continue
-        n_blocks = (length + B - 1) // B
-        queries = sq[s:e]
-        for g0 in range(0, len(queries), Qg):
-            grp = queries[g0 : g0 + Qg]
-            pad = Qg - len(grp)
-            grp_slots_base = slot_counter[grp].copy()
-            slot_counter[grp] += n_blocks
-            for b in range(n_blocks):
-                bs = lo + b * B
-                row_start.append(bs)
-                nrows.append(min(B, hi - bs))
-                list_ids.append(li)
-                q_arr = np.full(Qg, -1, np.int32)
-                q_arr[: len(grp)] = grp
-                qids.append(q_arr)
-                s_arr = np.full(Qg, 0, np.int32)
-                s_arr[: len(grp)] = grp_slots_base + b
-                slots.append(s_arr)
-            del pad
+    # rank of each pair within its list group -> (group g, column)
+    lchange = np.empty(P, bool)
+    lchange[0] = True
+    lchange[1:] = sl[1:] != sl[:-1]
+    lstart = np.nonzero(lchange)[0]
+    lgrp = np.cumsum(lchange) - 1
+    rank = np.arange(P) - lstart[lgrp]
+    g = rank // Qg
+    col = (rank % Qg).astype(np.int64)
 
-    if not row_start:
-        return None
+    # pair-group id: contiguous runs of (list, g)
+    gchange = lchange | np.concatenate([[True], g[1:] != g[:-1]])
+    pg = np.cumsum(gchange) - 1  # (P,) pair-group index
+    G = int(pg[-1]) + 1
+    pg_start = np.nonzero(gchange)[0]
+    group_list = sl[pg_start]
+    group_blocks = pair_blocks[pg_start].astype(np.int64)
+
+    # per-query slot base: exclusive cumsum of pair_blocks in query order
+    qorder = np.argsort(sq, kind="stable")
+    blocks_q = pair_blocks[qorder].astype(np.int64)
+    csum = np.cumsum(blocks_q)
+    excl = csum - blocks_q
+    sq_sorted = sq[qorder]
+    qchange = np.empty(P, bool)
+    qchange[0] = True
+    qchange[1:] = sq_sorted[1:] != sq_sorted[:-1]
+    qgrp_start = np.nonzero(qchange)[0]
+    qgrp = np.cumsum(qchange) - 1
+    excl -= excl[qgrp_start][qgrp]
+    slot_base = np.empty(P, np.int64)
+    slot_base[qorder] = excl
+    totals = np.bincount(sq, weights=pair_blocks.astype(np.float64), minlength=nq)
+    n_slots = int(totals.max())
+
+    # scatter pairs into (G, Qg) member matrices
+    qids_g = np.full((G, Qg), -1, np.int32)
+    slots_g = np.zeros((G, Qg), np.int32)
+    qids_g[pg, col] = sq
+    slots_g[pg, col] = slot_base.astype(np.int32)
+
+    # expand pair-groups into per-block tasks
+    T = int(group_blocks.sum())
+    task_group = np.repeat(np.arange(G, dtype=np.int64), group_blocks)
+    gb_excl = np.cumsum(group_blocks) - group_blocks
+    task_b = (np.arange(T, dtype=np.int64) - gb_excl[task_group]).astype(np.int64)
+    task_list = group_list[task_group]
+    lo = list_offsets[task_list]
+    hi = list_offsets[task_list + 1]
+    row_start = (lo + task_b * B).astype(np.int32)
+    nrows = np.minimum(B, hi - row_start).astype(np.int32)
+
+    task_qids = qids_g[task_group]
+    task_slots = slots_g[task_group] + task_b[:, None].astype(np.int32)
+
     return TaskBatch(
-        row_start=np.asarray(row_start, np.int32),
-        nrows=np.asarray(nrows, np.int32),
-        list_id=np.asarray(list_ids, np.int32),
-        qids=np.stack(qids).astype(np.int32),
-        slots=np.stack(slots).astype(np.int32),
-        n_slots=int(slot_counter.max()),
+        row_start=row_start,
+        nrows=nrows,
+        list_id=task_list.astype(np.int32),
+        qids=task_qids,
+        slots=task_slots,
+        n_slots=n_slots,
         B=B,
         Qg=Qg,
     )
@@ -134,7 +164,8 @@ def _pad_pow2(n: int, minimum: int = 16) -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "kind", "B", "Qg", "kk", "is_l2", "has_mask", "sq_levels", "sq_packed4", "is_jaccard",
+        "kind", "B", "Qg", "kk", "is_l2", "has_mask", "sq_levels", "sq_packed4",
+        "is_jaccard", "prec",
     ),
 )
 def _scan_chunk(
@@ -155,8 +186,12 @@ def _scan_chunk(
     sq_levels: int = 0,
     sq_packed4: bool = False,
     is_jaccard: bool = False,
+    prec: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (Tc,Qg,kk) larger-is-better, positions (Tc,Qg,kk))."""
+    from .distances import precision_from_name
+
+    mp = precision_from_name(prec)
     d = q.shape[1]
 
     def one_task(start, n, lid, qidx):
@@ -170,14 +205,14 @@ def _scan_chunk(
             t = jax.lax.dynamic_slice(store["t"], (start,), (B,))
             c_rot = store["centroids_rot"][lid]
             qr = qs - c_rot[None, :]  # rotated query residual (Qg, d)
-            dots = jnp.dot(qr, signs.T, preferred_element_type=jnp.float32)
+            dots = jnp.dot(qr, signs.T, preferred_element_type=jnp.float32, precision=mp)
             denom = jnp.maximum(t, 1e-6)[None, :] * np.sqrt(d)
             ip_est = r_norm[None, :] * dots / denom
             if is_l2:
                 q_res_sq = jnp.sum(qr**2, axis=1, keepdims=True)
                 score = -(q_res_sq + (r_norm**2)[None, :] - 2.0 * ip_est)
             else:  # IP: <q,x> = <q,c> + <q,r>_est ; q here is rotated full query
-                qc = jnp.dot(qs, c_rot, preferred_element_type=jnp.float32)[:, None]
+                qc = jnp.dot(qs, c_rot, preferred_element_type=jnp.float32, precision=mp)[:, None]
                 score = qc + ip_est
         else:
             if kind == "raw":
@@ -210,7 +245,7 @@ def _scan_chunk(
             else:
                 raise ValueError(kind)
 
-            dots = jnp.dot(qs, rows.T, preferred_element_type=jnp.float32)
+            dots = jnp.dot(qs, rows.T, preferred_element_type=jnp.float32, precision=mp)
             if is_jaccard:
                 # rows are {0,1} bit planes: inter=dots, |b|=norms (0/1 => sq==pop)
                 q_pop = jnp.sum(qs, axis=1, keepdims=True)
@@ -267,7 +302,9 @@ def _merge_tasks(
 @partial(jax.jit, static_argnames=("nprobe", "is_l2"))
 def coarse_probe(q: jax.Array, centroids: jax.Array, *, nprobe: int, is_l2: bool) -> jax.Array:
     """Top-nprobe nearest lists per query: (nq, nprobe) int32."""
-    dots = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    dots = jnp.dot(
+        q, centroids.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
+    )
     if is_l2:
         score = 2.0 * dots - jnp.sum(centroids**2, axis=1)[None, :]
     else:
@@ -291,7 +328,12 @@ def ivf_scan_search(
     sq_levels: int = 0,
     sq_packed4: bool = False,
     is_jaccard: bool = False,
+    prec: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    from .distances import matmul_precision_name
+
+    if prec is None:
+        prec = matmul_precision_name()
     """Returns (scores (nq,k) larger-is-better np.f32, positions (nq,k) np.i32
     into the SORTED storage; -1 padded). Caller maps positions -> row ids and
     applies per-query distance constants."""
@@ -335,6 +377,7 @@ def ivf_scan_search(
             sq_levels=sq_levels,
             sq_packed4=sq_packed4,
             is_jaccard=is_jaccard,
+            prec=prec,
         )
         score_chunks.append(scores)
         pos_chunks.append(pos)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .distances import matmul_precision_name as _prec_name
+
 
 @dataclass
 class RefineStore:
@@ -30,7 +32,7 @@ class RefineStore:
     vdiff: Optional[jax.Array] = None
 
 
-@partial(jax.jit, static_argnames=("k", "is_l2", "kind", "sq_levels"))
+@partial(jax.jit, static_argnames=("k", "is_l2", "kind", "sq_levels", "prec"))
 def _refine_kernel(
     q: jax.Array,  # (nq, d)
     data: jax.Array,
@@ -42,13 +44,17 @@ def _refine_kernel(
     is_l2: bool,
     kind: str,
     sq_levels: int,
+    prec: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
+    from .distances import precision_from_name
+
+    mp = precision_from_name(prec)
     vecs = jnp.take(data, jnp.clip(cand, 0), axis=0)  # (nq, R, d')
     if kind == "sq8":
         vecs = vmin[None, None, :] + (vecs.astype(jnp.float32) + 0.5) / sq_levels * vdiff[None, None, :]
     else:
         vecs = vecs.astype(jnp.float32)
-    dots = jnp.einsum("qd,qrd->qr", q, vecs, preferred_element_type=jnp.float32)
+    dots = jnp.einsum("qd,qrd->qr", q, vecs, preferred_element_type=jnp.float32, precision=mp)
     if is_l2:
         dist = jnp.sum(q**2, axis=1, keepdims=True) - 2.0 * dots + jnp.sum(vecs**2, axis=2)
         score = -dist
@@ -80,5 +86,6 @@ def refine_topk(
         is_l2=is_l2,
         kind=store.kind,
         sq_levels=256,
+        prec=_prec_name(),
     )
     return np.asarray(dists), np.asarray(ids)
