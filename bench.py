@@ -42,14 +42,21 @@ RECALL_TARGET = 0.95
 GT_NQ = 1000
 
 
-def gen_corpus(nb, nq, dim, n_clusters=500, seed=0):
-    """Gaussian mixture with overlapping clusters; queries are fresh draws."""
+def gen_corpus(nb, nq, dim, n_clusters=500, intrinsic_dim=32, seed=0):
+    """SIFT-like corpus: gaussian mixture with LOW INTRINSIC DIMENSIONALITY
+    (SIFT's is ~16-30; full-rank iid gaussian is a known pathological case
+    for quantizers due to distance concentration). Queries are fresh draws
+    from the same mixture, never perturbed base rows."""
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 2.0
-    a_b = rng.integers(0, n_clusters, size=nb)
-    xb = centers[a_b] + rng.standard_normal((nb, dim)).astype(np.float32)
-    a_q = rng.integers(0, n_clusters, size=nq)
-    xq = centers[a_q] + rng.standard_normal((nq, dim)).astype(np.float32)
+    W = rng.standard_normal((intrinsic_dim, dim)).astype(np.float32)
+    W *= np.sqrt(dim / intrinsic_dim) / np.sqrt(intrinsic_dim)
+
+    def noise(n):
+        return rng.standard_normal((n, intrinsic_dim)).astype(np.float32) @ W
+
+    xb = centers[rng.integers(0, n_clusters, size=nb)] + noise(nb)
+    xq = centers[rng.integers(0, n_clusters, size=nq)] + noise(nq)
     return xb, xq
 
 
@@ -82,7 +89,7 @@ def main():
     def search(nprobe, queries):
         return idx.Search(
             queries,
-            {"metric_type": "L2", "k": K, "nprobe": nprobe, "refine_k": 4},
+            {"metric_type": "L2", "k": K, "nprobe": nprobe, "refine_k": 8},
         )
 
     def recall_for(nprobe):

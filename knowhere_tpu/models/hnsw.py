@@ -553,20 +553,37 @@ class HnswIndexNode(IndexNode):
     def GetIndexMeta(self, cfg: Config) -> "expected[DataSet]":
         import json as _json
 
+        from ..feder import hnsw_overview
+
         if self._graph is None:
             return expected.Err(Status.empty_index, "index not built")
-        deg_hist = (self._graph >= 0).sum(axis=1)
-        meta = {
-            "index_type": self.Type(),
-            "metric_type": self._metric,
-            "M": self._M,
-            "dim": self._dim,
-            "count": self.Count(),
-            "avg_degree": float(deg_hist.mean()),
-            "entry_points": self._entry.tolist(),
-        }
+        overview = hnsw_overview(
+            self._graph, self._entry, int(cfg.get("overview_levels", 3) or 3)
+        )
+        overview.update(
+            {"metric_type": self._metric, "M": self._M, "dim": self._dim, "count": self.Count()}
+        )
         ds = DataSet()
-        ds.set("json_info", _json.dumps(meta))
+        ds.set("json_info", _json.dumps(overview))
+        return expected.Ok(ds)
+
+    def GetFederVisit(self, dataset: DataSet, cfg: Config) -> "expected[DataSet]":
+        """trace_visit search replay (reference feder trace_visit + FederResult)."""
+        import json as _json
+
+        from ..feder import instrumented_walk
+
+        if self._graph is None:
+            return expected.Err(Status.empty_index, "index not built")
+        xq = self._prep_rows(np.asarray(dataset.tensor))
+        ef = self._effective_ef(cfg, cfg.get("k", 10) or 10)
+        x_host = self._decode_all() if self.VARIANT != "flat" else self._payload["data"]
+        traces = [
+            instrumented_walk(x_host, self._graph, self._entry, q, ef, is_l2=self._is_l2_like())
+            for q in xq
+        ]
+        ds = DataSet()
+        ds.set("json_id_set", _json.dumps(traces))
         return expected.Ok(ds)
 
     # --- serialization -----------------------------------------------------------

@@ -323,7 +323,7 @@ def ivf_scan_search(
     is_l2: bool,
     keep_sorted: Optional[jax.Array] = None,
     B: int = 512,
-    Qg: int = 128,
+    Qg: Optional[int] = None,
     task_chunk: int = 1024,
     sq_levels: int = 0,
     sq_packed4: bool = False,
@@ -338,6 +338,16 @@ def ivf_scan_search(
     into the SORTED storage; -1 padded). Caller maps positions -> row ids and
     applies per-query distance constants."""
     nq = q_dev.shape[0]
+    if Qg is None:
+        # adaptive query-group width: pad waste is Qg / (avg queries probing a
+        # list); small batches / small nprobe want narrow groups (ladder of
+        # pow2 to bound recompiles)
+        valid_pairs = int((probes >= 0).sum())
+        touched = np.unique(probes[probes >= 0])
+        avg = valid_pairs / max(len(touched), 1)
+        Qg = 32
+        while Qg < min(avg, 128):
+            Qg *= 2
     batch = build_scan_tasks(probes, list_offsets, B, Qg)
     if batch is None:
         return (
