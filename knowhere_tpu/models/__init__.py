@@ -12,4 +12,5 @@ from . import (  # noqa: F401
     ivf,
     minhash,
     sparse,
+    svs,
 )

@@ -489,3 +489,35 @@ register_index(
     ("fp32", "fp16", "bf16", "int8"),
     feature.ALL_DENSE_FLOAT_TYPE | feature.INT8 | feature.KNN | feature.DISK | feature.LAZY_LOAD,
 )(DiskANNIndexNode)
+
+
+class AisaqIndexNode(DiskANNIndexNode):
+    """AISAQ variant (reference src/index/diskann/diskann_aisaq.cc): DiskANN
+    with inline PQ codes stored alongside graph nodes on SSD. On this
+    architecture PQ codes already live in HBM (the "inline" trade-off of the
+    reference exists to cut RAM; HBM residency supersedes it), so AISAQ
+    registers the same engine and accepts its extra knobs."""
+
+    def __init__(self, version: int, object=None):  # noqa: A002
+        super().__init__(version, object)
+        self.index_type = IndexEnum.INDEX_AISAQ
+
+
+class AisaqConfig(DiskANNConfig):
+    from ..config import Entry as _Entry, Stage as _Stage
+
+    rearrange = _Entry(bool, default=False, stages=[_Stage.TRAIN])
+    num_entry_points = _Entry(int, default=1, range=(1, 64), stages=[_Stage.TRAIN])
+    inline_pq = _Entry(bool, default=True, stages=[_Stage.TRAIN])
+    pq_cache_size = _Entry(float, default=0.0, range=(0.0, None), stages=[_Stage.DESERIALIZE])
+    pq_read_page_cache_size = _Entry(float, default=0.0, range=(0.0, None), stages=[_Stage.DESERIALIZE])
+    vectors_beamwidth = _Entry(int, default=4, range=(1, 64), stages=[_Stage.SEARCH])
+
+
+AisaqIndexNode.CreateConfig = staticmethod(lambda: AisaqConfig())
+
+register_index(
+    IndexEnum.INDEX_AISAQ,
+    ("fp32", "fp16", "bf16", "int8"),
+    feature.ALL_DENSE_FLOAT_TYPE | feature.INT8 | feature.KNN | feature.DISK | feature.LAZY_LOAD,
+)(AisaqIndexNode)

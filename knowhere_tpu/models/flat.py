@@ -99,6 +99,8 @@ class FlatIndexNode(IndexNode):
 
     # --- queries -----------------------------------------------------------
     def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        import os
+
         metric = normalize_metric(cfg.metric_type)
         self._check_metric(metric)
         dev, aux = self._ensure_device()
@@ -106,6 +108,18 @@ class FlatIndexNode(IndexNode):
             aux = D.base_aux(metric, dev)
         xq = self._prep_queries(dataset)
         mask = bitset.device_mask(self.Count()) if not bitset.empty_view() else None
+        # optional hand-written fused kernel (no HBM score materialization);
+        # unfiltered L2/IP only — the XLA path remains the default/oracle
+        if (
+            os.environ.get("KNOWHERE_USE_PALLAS") == "1"
+            and mask is None
+            and metric in ("L2", "IP")
+            and not self._is_binary()
+        ):
+            from ..ops.pallas_topk import pallas_knn
+
+            dists, ids = pallas_knn(xq, dev, cfg.k, metric, norms=aux if metric == "L2" else None)
+            return expected.Ok(GenResultDataSet(dataset.rows, cfg.k, ids, dists))
         ids, dists = T.knn_search(xq, dev, cfg.k, metric, bitset_mask=mask, aux=aux)
         return expected.Ok(GenResultDataSet(dataset.rows, cfg.k, ids, dists))
 

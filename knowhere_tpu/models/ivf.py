@@ -380,7 +380,7 @@ class IvfIndexNode(IndexNode):
     def _upload(self) -> None:
         """Host payloads -> device store (pads B rows of slack at the end so
         block dynamic-slices never clamp into garbage)."""
-        B_slack = 512
+        B_slack = 2048  # must cover the max adaptive block size
         cents = jax.device_put(self._centroids)
 
         def pad(a: np.ndarray, fill=0) -> jax.Array:
@@ -602,7 +602,7 @@ class IvfIndexNode(IndexNode):
             return None
         keep = bitset.host_mask(self.Count())
         keep_sorted = keep[self._row_ids]
-        B_slack = 512
+        B_slack = 2048
         keep_sorted = np.concatenate([keep_sorted, np.zeros(B_slack, bool)])
         return jax.device_put(keep_sorted)
 

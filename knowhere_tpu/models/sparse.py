@@ -450,9 +450,15 @@ class SparseInvertedIndexNode(IndexNode):
                 idx_l.extend(k_ for k_, _ in items)
                 val_l.extend(v for _, v in items)
                 indptr[i + 1] = len(idx_l)
+            from .. import native as _native
+
+            indices_arr = np.asarray(idx_l, np.int32)
+            # compressed posting indices (reference posting codecs,
+            # src/index/sparse/codec/): per-row delta + varint
+            codec_blob = _native.encode_csr_indices(indices_arr, indptr)
             arrays = {
                 "indptr": indptr,
-                "indices": np.asarray(idx_l, np.int32),
+                "indices_codec": np.frombuffer(codec_blob, dtype=np.uint8),
                 "values": np.asarray(val_l, np.float32),
             }
             meta = {
@@ -461,6 +467,7 @@ class SparseInvertedIndexNode(IndexNode):
                 "rows": len(self._rows),
                 "drop_ratio_build": self._drop_ratio_build,
                 "index_type": self.Type(),
+                "indices_codec": "delta_varint",
             }
             binset.Append(self.Type(), write_sections(arrays, meta=meta))
             return Status.success
@@ -474,8 +481,15 @@ class SparseInvertedIndexNode(IndexNode):
             self._metric = meta["metric"]
             self._dim = int(meta["dim"])
             self._drop_ratio_build = float(meta.get("drop_ratio_build", 0.0))
+            from .. import native as _native
+
             indptr = np.asarray(arrays["indptr"])
-            indices = np.asarray(arrays["indices"])
+            if "indices_codec" in arrays:
+                indices = _native.decode_csr_indices(
+                    np.asarray(arrays["indices_codec"]).tobytes(), indptr
+                )
+            else:
+                indices = np.asarray(arrays["indices"])
             values = np.asarray(arrays["values"])
             self._rows = [
                 {int(d): float(v) for d, v in zip(indices[indptr[i] : indptr[i + 1]], values[indptr[i] : indptr[i + 1]])}

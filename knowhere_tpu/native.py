@@ -79,6 +79,80 @@ def _u8p(a: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# raw varint (no delta) — building block for custom delta schemes
+# ---------------------------------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    vals = np.ascontiguousarray(values, dtype=np.uint32)
+    lib = _build_and_load()
+    if lib is not None:
+        out = np.empty(len(vals) * 5 + 8, dtype=np.uint8)
+        n = lib.kn_varint_encode(_u32p(vals), len(vals), _u8p(out))
+        return out[:n].tobytes()
+    out = bytearray()
+    for v in vals.tolist():
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def varint_decode(blob: bytes, n: int) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    lib = _build_and_load()
+    if lib is not None:
+        out = np.empty(n, dtype=np.uint32)
+        consumed = lib.kn_varint_decode(_u8p(np.ascontiguousarray(buf)), len(buf), _u32p(out), n)
+        if consumed < 0:
+            raise ValueError("truncated varint blob")
+        return out
+    out = np.empty(n, dtype=np.uint32)
+    pos = 0
+    for i in range(n):
+        shift, v = 0, 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            v |= (int(b) & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        out[i] = v
+    return out
+
+
+def encode_csr_indices(indices: np.ndarray, indptr: np.ndarray) -> bytes:
+    """Compress row-major CSR column indices: per-row ascending deltas,
+    vectorized, one varint stream (the posting-codec parity path —
+    reference src/index/sparse/codec/)."""
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    if idx.size == 0:
+        return b""
+    deltas = idx.copy()
+    deltas[1:] -= idx[:-1]
+    starts = np.asarray(indptr[1:-1], dtype=np.int64)
+    starts = starts[starts < idx.size]
+    deltas[starts] = idx[starts]  # reset delta chain at each row start
+    return varint_encode(deltas.astype(np.uint32))
+
+
+def decode_csr_indices(blob: bytes, indptr: np.ndarray) -> np.ndarray:
+    nnz = int(indptr[-1])
+    if nnz == 0:
+        return np.empty(0, np.int32)
+    deltas = varint_decode(blob, nnz).astype(np.int64)
+    c = np.cumsum(deltas)
+    row_start = np.asarray(indptr[:-1], dtype=np.int64)
+    lens = np.diff(indptr).astype(np.int64)
+    nonempty = lens > 0
+    base = np.zeros(len(row_start), np.int64)
+    base[nonempty] = c[row_start[nonempty]] - deltas[row_start[nonempty]]
+    return (c - np.repeat(base, lens)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
 # posting-list codec: delta + varint (native) with numpy fallback
 # ---------------------------------------------------------------------------
 

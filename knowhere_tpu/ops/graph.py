@@ -64,12 +64,12 @@ def _approx_knn_graph(x: np.ndarray, k: int, metric: str) -> np.ndarray:
         offsets = np.zeros(nlist + 1, np.int64)
         np.cumsum(np.bincount(assign, minlength=nlist), out=offsets[1:])
         x_sorted = x[order]
-        pad = np.zeros((512, d), np.float32)
+        pad = np.zeros((2048, d), np.float32)
         store = {
             "data": jax.device_put(np.concatenate([x_sorted, pad])),
             "norms": jax.device_put(
                 np.concatenate(
-                    [np.sum(x_sorted.astype(np.float64) ** 2, 1).astype(np.float32), np.zeros(512, np.float32)]
+                    [np.sum(x_sorted.astype(np.float64) ** 2, 1).astype(np.float32), np.zeros(2048, np.float32)]
                 )
             ),
             "centroids": jax.device_put(centroids),

@@ -322,9 +322,9 @@ def ivf_scan_search(
     k: int,
     is_l2: bool,
     keep_sorted: Optional[jax.Array] = None,
-    B: int = 512,
+    B: Optional[int] = None,
     Qg: Optional[int] = None,
-    task_chunk: int = 1024,
+    task_chunk: int = 4096,
     sq_levels: int = 0,
     sq_packed4: bool = False,
     is_jaccard: bool = False,
@@ -338,6 +338,12 @@ def ivf_scan_search(
     into the SORTED storage; -1 padded). Caller maps positions -> row ids and
     applies per-query distance constants."""
     nq = q_dev.shape[0]
+    if B is None:
+        # block size: 512 measures fastest on v5e (1024 halves task count but
+        # per-task top-k and PQ-decode gathers grow superlinearly and lose
+        # more); shrink only for small-list layouts
+        avg_len = float(np.diff(list_offsets).mean() or 1.0)
+        B = 256 if avg_len <= 256 else 512
     if Qg is None:
         # adaptive query-group width: pad waste is Qg / (avg queries probing a
         # list); small batches / small nprobe want narrow groups (ladder of

@@ -222,3 +222,118 @@ class ShardedFlatIndex:
             aux=self._aux, mask=mask, valid_rows=self._rows,
         )
         return np.asarray(dists), np.asarray(ids, dtype=np.int64)
+
+
+class ShardedIVFIndex:
+    """A logical IVF index whose inverted lists are sharded across devices.
+
+    The Milvus-host pattern (one Knowhere index per segment, CPU-side top-k
+    merge — SURVEY §5.8) becomes one logical index: centroids are replicated,
+    lists are round-robin-packed onto devices by size (balanced rows/device),
+    a search computes probes once and dispatches each device's local scan
+    asynchronously (jax dispatch is non-blocking, so the N scans overlap),
+    and per-device top-k results merge on the host. Works identically on a
+    CPU mesh and a real multi-chip ICI topology; on one device it degrades to
+    the single-chip engine.
+    """
+
+    def __init__(self, devices=None, metric: str = "L2"):
+        import jax as _jax
+
+        self.devices = list(devices) if devices is not None else _jax.devices()
+        self.metric = metric.upper()
+        self._centroids = None
+        self._shards = []  # per device: dict(store=..., offsets, row_ids, list_map)
+        self._nlist = 0
+        self._rows = 0
+
+    def build(self, xb: np.ndarray, nlist: int = 1024, n_iters: int = 12) -> None:
+        from ..ops.kmeans import assign_rows, kmeans
+
+        xb = np.asarray(xb, dtype=np.float32)
+        self._rows, d = xb.shape
+        self._nlist = min(nlist, max(1, self._rows // 39))
+        centroids, assign = kmeans(xb, self._nlist, n_iters=n_iters)
+        self._centroids = centroids
+
+        # balance lists over devices: biggest-list-first onto lightest device
+        counts = np.bincount(assign, minlength=self._nlist)
+        order = np.argsort(-counts)
+        loads = np.zeros(len(self.devices), dtype=np.int64)
+        owner = np.zeros(self._nlist, dtype=np.int32)
+        for li in order:
+            dev = int(np.argmin(loads))
+            owner[li] = dev
+            loads[dev] += counts[li]
+
+        self._shards = []
+        for di, dev in enumerate(self.devices):
+            local_lists = np.nonzero(owner == di)[0]
+            sel = np.isin(assign, local_lists)
+            rows_idx = np.nonzero(sel)[0]
+            a_local = assign[rows_idx]
+            # remap global list ids -> local contiguous ids
+            lmap = {int(g): i for i, g in enumerate(local_lists)}
+            a_remap = np.fromiter((lmap[int(a)] for a in a_local), dtype=np.int64, count=len(a_local))
+            ordr = np.argsort(a_remap, kind="stable")
+            rows_sorted = rows_idx[ordr]
+            x_sorted = xb[rows_sorted]
+            offsets = np.zeros(len(local_lists) + 1, np.int64)
+            np.cumsum(np.bincount(a_remap, minlength=len(local_lists)), out=offsets[1:])
+            pad = np.zeros((2048, d), np.float32)
+            store = {
+                "data": jax.device_put(np.concatenate([x_sorted, pad]), dev),
+                "norms": jax.device_put(
+                    np.concatenate(
+                        [np.sum(x_sorted.astype(np.float64) ** 2, 1).astype(np.float32), np.zeros(2048, np.float32)]
+                    ),
+                    dev,
+                ),
+                "centroids": jax.device_put(self._centroids, dev),
+            }
+            self._shards.append(
+                {
+                    "device": dev,
+                    "store": store,
+                    "offsets": offsets,
+                    "row_ids": rows_sorted.astype(np.int64),
+                    "global_to_local": np.full(self._nlist, -1, np.int32),
+                }
+            )
+            self._shards[-1]["global_to_local"][local_lists] = np.arange(len(local_lists), dtype=np.int32)
+
+    def search(self, xq: np.ndarray, k: int, nprobe: int = 8):
+        from ..ops.ivf_scan import coarse_probe, ivf_scan_search
+
+        xq = np.asarray(xq, dtype=np.float32)
+        nq = xq.shape[0]
+        is_l2 = self.metric == "L2"
+        q0 = jax.device_put(xq, self._shards[0]["device"])
+        probes = np.asarray(
+            coarse_probe(q0, self._shards[0]["store"]["centroids"], nprobe=min(nprobe, self._nlist), is_l2=is_l2)
+        )
+        partials = []
+        for sh in self._shards:
+            local = sh["global_to_local"][probes]  # -1 where not owned here
+            if (local < 0).all():
+                continue
+            q_dev = jax.device_put(xq, sh["device"])
+            s, p = ivf_scan_search(
+                q_dev, sh["store"], "raw", local, sh["offsets"],
+                min(k, max(len(sh["row_ids"]), 1)), is_l2,
+            )
+            ids = np.where(p >= 0, sh["row_ids"][np.clip(p, 0, max(len(sh["row_ids"]) - 1, 0))], -1)
+            partials.append((s, ids))
+        # host merge of per-shard top-k
+        cat_s = np.concatenate([s for s, _ in partials], axis=1)
+        cat_i = np.concatenate([i for _, i in partials], axis=1)
+        order = np.argsort(-cat_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(cat_s, order, 1)
+        best_i = np.take_along_axis(cat_i, order, 1)
+        if is_l2:
+            qsq = np.sum(xq.astype(np.float64) ** 2, 1).astype(np.float32)
+            dists = qsq[:, None] - best_s
+            dists = np.where(best_i >= 0, dists, np.inf)
+        else:
+            dists = np.where(best_i >= 0, best_s, -np.inf)
+        return dists, best_i

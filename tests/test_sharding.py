@@ -102,3 +102,32 @@ class TestShardedKmeans:
         # every true center should have a learned centroid nearby
         d = ((centers[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         assert (d.min(1) < DIM * 0.5).all()
+
+
+class TestShardedIVF:
+    def test_matches_exact_at_full_probe(self, mesh):
+        from knowhere_tpu.parallel.sharding import ShardedIVFIndex
+
+        rng = np.random.default_rng(77)
+        xb = rng.standard_normal((2000, 32)).astype(np.float32)
+        xq = rng.standard_normal((8, 32)).astype(np.float32)
+        idx = ShardedIVFIndex(devices=jax.devices()[:4], metric="L2")
+        idx.build(xb, nlist=32)
+        dists, ids = idx.search(xq, k=5, nprobe=32)
+        d = ((xq[:, None, :].astype(np.float64) - xb[None]) ** 2).sum(-1)
+        gt = np.argsort(d, 1, kind="stable")[:, :5]
+        from .utils import knn_recall
+
+        assert knn_recall(gt, ids, 8, 5) >= 0.99
+
+    def test_partial_probe_recall(self, mesh):
+        from knowhere_tpu.parallel.sharding import ShardedIVFIndex
+        from .utils import knn_recall
+
+        rng = np.random.default_rng(78)
+        xb = rng.standard_normal((2000, 32)).astype(np.float32)
+        xq = xb[:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32)
+        idx = ShardedIVFIndex(devices=jax.devices()[:4], metric="L2")
+        idx.build(xb, nlist=32)
+        _, ids = idx.search(xq, k=5, nprobe=8)
+        assert (ids[:, 0] == np.arange(8)).mean() >= 0.9
