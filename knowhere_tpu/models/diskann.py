@@ -148,7 +148,9 @@ class DiskANNIndexNode(IndexNode):
         inter = min(max(deg * 2, min(efc, 128)), max(self._count - 1, 1))
         internal = M.IP if self._metric == M.COSINE else self._metric
         graph = build_graph(x, deg, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA)
-        entry = pick_entry_points(x, n_entry=min(32, self._count))
+        entry = pick_entry_points(
+            x, n_entry=int(min(max(64, self._count // 500), 1024, self._count))
+        )
 
         # PQ codes sized by pq_code_budget_gb (bytes/vector)
         budget_gb = cfg.get("pq_code_budget_gb")

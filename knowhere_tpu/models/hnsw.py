@@ -179,7 +179,11 @@ class HnswIndexNode(IndexNode):
         # intermediate candidate pool scales with efConstruction (quality knob)
         inter = min(max(deg, min(self._efc // 4, 128)), max(nb - 1, 1))
         self._graph = build_graph(x, deg, self._internal_metric(), intermediate_deg=inter)
-        self._entry = pick_entry_points(x, n_entry=min(32, nb))
+        # entry coverage scales with corpus size: the beam can only descend
+        # within the connected region around its entries, so multi-modal data
+        # needs one entry per mode (kmeans picks them at scale)
+        n_entry = int(min(max(64, nb // 500), 1024, nb))
+        self._entry = pick_entry_points(x, n_entry=n_entry)
         if not self._is_binary():
             self._raw_host = np.asarray(x_in)
         # payload per variant
@@ -325,9 +329,21 @@ class HnswIndexNode(IndexNode):
             xq = self._prep_rows(np.asarray(dataset.tensor))
             nq = xq.shape[0]
 
-            # dense-filter fallback to exact scan (reference conditional wrapper)
+            # dense-filter fallback to exact scan (reference conditional
+            # wrapper). Materialized-view hints (reference comp/
+            # materialized_view.h:21-45, consumed by the HNSW conditional
+            # wrapper): a pure-AND expression touching few field categories
+            # means the filter is clustered, where graph walks strand —
+            # fall back to exact scan earlier.
             ratio = bitset.filter_ratio() if not bitset.empty_view() else 0.0
-            if ratio >= BRUTE_FORCE_FALLBACK_RATIO and not cfg.get("disable_fallback_brute_force", False):
+            threshold = BRUTE_FORCE_FALLBACK_RATIO
+            mv = cfg.get("materialized_view_search_info")
+            if isinstance(mv, dict):
+                touched = mv.get("field_id_to_touched_categories_cnt", {})
+                few_categories = touched and max(touched.values()) <= 2
+                if mv.get("is_pure_and", False) and not mv.get("has_not", False) and few_categories:
+                    threshold = min(threshold, 0.5)
+            if ratio >= threshold and not cfg.get("disable_fallback_brute_force", False):
                 dists, ids = self._brute_force(xq, k, bitset)
                 return expected.Ok(GenResultDataSet(nq, k, ids, dists))
 
