@@ -52,6 +52,16 @@ from ..utils.logging import log_warning
 MIN_POINTS_PER_CENTROID = 39  # reference ivf.cc:478
 
 
+def _pad_q_rows(a: np.ndarray) -> np.ndarray:
+    """Pad query batches to a power-of-2 ladder so jit shapes are reused."""
+    n, p = a.shape[0], 16
+    while p < n:
+        p *= 2
+    if p == n:
+        return a
+    return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+
+
 def match_nlist(rows: int, nlist: int) -> int:
     """nlist auto-shrink (reference MatchNlist, ivf.cc:476-487)."""
     if nlist * MIN_POINTS_PER_CENTROID > rows:
@@ -474,15 +484,7 @@ class IvfIndexNode(IndexNode):
             else:
                 k_coarse = max(k, k * max(1, refine_k))
 
-        def _pad_q(a: np.ndarray) -> np.ndarray:
-            # pad query batches to a power-of-2 ladder so jit shapes are reused
-            n = a.shape[0]
-            p = 16
-            while p < n:
-                p *= 2
-            if p == n:
-                return a
-            return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+        _pad_q = _pad_q_rows
 
         # Precision strategy (SURVEY north-star: speed at recall>=target):
         # - EXACT: full-fp32 scan. - FAST: single 3-pass-bf16 scan (~fp32
@@ -512,17 +514,26 @@ class IvfIndexNode(IndexNode):
         if two_stage:
             k_scan = min(max(4 * k_coarse, 32), max(nb, 1))
 
-        def _run_scan(xq_sub: np.ndarray, probes_sub: np.ndarray):
-            n_sub = xq_sub.shape[0]
-            xq_pad = _pad_q(xq_sub)
-            if xq_pad.shape[0] != n_sub:
+        # Sync discipline: every device sync on this platform costs ~30ms flat
+        # (the axon tunnel degrades after the first d2h of the process), so a
+        # search chains ALL device work asynchronously and reads back exactly
+        # twice: probes for the host scheduler, then the packed final results.
+        from ..ops.ivf_scan import pack_results, unpack_results
+        from ..ops.refine import refine_topk_device
+
+        xq_pad = _pad_q(xq)
+        nq_pad = xq_pad.shape[0]
+        q_pad_dev = jax.device_put(xq_pad)
+        q_scan_dev = q_pad_dev
+        if self._kind == "rabitq":
+            q_scan_dev = jnp.dot(q_pad_dev, jax.device_put(self._rbq.rotation.T))
+
+        def _run_scan_device(probes_sub: np.ndarray):
+            """probes (nq,-) -> device (scores-or-dists, positions, mode)."""
+            if probes_sub.shape[0] != nq_pad:
                 probes_sub = np.concatenate(
-                    [probes_sub, np.full((xq_pad.shape[0] - n_sub, probes_sub.shape[1]), -1, np.int32)]
+                    [probes_sub, np.full((nq_pad - probes_sub.shape[0], probes_sub.shape[1]), -1, np.int32)]
                 )
-            q_pad_dev = jax.device_put(xq_pad)
-            q_scan_dev = q_pad_dev
-            if self._kind == "rabitq":
-                q_scan_dev = jnp.dot(q_pad_dev, jax.device_put(self._rbq.rotation.T))
             s, p = ivf_scan_search(
                 q_scan_dev,
                 self._store,
@@ -536,66 +547,116 @@ class IvfIndexNode(IndexNode):
                 sq_packed4=self._sq_packed4,
                 is_jaccard=internal == M.JACCARD,
                 prec=scan_prec,
+                return_device=True,
             )
             if two_stage:
                 # exact re-rank of the bf16 candidates straight off the
                 # sorted device storage (positions == row indices there)
                 store = RefineStore("raw", self._store["data"])
-                d_r, p_r = refine_topk(q_pad_dev, store, p, k_coarse, is_l2)
-                if is_l2:
-                    # refine returns true distances; convert back to the scan's
-                    # score convention (score = 2qb - |b|^2 = |q|^2 - dist)
-                    qsq_pad = np.sum(xq_pad.astype(np.float64) ** 2, axis=1).astype(np.float32)
-                    s = qsq_pad[:, None] - d_r
-                else:
-                    s = d_r
-                p = p_r
-            return s[:n_sub], p[:n_sub]
+                d_r, p = refine_topk_device(q_pad_dev, store, p, k_coarse, is_l2)
+                return d_r, p, "dist"
+            if self._refine_store is not None:
+                d_r, p = refine_topk_device(q_pad_dev, self._refine_store, p, k, is_l2)
+                return d_r, p, "dist"
+            return s, p, "score"
 
-        q_dev = jax.device_put(xq)
+        def _to_host(s_dev, p_dev):
+            packed = np.asarray(pack_results(s_dev, p_dev))  # the ONE sync
+            s, p = unpack_results(packed)
+            return s[:nq].copy(), p[:nq].copy()
+
+        def _native_dists(s: np.ndarray, p: np.ndarray, mode: str) -> np.ndarray:
+            if mode == "dist":
+                dists = s
+            elif self._kind == "rabitq":
+                dists = -s if is_l2 else s
+            elif is_l2:
+                qsq = np.sum(xq.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                dists = qsq[:, None] - s
+            elif internal == M.JACCARD:
+                dists = 1.0 - s
+            else:
+                dists = s
+            return np.where(p >= 0, dists, np.float32(np.inf if is_l2 else -np.inf))
+
         nprobe_cur = min(max(1, nprobe), self._nlist)
-        probes = np.asarray(coarse_probe(q_dev, self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2))
-        active = np.arange(nq)
-        best_s = np.full((nq, k_coarse), -np.inf, np.float32)
-        best_p = np.full((nq, k_coarse), -1, np.int32)
+        probes = np.asarray(
+            coarse_probe(q_pad_dev[:nq], self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2)
+        )
+        s_dev, p_dev, mode = _run_scan_device(probes)
+        best_s, best_p = _to_host(s_dev, p_dev)
 
-        while True:
-            s, p = _run_scan(xq[active], probes)
-            best_s[active], best_p[active] = s, p
-            if not ensure_topk_full or nprobe_cur >= self._nlist:
-                break
-            want = min(k_coarse, n_valid)
-            unfilled = (best_p >= 0).sum(axis=1) < want
-            if not unfilled.any():
-                break
-            active = np.nonzero(unfilled)[0]
-            nprobe_cur = min(self._nlist, nprobe_cur * 4)
-            probes = np.asarray(
-                coarse_probe(jax.device_put(xq[active]), self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2)
-            )
+        # ensure_topk_full: widen nprobe for unfilled queries only (rare path;
+        # its extra syncs only happen when the first pass under-filled)
+        if ensure_topk_full and nprobe_cur < self._nlist:
+            want = min(best_p.shape[1], n_valid)
+            while True:
+                unfilled = (best_p >= 0).sum(axis=1) < want
+                if not unfilled.any() or nprobe_cur >= self._nlist:
+                    break
+                active = np.nonzero(unfilled)[0]
+                nprobe_cur = min(self._nlist, nprobe_cur * 4)
+                probes_act = np.asarray(
+                    coarse_probe(
+                        jax.device_put(_pad_q(xq[active]))[: len(active)],
+                        self._store["centroids"],
+                        nprobe=nprobe_cur,
+                        is_l2=is_l2,
+                    )
+                )
+                s2, p2, _ = self._rescan_subset(
+                    xq[active], probes_act, k_scan, k, k_coarse, keep_sorted,
+                    is_l2, internal, scan_prec, two_stage,
+                )
+                best_s[active], best_p[active] = s2, p2
 
-        # convert scores -> native distances
-        if self._kind == "rabitq":
-            dists = -best_s if is_l2 else best_s
-        elif is_l2:
-            qsq = np.sum(xq.astype(np.float64) ** 2, axis=1).astype(np.float32)
-            dists = qsq[:, None] - best_s
-        elif internal == M.JACCARD:
-            dists = 1.0 - best_s
-        else:
-            dists = best_s
-        dists = np.where(best_p >= 0, dists, np.float32(np.inf if is_l2 else -np.inf))
-
-        # refine pass (exact re-score over the coarse candidates)
-        if self._refine_store is not None:
-            dists_r, pos_r = refine_topk(q_dev, self._refine_store, best_p, k, is_l2)
-            ids = np.where(pos_r >= 0, self._row_ids[np.clip(pos_r, 0, nb - 1)], -1)
-            return dists_r, ids
-
-        # cut to k
-        dists, best_p = dists[:, :k], best_p[:, :k]
+        dists = _native_dists(best_s, best_p, mode)
+        k_cut = min(k, dists.shape[1])
+        dists, best_p = dists[:, :k_cut], best_p[:, :k_cut]
+        if k_cut < k:  # tiny index: fewer candidates than k
+            padw = k - k_cut
+            fillv = np.float32(np.inf if is_l2 else -np.inf)
+            dists = np.pad(dists, ((0, 0), (0, padw)), constant_values=fillv)
+            best_p = np.pad(best_p, ((0, 0), (0, padw)), constant_values=-1)
         ids = np.where(best_p >= 0, self._row_ids[np.clip(best_p, 0, nb - 1)], -1)
         return dists, ids
+
+    def _rescan_subset(
+        self, xq_sub, probes_sub, k_scan, k, k_coarse, keep_sorted,
+        is_l2, internal, scan_prec, two_stage,
+    ):
+        """ensure_topk_full retry for a query subset (extra syncs OK here)."""
+        from ..ops.ivf_scan import pack_results, unpack_results
+        from ..ops.refine import refine_topk_device
+
+        n_sub = xq_sub.shape[0]
+        xq_pad = _pad_q_rows(xq_sub)
+        if probes_sub.shape[0] != xq_pad.shape[0]:
+            probes_sub = np.concatenate(
+                [probes_sub, np.full((xq_pad.shape[0] - probes_sub.shape[0], probes_sub.shape[1]), -1, np.int32)]
+            )
+        q_pad_dev = jax.device_put(xq_pad)
+        q_scan_dev = q_pad_dev
+        if self._kind == "rabitq":
+            q_scan_dev = jnp.dot(q_pad_dev, jax.device_put(self._rbq.rotation.T))
+        s, p = ivf_scan_search(
+            q_scan_dev, self._store, self._kind, probes_sub, self._offsets,
+            k_scan, is_l2, keep_sorted=keep_sorted, sq_levels=self._sq_levels,
+            sq_packed4=self._sq_packed4, is_jaccard=internal == M.JACCARD,
+            prec=scan_prec, return_device=True,
+        )
+        mode = "score"
+        if two_stage:
+            s, p = refine_topk_device(q_pad_dev, RefineStore("raw", self._store["data"]), p, k_coarse, is_l2)
+            mode = "dist"
+        elif self._refine_store is not None:
+            s, p = refine_topk_device(q_pad_dev, self._refine_store, p, k, is_l2)
+            mode = "dist"
+        packed = np.asarray(pack_results(s, p))
+        kk = packed.shape[1] // 2
+        s_h = np.ascontiguousarray(packed[:, :kk]).view(np.float32)
+        p_h = packed[:, kk:]
+        return s_h[:n_sub], p_h[:n_sub], mode
 
     def _keep_sorted_mask(self, bitset: BitsetView) -> Optional[jax.Array]:
         if bitset.empty_view():

@@ -294,6 +294,23 @@ def _merge_tasks(
     return best_s, best_p
 
 
+@jax.jit
+def pack_results(scores: jax.Array, pos: jax.Array) -> jax.Array:
+    """Bitcast-pack (nq,k) f32 scores + (nq,k) i32 positions into one
+    (nq, 2k) i32 array. Every device sync costs ~30ms flat on this platform,
+    so results cross to the host in ONE transfer."""
+    s_i = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    return jnp.concatenate([s_i, pos.astype(jnp.int32)], axis=1)
+
+
+def unpack_results(packed_host: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of pack_results."""
+    k = packed_host.shape[1] // 2
+    scores = np.ascontiguousarray(packed_host[:, :k]).view(np.float32)
+    pos = packed_host[:, k:]
+    return scores, pos
+
+
 # ---------------------------------------------------------------------------
 # Orchestrator
 # ---------------------------------------------------------------------------
@@ -329,6 +346,7 @@ def ivf_scan_search(
     sq_packed4: bool = False,
     is_jaccard: bool = False,
     prec: Optional[str] = None,
+    return_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     from .distances import matmul_precision_name
 
@@ -336,7 +354,12 @@ def ivf_scan_search(
         prec = matmul_precision_name()
     """Returns (scores (nq,k) larger-is-better np.f32, positions (nq,k) np.i32
     into the SORTED storage; -1 padded). Caller maps positions -> row ids and
-    applies per-query distance constants."""
+    applies per-query distance constants.
+
+    return_device=True skips the final host readback and returns device
+    arrays: on this platform every device sync costs ~30ms flat (the axon
+    tunnel degrades after the first d2h), so the caller should keep chaining
+    device work and sync exactly once."""
     nq = q_dev.shape[0]
     if B is None:
         # block size: 512 measures fastest on v5e (1024 halves task count but
@@ -356,10 +379,11 @@ def ivf_scan_search(
             Qg *= 2
     batch = build_scan_tasks(probes, list_offsets, B, Qg)
     if batch is None:
-        return (
-            np.full((nq, k), NEG_INF, np.float32),
-            np.full((nq, k), -1, np.int32),
-        )
+        s_empty = np.full((nq, k), NEG_INF, np.float32)
+        p_empty = np.full((nq, k), -1, np.int32)
+        if return_device:
+            return jax.device_put(s_empty), jax.device_put(p_empty)
+        return s_empty, p_empty
     kk = min(k, B)
     T = batch.row_start.shape[0]
 
@@ -407,4 +431,6 @@ def ivf_scan_search(
 
     S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
     best_s, best_p = _merge_tasks(all_s, all_p, all_q, all_slot, nq=nq, S=S, kk=kk, k=k)
+    if return_device:
+        return best_s, best_p
     return np.asarray(best_s), np.asarray(best_p)

@@ -68,6 +68,29 @@ def _refine_kernel(
     return dist_out, best_i
 
 
+def refine_topk_device(
+    q_dev: jax.Array,
+    store: RefineStore,
+    cand_dev: jax.Array,  # (nq, R) int32 device, -1 padded
+    k: int,
+    is_l2: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Device-resident refine: no host sync (each sync costs ~30ms flat on
+    this platform; callers chain and read back once)."""
+    return _refine_kernel(
+        q_dev,
+        store.data,
+        store.vmin,
+        store.vdiff,
+        cand_dev,
+        k=k,
+        is_l2=is_l2,
+        kind=store.kind,
+        sq_levels=256,
+        prec=_prec_name(),
+    )
+
+
 def refine_topk(
     q_dev: jax.Array,
     store: RefineStore,
@@ -76,16 +99,7 @@ def refine_topk(
     is_l2: bool,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (dists (nq,k) native convention, ids (nq,k) into store, -1 pad)."""
-    dists, ids = _refine_kernel(
-        q_dev,
-        store.data,
-        store.vmin,
-        store.vdiff,
-        jax.device_put(cand_ids.astype(np.int32)),
-        k=k,
-        is_l2=is_l2,
-        kind=store.kind,
-        sq_levels=256,
-        prec=_prec_name(),
+    dists, ids = refine_topk_device(
+        q_dev, store, jax.device_put(np.asarray(cand_ids, dtype=np.int32)), k, is_l2
     )
     return np.asarray(dists), np.asarray(ids)
