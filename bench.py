@@ -28,6 +28,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax  # noqa: E402
+
+# persistent compile cache: kernel shapes recompile only once across rounds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import knowhere_tpu as kt  # noqa: E402
 from knowhere_tpu.ops.distances import DistancePrecision, set_distance_precision  # noqa: E402
 

@@ -45,6 +45,18 @@ class DataSet:
     def get(self, key: str, default: Any = None) -> Any:
         return self._data.get(key, default)
 
+    def cached_device(self, key: str, builder) -> Any:
+        """Memoize a device-resident derivation of this dataset (e.g. padded
+        prepped queries). DataSets are immutable after construction (reference
+        contract), and host->device uploads cost ~50MB/s + ~30ms latency on
+        this platform once the process is past its first d2h — re-searching
+        the same DataSet must not re-upload."""
+        hit = self._device_cache.get(key)
+        if hit is None:
+            hit = builder()
+            self._device_cache[key] = hit
+        return hit
+
     def __contains__(self, key: str) -> bool:
         return key in self._data
 

@@ -53,10 +53,16 @@ MIN_POINTS_PER_CENTROID = 39  # reference ivf.cc:478
 
 
 def _pad_q_rows(a: np.ndarray) -> np.ndarray:
-    """Pad query batches to a power-of-2 ladder so jit shapes are reused."""
-    n, p = a.shape[0], 16
-    while p < n:
-        p *= 2
+    """Pad query batches to a shape ladder so jit shapes are reused: pow2 up
+    to 8192, then multiples of 2048 (h2d runs at ~50MB/s once the process is
+    past its first d2h — pow2 padding of a 10k batch would ship 60% extra)."""
+    n = a.shape[0]
+    if n <= 8192:
+        p = 16
+        while p < n:
+            p *= 2
+    else:
+        p = (n + 2047) // 2048 * 2048
     if p == n:
         return a
     return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
@@ -185,9 +191,11 @@ class IvfIndexNode(IndexNode):
         self._centroids: Optional[np.ndarray] = None
         self._xb_raw: Optional[np.ndarray] = None  # original-order raw rows (host)
         self._norms_raw: Optional[np.ndarray] = None  # cosine restore norms
-        self._row_ids: Optional[np.ndarray] = None  # sorted pos -> row id
-        self._pos_of_row: Optional[np.ndarray] = None  # row id -> sorted pos
-        self._offsets: Optional[np.ndarray] = None  # (nlist+1,)
+        self._row_ids: Optional[np.ndarray] = None  # padded sorted pos -> row id (-1 pad)
+        self._pos_of_row: Optional[np.ndarray] = None  # row id -> padded sorted pos
+        self._offsets: Optional[np.ndarray] = None  # (nlist+1,) padded storage starts
+        self._lengths: Optional[np.ndarray] = None  # (nlist,) TRUE list lengths
+        self._count = 0  # true row count (storage may be block-aligned/padded)
         self._sorted_payload: Dict[str, np.ndarray] = {}
         # pending (CC) segment: raw rows + their list assignment
         self._pending_rows: List[np.ndarray] = []
@@ -316,23 +324,62 @@ class IvfIndexNode(IndexNode):
         return Status.success
 
     def _build_storage(self, x_in: np.ndarray) -> None:
+        from ..ops.ivf_pallas import LIST_ALIGN
+
         x = self._prep_rows(x_in)
         nb = x.shape[0]
         assign = assign_rows(x, self._centroids)
         order = np.argsort(assign, kind="stable")
-        self._row_ids = order.astype(np.int64)
-        self._pos_of_row = np.argsort(order).astype(np.int64)
-        counts = np.bincount(assign, minlength=self._nlist)
+        counts = np.bincount(assign, minlength=self._nlist).astype(np.int64)
+        self._count = nb
+        self._lengths = counts
+        # Large corpora: pad each list to a LIST_ALIGN-row multiple so every
+        # scan block is ONE aligned slice — the Pallas kernel's scalar-
+        # prefetched block DMA needs it (ops/ivf_pallas.py). Small corpora
+        # keep the compact layout (padding would dominate memory).
+        import os as _os
+
+        align_min = int(_os.environ.get("KNOWHERE_IVF_ALIGN_MIN", 32768))
+        align = LIST_ALIGN if nb >= align_min else 0
+        if align:
+            pad_counts = (counts + align - 1) // align * align
+        else:
+            pad_counts = counts
         self._offsets = np.zeros(self._nlist + 1, dtype=np.int64)
-        np.cumsum(counts, out=self._offsets[1:])
+        np.cumsum(pad_counts, out=self._offsets[1:])
+        nb_pad = int(self._offsets[-1])
+        true_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        # destination (padded) position of each sorted row
+        dst = np.arange(nb, dtype=np.int64) + np.repeat(
+            self._offsets[:-1] - true_starts, counts
+        )
+        self._row_ids = np.full(nb_pad, -1, dtype=np.int64)
+        self._row_ids[dst] = order
+        self._pos_of_row = np.empty(nb, dtype=np.int64)
+        self._pos_of_row[order] = dst
+
+        def place(a_sorted: np.ndarray, fill=0) -> np.ndarray:
+            """Scatter unpadded sorted rows into the aligned layout."""
+            if nb_pad == nb:
+                return a_sorted
+            out = np.full((nb_pad, *a_sorted.shape[1:]), fill, a_sorted.dtype)
+            out[dst] = a_sorted
+            return out
 
         # host payloads (sorted order)
         x_sorted = x[order]
         if self.VARIANT in ("flat", "flat_cc", "bin"):
             if self._is_binary():
-                self._sorted_payload = {"bits": np.packbits(x_sorted.astype(np.uint8), axis=1, bitorder="little")}
+                self._sorted_payload = {
+                    "bits": place(np.packbits(x_sorted.astype(np.uint8), axis=1, bitorder="little"))
+                }
             else:
-                self._sorted_payload = {"data": np.asarray(x_in, dtype=np.float32)[order] if self._metric != M.COSINE else x_sorted}
+                raw_sorted = (
+                    np.asarray(x_in, dtype=np.float32)[order]
+                    if self._metric != M.COSINE
+                    else x_sorted
+                )
+                self._sorted_payload = {"data": place(raw_sorted)}
                 if self._metric == M.COSINE:
                     self._norms_raw = np.linalg.norm(
                         np.asarray(x_in, dtype=np.float32), axis=1
@@ -340,31 +387,31 @@ class IvfIndexNode(IndexNode):
             self._xb_raw = None  # reconstruct from sorted payload
         elif self.VARIANT in ("pq", "scann"):
             codes = Q.pq_encode(self._pq, x - self._centroids[assign])
-            self._sorted_payload = {"codes": codes[order]}
+            self._sorted_payload = {"codes": place(codes[order])}
         elif self.VARIANT in ("sq", "sq_cc"):
-            self._sorted_payload = {"codes": Q.sq_encode(self._sq, x_sorted)}
+            self._sorted_payload = {"codes": place(Q.sq_encode(self._sq, x_sorted))}
         elif self.VARIANT in ("rabitq", "rabitq_fastscan"):
             packed, r_norm, t = Q.rabitq_encode(self._rbq, x, self._centroids, assign)
             self._sorted_payload = {
-                "signs_packed": packed[order],
-                "r_norm": r_norm[order],
-                "t": t[order],
+                "signs_packed": place(packed[order]),
+                "r_norm": place(r_norm[order]),
+                "t": place(t[order], fill=1),
             }
-        # refine store payload (sorted order so positions line up)
+        # refine store payload (padded sorted order so positions line up)
         if self._refine_cfg:
             if self._refine_cfg == "raw":
-                self._sorted_payload["refine"] = x_sorted.astype(np.float32)
+                self._sorted_payload["refine"] = place(x_sorted.astype(np.float32))
             elif self._refine_cfg == "sq8":
                 sq = Q.sq_train(x_sorted, "SQ8")
-                self._sorted_payload["refine"] = Q.sq_encode(sq, x_sorted)
+                self._sorted_payload["refine"] = place(Q.sq_encode(sq, x_sorted))
                 self._sorted_payload["refine_vmin"] = sq.vmin
                 self._sorted_payload["refine_vdiff"] = sq.vdiff
             elif self._refine_cfg == "fp16":
-                self._sorted_payload["refine"] = x_sorted.astype(np.float16)
+                self._sorted_payload["refine"] = place(x_sorted.astype(np.float16))
             elif self._refine_cfg == "bf16":
                 import ml_dtypes
 
-                self._sorted_payload["refine"] = x_sorted.astype(ml_dtypes.bfloat16)
+                self._sorted_payload["refine"] = place(x_sorted.astype(ml_dtypes.bfloat16))
         self._upload()
 
     def _merge_pending(self) -> None:
@@ -469,6 +516,7 @@ class IvfIndexNode(IndexNode):
         ensure_topk_full: bool,
         refine_k: int = 1,
         reorder_k: Optional[int] = None,
+        q_pad_dev: Optional[jax.Array] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (dists (nq,k) native convention, ids (nq,k) original rows)."""
         nq = xq.shape[0]
@@ -521,9 +569,9 @@ class IvfIndexNode(IndexNode):
         from ..ops.ivf_scan import pack_results, unpack_results
         from ..ops.refine import refine_topk_device
 
-        xq_pad = _pad_q(xq)
-        nq_pad = xq_pad.shape[0]
-        q_pad_dev = jax.device_put(xq_pad)
+        if q_pad_dev is None:
+            q_pad_dev = jax.device_put(_pad_q(xq))  # async; overlaps host probe
+        nq_pad = q_pad_dev.shape[0]
         q_scan_dev = q_pad_dev
         if self._kind == "rabitq":
             q_scan_dev = jnp.dot(q_pad_dev, jax.device_put(self._rbq.rotation.T))
@@ -548,6 +596,7 @@ class IvfIndexNode(IndexNode):
                 is_jaccard=internal == M.JACCARD,
                 prec=scan_prec,
                 return_device=True,
+                list_lengths=self._lengths,
             )
             if two_stage:
                 # exact re-rank of the bf16 candidates straight off the
@@ -579,10 +628,18 @@ class IvfIndexNode(IndexNode):
                 dists = s
             return np.where(p >= 0, dists, np.float32(np.inf if is_l2 else -np.inf))
 
+        # probe on device for large batches (this host has few cores —
+        # numpy argpartition on nq x nlist dominates); tiny batches avoid
+        # the ~30ms d2h sync via the host path
+        from ..ops.ivf_scan import coarse_probe_host
+
         nprobe_cur = min(max(1, nprobe), self._nlist)
-        probes = np.asarray(
-            coarse_probe(q_pad_dev[:nq], self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2)
-        )
+        if nq * self._nlist <= 1 << 20:
+            probes = coarse_probe_host(xq, self._centroids, nprobe_cur, is_l2)
+        else:
+            probes = np.asarray(
+                coarse_probe(q_pad_dev[:nq], self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2)
+            )
         s_dev, p_dev, mode = _run_scan_device(probes)
         best_s, best_p = _to_host(s_dev, p_dev)
 
@@ -596,14 +653,15 @@ class IvfIndexNode(IndexNode):
                     break
                 active = np.nonzero(unfilled)[0]
                 nprobe_cur = min(self._nlist, nprobe_cur * 4)
-                probes_act = np.asarray(
-                    coarse_probe(
-                        jax.device_put(_pad_q(xq[active]))[: len(active)],
-                        self._store["centroids"],
-                        nprobe=nprobe_cur,
-                        is_l2=is_l2,
+                if len(active) * self._nlist <= 1 << 20:
+                    probes_act = coarse_probe_host(xq[active], self._centroids, nprobe_cur, is_l2)
+                else:
+                    probes_act = np.asarray(
+                        coarse_probe(
+                            jax.device_put(_pad_q_rows(xq[active]))[: len(active)],
+                            self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2,
+                        )
                     )
-                )
                 s2, p2, _ = self._rescan_subset(
                     xq[active], probes_act, k_scan, k, k_coarse, keep_sorted,
                     is_l2, internal, scan_prec, two_stage,
@@ -643,7 +701,7 @@ class IvfIndexNode(IndexNode):
             q_scan_dev, self._store, self._kind, probes_sub, self._offsets,
             k_scan, is_l2, keep_sorted=keep_sorted, sq_levels=self._sq_levels,
             sq_packed4=self._sq_packed4, is_jaccard=internal == M.JACCARD,
-            prec=scan_prec, return_device=True,
+            prec=scan_prec, return_device=True, list_lengths=self._lengths,
         )
         mode = "score"
         if two_stage:
@@ -662,7 +720,10 @@ class IvfIndexNode(IndexNode):
         if bitset.empty_view():
             return None
         keep = bitset.host_mask(self.Count())
-        keep_sorted = keep[self._row_ids]
+        rid = self._row_ids
+        keep_sorted = np.zeros(len(rid), dtype=bool)
+        valid = rid >= 0
+        keep_sorted[valid] = keep[rid[valid]]
         B_slack = 2048
         keep_sorted = np.concatenate([keep_sorted, np.zeros(B_slack, bool)])
         return jax.device_put(keep_sorted)
@@ -681,6 +742,10 @@ class IvfIndexNode(IndexNode):
             k = cfg.k
             keep_sorted = self._keep_sorted_mask(bitset)
             n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
+            q_pad_dev = dataset.cached_device(
+                f"ivf_qpad:{self._metric}:{self.data_type}",
+                lambda: jax.device_put(_pad_q_rows(xq)),
+            )
             dists, ids = self._search_batch(
                 xq,
                 k,
@@ -690,6 +755,7 @@ class IvfIndexNode(IndexNode):
                 bool(cfg.get("ensure_topk_full", True)),
                 refine_k=int(cfg.get("refine_k", 1) or 1),
                 reorder_k=cfg.get("reorder_k"),
+                q_pad_dev=q_pad_dev,
             )
             # pending CC segment: exact scan + merge
             if self._pending_count:
@@ -698,7 +764,7 @@ class IvfIndexNode(IndexNode):
 
     def _merge_with_pending(self, xq, k, dists, ids, bitset: BitsetView):
         pend = self._prep_rows(np.concatenate(self._pending_rows, axis=0))
-        base_count = len(self._row_ids)
+        base_count = self._count
         from ..ops.topk import knn_device
 
         pend_dev = jax.device_put(pend)
@@ -865,7 +931,7 @@ class IvfIndexNode(IndexNode):
             "nlist": self._nlist,
             "dim": self._dim,
             "count": self.Count(),
-            "list_sizes": np.diff(self._offsets).tolist(),
+            "list_sizes": (self._lengths if self._lengths is not None else np.diff(self._offsets)).tolist(),
         }
         ds = DataSet()
         ds.set("json_info", _json.dumps(meta))
@@ -882,6 +948,7 @@ class IvfIndexNode(IndexNode):
                 "centroids": self._centroids,
                 "row_ids": self._row_ids,
                 "offsets": self._offsets,
+                "lengths": self._lengths,
             }
             for k_, v in self._sorted_payload.items():
                 arrays["payload_" + k_] = np.asarray(v)
@@ -924,8 +991,16 @@ class IvfIndexNode(IndexNode):
             self._refine_cfg = meta.get("refine_cfg")
             self._centroids = np.asarray(arrays["centroids"])
             self._row_ids = np.asarray(arrays["row_ids"])
-            self._pos_of_row = np.argsort(self._row_ids).astype(np.int64)
             self._offsets = np.asarray(arrays["offsets"])
+            valid = self._row_ids >= 0
+            self._count = int(valid.sum())
+            self._pos_of_row = np.empty(self._count, dtype=np.int64)
+            self._pos_of_row[self._row_ids[valid]] = np.nonzero(valid)[0]
+            if "lengths" in arrays:
+                self._lengths = np.asarray(arrays["lengths"], dtype=np.int64)
+            else:  # pre-alignment blob: storage was compact
+                csum = np.concatenate([[0], np.cumsum(valid)])
+                self._lengths = (csum[self._offsets[1:]] - csum[self._offsets[:-1]]).astype(np.int64)
             self._norms_raw = np.asarray(arrays["norms_raw"]) if "norms_raw" in arrays else None
             self._sorted_payload = {
                 k_[len("payload_") :]: np.asarray(v)
@@ -958,7 +1033,7 @@ class IvfIndexNode(IndexNode):
         )
 
     def Count(self) -> int:
-        base = 0 if self._row_ids is None else len(self._row_ids)
+        base = 0 if self._row_ids is None else self._count
         return base + self._pending_count
 
     def Type(self) -> str:

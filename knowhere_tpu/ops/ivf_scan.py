@@ -55,19 +55,31 @@ class TaskBatch:
 
 
 def build_scan_tasks(
-    probes: np.ndarray, list_offsets: np.ndarray, B: int, Qg: int
+    probes: np.ndarray,
+    list_offsets: np.ndarray,
+    B: int,
+    Qg: int,
+    list_lengths: Optional[np.ndarray] = None,
 ) -> Optional[TaskBatch]:
     """Invert (query -> probed lists) into (list-block x query-group) tasks.
 
     `probes` is (nq, nprobe) int32 (entries may be -1 = padding). Fully
     vectorized — O(nq*nprobe) numpy with no Python per-list loops, so the
     host scheduler stays off the critical path even at nq=10k x nprobe=256.
+
+    `list_lengths` carries TRUE list lengths when the storage is block-
+    aligned (lists padded to LIST_ALIGN multiples); offsets then give padded
+    starts while nrows masking comes from the true lengths.
     """
     nq, _ = probes.shape
     list_offsets = np.asarray(list_offsets, dtype=np.int64)
     flat_l = probes.reshape(-1).astype(np.int64)
     flat_q = np.repeat(np.arange(nq, dtype=np.int32), probes.shape[1])
-    lens_all = np.diff(list_offsets)
+    lens_all = (
+        np.asarray(list_lengths, dtype=np.int64)
+        if list_lengths is not None
+        else np.diff(list_offsets)
+    )
     valid = flat_l >= 0
     valid &= np.where(valid, lens_all[np.clip(flat_l, 0, None)] > 0, False)
     flat_l, flat_q = flat_l[valid], flat_q[valid]
@@ -130,9 +142,8 @@ def build_scan_tasks(
     task_b = (np.arange(T, dtype=np.int64) - gb_excl[task_group]).astype(np.int64)
     task_list = group_list[task_group]
     lo = list_offsets[task_list]
-    hi = list_offsets[task_list + 1]
     row_start = (lo + task_b * B).astype(np.int32)
-    nrows = np.minimum(B, hi - row_start).astype(np.int32)
+    nrows = np.minimum(B, lens_all[task_list] - task_b * B).astype(np.int32)
 
     task_qids = qids_g[task_group]
     task_slots = slots_g[task_group] + task_b[:, None].astype(np.int32)
@@ -316,6 +327,27 @@ def unpack_results(packed_host: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def coarse_probe_host(
+    xq: np.ndarray, centroids: np.ndarray, nprobe: int, is_l2: bool
+) -> np.ndarray:
+    """Host-BLAS coarse probe. On this platform a device probe costs a ~30ms
+    d2h sync PLUS serializing behind the query upload; the host has the
+    centroids anyway and its sgemm overlaps with the async h2d."""
+    dots = xq.astype(np.float32) @ centroids.T.astype(np.float32)
+    if is_l2:
+        score = 2.0 * dots - np.sum(centroids.astype(np.float64) ** 2, axis=1).astype(np.float32)[None]
+    else:
+        score = dots
+    nprobe = min(nprobe, centroids.shape[0])
+    if nprobe >= centroids.shape[0]:
+        idx = np.argsort(-score, axis=1, kind="stable")
+    else:
+        part = np.argpartition(-score, nprobe - 1, axis=1)[:, :nprobe]
+        sub = np.take_along_axis(score, part, axis=1)
+        idx = np.take_along_axis(part, np.argsort(-sub, axis=1, kind="stable"), axis=1)
+    return idx.astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("nprobe", "is_l2"))
 def coarse_probe(q: jax.Array, centroids: jax.Array, *, nprobe: int, is_l2: bool) -> jax.Array:
     """Top-nprobe nearest lists per query: (nq, nprobe) int32."""
@@ -347,6 +379,7 @@ def ivf_scan_search(
     is_jaccard: bool = False,
     prec: Optional[str] = None,
     return_device: bool = False,
+    list_lengths: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     from .distances import matmul_precision_name
 
@@ -361,12 +394,11 @@ def ivf_scan_search(
     tunnel degrades after the first d2h), so the caller should keep chaining
     device work and sync exactly once."""
     nq = q_dev.shape[0]
-    if B is None:
-        # block size: 512 measures fastest on v5e (1024 halves task count but
-        # per-task top-k and PQ-decode gathers grow superlinearly and lose
-        # more); shrink only for small-list layouts
-        avg_len = float(np.diff(list_offsets).mean() or 1.0)
-        B = 256 if avg_len <= 256 else 512
+    lens_arr = (
+        np.asarray(list_lengths, dtype=np.int64)
+        if list_lengths is not None
+        else np.diff(np.asarray(list_offsets, dtype=np.int64))
+    )
     if Qg is None:
         # adaptive query-group width: pad waste is Qg / (avg queries probing a
         # list); small batches / small nprobe want narrow groups (ladder of
@@ -377,7 +409,25 @@ def ivf_scan_search(
         Qg = 32
         while Qg < min(avg, 128):
             Qg *= 2
-    batch = build_scan_tasks(probes, list_offsets, B, Qg)
+
+    from .ivf_pallas import pallas_scan_available
+
+    if B is None and pallas_scan_available(
+        kind, q_dev.shape[1], k, nq, list_offsets,
+        keep_sorted is not None, is_jaccard, prec,
+    ):
+        return _pallas_scan_search(
+            q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
+            prec, return_device,
+        )
+
+    if B is None:
+        # block size: 512 measures fastest on v5e (1024 halves task count but
+        # per-task top-k and PQ-decode gathers grow superlinearly and lose
+        # more); shrink only for small-list layouts
+        avg_len = float(lens_arr.mean() or 1.0)
+        B = 256 if avg_len <= 256 else 512
+    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=list_lengths)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
         p_empty = np.full((nq, k), -1, np.int32)
@@ -387,26 +437,45 @@ def ivf_scan_search(
     kk = min(k, B)
     T = batch.row_start.shape[0]
 
-    score_chunks, pos_chunks, qid_chunks, slot_chunks = [], [], [], []
-    for s in range(0, T, task_chunk):
-        e = min(s + task_chunk, T)
-        Tc = _pad_pow2(e - s)
-        pad = Tc - (e - s)
+    # every device_put costs ~28ms flat once the process is past its first
+    # d2h, so ALL chunks' task arrays ship in ONE packed transfer and are
+    # sliced on device (uniform chunk padding keeps jit shapes reusable)
+    n_chunks = (T + task_chunk - 1) // task_chunk
+    Tc = _pad_pow2(min(task_chunk, T))
+    total = n_chunks * Tc
 
-        def padded(a, fill):
-            sl = a[s:e]
-            if pad:
-                shape = (pad, *sl.shape[1:])
-                sl = np.concatenate([sl, np.full(shape, fill, a.dtype)])
-            return sl
+    def padded_all(a, fill):
+        out = np.full((total, *a.shape[1:]), fill, a.dtype)
+        for c in range(n_chunks):
+            s0, e0 = c * task_chunk, min((c + 1) * task_chunk, T)
+            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+        return out
 
+    packed_h = np.concatenate(
+        [
+            padded_all(batch.row_start, 0),
+            padded_all(batch.nrows, 0),
+            padded_all(batch.list_id, 0),
+            padded_all(batch.qids, -1).reshape(-1),
+            padded_all(batch.slots, 0).reshape(-1),
+        ]
+    ).astype(np.int32)
+    packed_dev = jax.device_put(packed_h)  # the ONE h2d for task data
+    rs_dev = packed_dev[:total]
+    nr_dev = packed_dev[total : 2 * total]
+    li_dev = packed_dev[2 * total : 3 * total]
+    all_q = packed_dev[3 * total : 3 * total + total * Qg].reshape(total, Qg)
+    all_slot = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
+
+    score_chunks, pos_chunks = [], []
+    for c in range(n_chunks):
         scores, pos = _scan_chunk(
             q_dev,
             store,
-            jax.device_put(padded(batch.row_start, 0)),
-            jax.device_put(padded(batch.nrows, 0)),
-            jax.device_put(padded(batch.list_id, 0)),
-            jax.device_put(padded(batch.qids, -1)),
+            rs_dev[c * Tc : (c + 1) * Tc],
+            nr_dev[c * Tc : (c + 1) * Tc],
+            li_dev[c * Tc : (c + 1) * Tc],
+            all_q[c * Tc : (c + 1) * Tc],
             keep_sorted,
             kind=kind,
             B=B,
@@ -421,16 +490,98 @@ def ivf_scan_search(
         )
         score_chunks.append(scores)
         pos_chunks.append(pos)
-        qid_chunks.append(jax.device_put(padded(batch.qids, -1)))
-        slot_chunks.append(jax.device_put(padded(batch.slots, 0)))
 
-    all_s = jnp.concatenate(score_chunks) if len(score_chunks) > 1 else score_chunks[0]
-    all_p = jnp.concatenate(pos_chunks) if len(pos_chunks) > 1 else pos_chunks[0]
-    all_q = jnp.concatenate(qid_chunks) if len(qid_chunks) > 1 else qid_chunks[0]
-    all_slot = jnp.concatenate(slot_chunks) if len(slot_chunks) > 1 else slot_chunks[0]
+    all_s = jnp.concatenate(score_chunks) if n_chunks > 1 else score_chunks[0]
+    all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
 
     S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
     best_s, best_p = _merge_tasks(all_s, all_p, all_q, all_slot, nq=nq, S=S, kk=kk, k=k)
+    if return_device:
+        return best_s, best_p
+    return np.asarray(best_s), np.asarray(best_p)
+
+
+def _pallas_scan_search(
+    q_dev: jax.Array,
+    store: Dict[str, jax.Array],
+    probes: np.ndarray,
+    list_offsets: np.ndarray,
+    lens_arr: np.ndarray,
+    k: int,
+    is_l2: bool,
+    Qg: int,
+    prec: str,
+    return_device: bool,
+):
+    """Hot raw-vector path: block-aligned Pallas task scan (ops/ivf_pallas)."""
+    from .ivf_pallas import LIST_ALIGN, pallas_scan_tasks
+
+    nq = q_dev.shape[0]
+    B = LIST_ALIGN
+    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
+    if batch is None:
+        s_empty = np.full((nq, k), NEG_INF, np.float32)
+        p_empty = np.full((nq, k), -1, np.int32)
+        if return_device:
+            return jax.device_put(s_empty), jax.device_put(p_empty)
+        return s_empty, p_empty
+
+    kk = min(k, B)
+    T = batch.row_start.shape[0]
+    blk_all = (batch.row_start // B).astype(np.int32)  # exact: aligned storage
+    three_pass = prec == "fast"
+    # chunk so the scalar-prefetched qids stay within SMEM (~480KB proven on
+    # v5e); each pallas_call is cheap but every device_put costs ~28ms flat
+    # once the process is past its first d2h — so ALL chunks' task arrays
+    # ship in ONE packed transfer and are sliced on device.
+    chunk = max(8, (122880 // Qg) // 8 * 8)
+    n_chunks = (T + chunk - 1) // chunk
+    Tc = (min(chunk, T) + 7) // 8 * 8  # uniform per-chunk task count
+    total = n_chunks * Tc
+
+    def padded_all(a, fill):
+        out = np.full((total, *a.shape[1:]), fill, a.dtype)
+        for c in range(n_chunks):
+            s0, e0 = c * chunk, min((c + 1) * chunk, T)
+            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+        return out
+
+    blk_h = padded_all(blk_all, 0)
+    nrows_h = padded_all(batch.nrows, 0)
+    qids_h = padded_all(batch.qids, -1)
+    slots_h = padded_all(batch.slots, 0)
+    packed_h = np.concatenate(
+        [blk_h, nrows_h, qids_h.reshape(-1), slots_h.reshape(-1)]
+    ).astype(np.int32)
+    packed_dev = jax.device_put(packed_h)  # the ONE h2d for task data
+    blk_dev = packed_dev[:total]
+    nrows_dev = packed_dev[total : 2 * total]
+    qids_dev = packed_dev[2 * total : 2 * total + total * Qg]
+    slots_dev = packed_dev[2 * total + total * Qg :].reshape(total, Qg)
+
+    score_chunks, pos_chunks = [], []
+    for c in range(n_chunks):
+        scores, pos = pallas_scan_tasks(
+            blk_dev[c * Tc : (c + 1) * Tc],
+            nrows_dev[c * Tc : (c + 1) * Tc],
+            qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
+            q_dev,
+            store["data"],
+            B=B,
+            Qg=Qg,
+            kk=kk,
+            is_l2=is_l2,
+            three_pass=three_pass,
+        )
+        score_chunks.append(scores)
+        pos_chunks.append(pos)
+
+    all_s = jnp.concatenate(score_chunks) if n_chunks > 1 else score_chunks[0]
+    all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
+    all_q = qids_dev.reshape(total, Qg)
+
+    S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+    best_s, best_p = _merge_tasks(all_s, all_p, all_q, slots_dev, nq=nq, S=S, kk=kk, k=k)
     if return_device:
         return best_s, best_p
     return np.asarray(best_s), np.asarray(best_p)

@@ -272,3 +272,63 @@ class TestIvfCC:
         idx = build("IVF_FLAT", base, {"metric_type": "L2", "nlist": 16})
         st = idx.Add(gen_dataset(10, DIM, seed=53), {"metric_type": "L2"})
         assert st == kt.Status.index_already_trained
+
+
+class TestAlignedLayout:
+    """Block-aligned list storage (lists padded to LIST_ALIGN multiples —
+    the Pallas scan's layout) must be behavior-identical to the compact
+    layout on the XLA path: search, filters, serialize, GetVectorByIds."""
+
+    @pytest.fixture()
+    def aligned_idx(self, monkeypatch):
+        monkeypatch.setenv("KNOWHERE_IVF_ALIGN_MIN", "100")
+        base = gen_dataset(NB, DIM, seed=81)
+        idx = build("IVF_FLAT", base, {"metric_type": "L2", "nlist": 16})
+        return idx, base
+
+    def test_padded_storage_shape(self, aligned_idx):
+        idx, _ = aligned_idx
+        node = idx
+        while not hasattr(node, "_offsets"):
+            node = node._node
+        assert (np.asarray(node._offsets) % 512 == 0).all()
+        assert node.Count() == NB
+        assert int(node._lengths.sum()) == NB
+
+    def test_search_matches_gt(self, aligned_idx):
+        idx, base = aligned_idx
+        queries = gen_dataset(NQ, DIM, seed=82)
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "nprobe": 16})
+        assert res.has_value(), res.what()
+        gt, _ = brute_force_gt(base, queries, "L2", K)
+        assert knn_recall(gt, res.value().ids, NQ, K) >= 0.99
+
+    def test_filtered_search(self, aligned_idx):
+        idx, base = aligned_idx
+        queries = gen_dataset(NQ, DIM, seed=83)
+        bs = gen_bitset(NB, 0.5, seed=84)
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "nprobe": 16}, bs)
+        assert res.has_value(), res.what()
+        gt, _ = brute_force_gt(base, queries, "L2", K, bs)
+        assert knn_recall(gt, res.value().ids, NQ, K) >= 0.95
+
+    def test_serialize_roundtrip(self, aligned_idx):
+        idx, _ = aligned_idx
+        queries = gen_dataset(NQ, DIM, seed=85)
+        r1 = idx.Search(queries, {"metric_type": "L2", "k": K, "nprobe": 8})
+        bs = kt.BinarySet()
+        assert idx.Serialize(bs) == kt.Status.success
+        idx2 = kt.IndexFactory.Instance().Create("IVF_FLAT").value()
+        assert idx2.Deserialize(bs) == kt.Status.success
+        assert idx2.Count() == NB
+        r2 = idx2.Search(queries, {"metric_type": "L2", "k": K, "nprobe": 8})
+        assert np.array_equal(r1.value().ids, r2.value().ids)
+
+    def test_get_vector_by_ids(self, aligned_idx):
+        idx, base = aligned_idx
+        ids = np.array([0, 7, NB - 1], dtype=np.int64)
+        got = idx.GetVectorByIds(kt.GenIdsDataSet(ids))
+        assert got.has_value(), got.what()
+        np.testing.assert_allclose(
+            np.asarray(got.value().tensor), np.asarray(base.tensor)[ids], rtol=1e-6
+        )
