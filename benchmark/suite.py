@@ -60,11 +60,22 @@ SEARCH_EXTRA = {
 }
 
 
-def gen_clustered(nb, dim, n_clusters=1000, seed=0):
+def gen_corpus(nb, nq, dim, n_clusters=500, intrinsic_dim=32, seed=0):
+    """SIFT-like corpus (same generator as bench.py): gaussian mixture with
+    LOW INTRINSIC DIMENSIONALITY. Full-rank iid gaussian clusters are a known
+    pathological case for quantizers (distance concentration makes in-cluster
+    ranking pure noise, so PQ/SQ recall plateaus regardless of search knobs)."""
     rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 4.0
-    assign = rng.integers(0, n_clusters, size=nb)
-    return centers[assign] + rng.standard_normal((nb, dim)).astype(np.float32)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 2.0
+    W = rng.standard_normal((intrinsic_dim, dim)).astype(np.float32)
+    W *= np.sqrt(dim / intrinsic_dim) / np.sqrt(intrinsic_dim)
+
+    def noise(n):
+        return rng.standard_normal((n, intrinsic_dim)).astype(np.float32) @ W
+
+    xb = centers[rng.integers(0, n_clusters, size=nb)] + noise(nb)
+    xq = centers[rng.integers(0, n_clusters, size=nq)] + noise(nq)
+    return xb, xq
 
 
 def load_dataset(nb, dim, nq, data_dir="data"):
@@ -80,10 +91,8 @@ def load_dataset(nb, dim, nq, data_dir="data"):
                 return xb, xq, gt, "sift-128-euclidean"
         except Exception:
             pass
-    xb = gen_clustered(nb, dim)
-    rng = np.random.default_rng(1)
-    xq = xb[rng.choice(nb, nq, replace=False)] + 0.1 * rng.standard_normal((nq, dim)).astype(np.float32)
-    return xb, xq, None, f"synthetic-clustered-{nb}x{dim}"
+    xb, xq = gen_corpus(nb, nq, dim)
+    return xb, xq, None, f"synthetic-mixture-{nb}x{dim}"
 
 
 def recall_at_k(gt, ids, k):
@@ -118,18 +127,23 @@ def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192):
     for v in values:
         r = search(v, q_gt)
         if not r.has_value():
+            print(json.dumps({"index": name, "knob_value": v, "error": r.what()}), file=sys.stderr)
             continue
         rec = recall_at_k(gt_ids, r.value().ids.reshape(gt_nq, k), k)
         if rec >= recall_target:
             chosen, achieved = v, rec
             break
         chosen, achieved = v, rec  # keep best effort
+    if chosen is None and knob is not None:
+        return {"index": name, "error": "all knob values failed"}
     # timed runs on the full query set (warm)
     q_timed = kt.GenDataSetFromArray(xq[:nq_timed])
     search(chosen, q_timed)  # warm/compile
     t0 = time.perf_counter()
-    search(chosen, q_timed)
+    r = search(chosen, q_timed)
     dt = time.perf_counter() - t0
+    if not r.has_value():
+        return {"index": name, "error": r.what()}
     return {
         "index": name,
         "knob": f"{knob}={chosen}" if knob else "exact",

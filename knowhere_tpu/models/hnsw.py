@@ -99,6 +99,9 @@ class HnswIndexNode(IndexNode):
         self._M = 30
         self._graph: Optional[np.ndarray] = None
         self._entry: Optional[np.ndarray] = None
+        self._entry_cents: Optional[np.ndarray] = None  # kmeans routing centroids
+        self._entry_dev = None
+        self._entry_cents_dev = None
         self._xb_host: Optional[np.ndarray] = None  # compute rows (host)
         self._raw_host: Optional[np.ndarray] = None  # original rows for GetVectorByIds
         self._payload: Dict[str, np.ndarray] = {}
@@ -178,12 +181,34 @@ class HnswIndexNode(IndexNode):
         deg = min(max(2 * self._M, 4), max(nb - 1, 1))
         # intermediate candidate pool scales with efConstruction (quality knob)
         inter = min(max(deg, min(self._efc // 4, 128)), max(nb - 1, 1))
-        self._graph = build_graph(x, deg, self._internal_metric(), intermediate_deg=inter)
-        # entry coverage scales with corpus size: the beam can only descend
-        # within the connected region around its entries, so multi-modal data
-        # needs one entry per mode (kmeans picks them at scale)
-        n_entry = int(min(max(64, nb // 500), 1024, nb))
-        self._entry = pick_entry_points(x, n_entry=n_entry)
+        # ONE k-means shared by the kNN-graph accelerator and entry points
+        cents = assign = None
+        if nb > 65536:
+            from ..ops.kmeans import kmeans as _kmeans
+
+            nlist = max(64, int(np.sqrt(nb)))
+            cents, assign = _kmeans(x, nlist, n_iters=8)
+        self._graph = build_graph(
+            x, deg, self._internal_metric(), intermediate_deg=inter,
+            centroids=cents, assign=assign,
+        )
+        # entry points: at scale, keep the PER-CENTROID map (centroid i ->
+        # its nearest resident node) plus the centroids themselves, so search
+        # can route each query to its own top-n_seed entries with one matmul
+        # (the TPU-native replacement for the HNSW hierarchy descent). Small
+        # corpora keep the legacy global entry set.
+        if cents is not None:
+            from ..ops import topk as T
+
+            base_dev = jax.device_put(x)
+            aux = D.base_aux("L2", base_dev)
+            ids, _ = T.knn_search(cents, base_dev, 1, "L2", aux=aux)
+            self._entry = ids.reshape(-1).astype(np.int32)
+            self._entry_cents = cents.astype(np.float32)
+        else:
+            n_entry = int(min(max(64, nb // 500), 1024, nb))
+            self._entry = pick_entry_points(x, n_entry=n_entry)
+            self._entry_cents = None
         if not self._is_binary():
             self._raw_host = np.asarray(x_in)
         # payload per variant
@@ -260,6 +285,10 @@ class HnswIndexNode(IndexNode):
 
     def _upload(self) -> None:
         self._graph_dev = jax.device_put(self._graph)
+        self._entry_dev = jax.device_put(self._entry)
+        self._entry_cents_dev = (
+            jax.device_put(self._entry_cents) if self._entry_cents is not None else None
+        )
         if self.VARIANT == "flat":
             self._store = {"data": jax.device_put(self._payload["data"])}
             self._kind = "raw"
@@ -375,28 +404,62 @@ class HnswIndexNode(IndexNode):
         )
         k_out = k if self._refine_store is None else max(k, k * max(refine_k, 1))
         k_out = min(k_out, ef)
-        xq_pad = self._pad_q(xq)
-        max_iters = 2 * ef + 32
         from ..ops.distances import matmul_precision_name
 
-        scores, ids = beam_search(
-            jax.device_put(xq_pad),
-            self._store,
-            self._graph_dev,
-            jax.device_put(self._entry),
-            keep,
-            kind=self._kind,
-            ef=ef,
-            k=k_out,
-            deg=self._graph.shape[1],
-            max_iters=max_iters,
-            is_l2=is_l2,
-            is_jaccard=internal == M.JACCARD,
-            has_mask=keep is not None,
-            prec=matmul_precision_name(),
-        )
-        scores = np.asarray(scores)[:nq]
-        ids = np.asarray(ids)[:nq]
+        deg = self._graph.shape[1]
+        d = xq.shape[1]
+        # beamwidth: expand W nodes per step (fewer sequential while_loop
+        # dispatches, W x the MXU work per step); scale with ef so small-ef
+        # walks stay greedy enough to match reference recall at equal ef
+        W = max(1, min(8, ef // 16))
+        max_iters = (2 * ef) // W + 32
+        # chunk queries so each step's neighbor-gather stays under ~512MB
+        chunk = 16384
+        while chunk > 256 and chunk * W * deg * d * 4 > (1 << 29):
+            chunk //= 2
+
+        entry_dev = self._entry_dev
+        if entry_dev is None:
+            entry_dev = self._entry_dev = jax.device_put(self._entry)
+        # per-query routed seeds when centroids exist; seed count scales with
+        # ef so high-recall searches cast a wider net
+        n_seed = 0 if self._entry_cents_dev is None else int(min(max(8, ef // 8), 64))
+        prec = matmul_precision_name()
+        scores_l, ids_l = [], []
+        for s0 in range(0, nq, chunk):
+            xc = xq[s0 : s0 + chunk]
+            xq_pad = (
+                self._pad_q(xc)
+                if nq <= chunk
+                else np.concatenate(
+                    [xc, np.zeros((chunk - xc.shape[0], d), xc.dtype)]
+                )
+                if xc.shape[0] < chunk
+                else xc
+            )
+            sc, ic = beam_search(
+                jax.device_put(xq_pad),
+                self._store,
+                self._graph_dev,
+                entry_dev,
+                keep,
+                kind=self._kind,
+                ef=ef,
+                k=k_out,
+                deg=deg,
+                max_iters=max_iters,
+                is_l2=is_l2,
+                is_jaccard=internal == M.JACCARD,
+                has_mask=keep is not None,
+                prec=prec,
+                beam_width=W,
+                route_cents=self._entry_cents_dev,
+                n_seed=n_seed,
+            )
+            scores_l.append(np.asarray(sc)[: xc.shape[0]])
+            ids_l.append(np.asarray(ic)[: xc.shape[0]])
+        scores = np.concatenate(scores_l) if len(scores_l) > 1 else scores_l[0][:nq]
+        ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0][:nq]
         if self._refine_store is not None:
             dists, ids = refine_topk(jax.device_put(xq), self._refine_store, ids, k, is_l2)
             invalid = ids < 0
@@ -609,6 +672,8 @@ class HnswIndexNode(IndexNode):
             if self._graph is None:
                 return Status.empty_index
             arrays = {"graph": self._graph, "entry": self._entry}
+            if self._entry_cents is not None:
+                arrays["entry_cents"] = self._entry_cents
             for k_, v in self._payload.items():
                 arrays["payload_" + k_] = np.asarray(v)
             if self._raw_host is not None:
@@ -649,6 +714,9 @@ class HnswIndexNode(IndexNode):
             self._refine_cfg = meta.get("refine_cfg")
             self._graph = np.asarray(arrays["graph"])
             self._entry = np.asarray(arrays["entry"])
+            self._entry_cents = (
+                np.asarray(arrays["entry_cents"]) if "entry_cents" in arrays else None
+            )
             self._raw_host = np.asarray(arrays["raw"]) if "raw" in arrays else None
             self._payload = {
                 k_[len("payload_") :]: np.asarray(v)

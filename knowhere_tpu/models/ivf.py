@@ -462,6 +462,39 @@ class IvfIndexNode(IndexNode):
                 "centroids": cents,
             }
             self._kind = "pq"
+            # block-aligned storage extras for the Pallas ADC kernel
+            # (ops/ivf_pallas.pallas_adc_tasks): transposed codes so each task
+            # block is one aligned (m_pad, B) slice, plus the per-list CLUT
+            # (centroid/codebook cross terms of the residual L2 expansion).
+            from ..ops.ivf_pallas import LIST_ALIGN as _LA
+
+            offs = self._offsets
+            if (
+                offs is not None
+                and int(offs[-1]) > 0
+                and (offs % _LA == 0).all()
+                and self._dim % 128 == 0
+            ):
+                codes_sorted = self._sorted_payload["codes"]  # (nb_pad, m) u8
+                m = codes_sorted.shape[1]
+                m_pad = (m + 7) // 8 * 8
+                ct = np.zeros((m_pad, codes_sorted.shape[0]), np.int32)
+                ct[:m] = codes_sorted.T.astype(np.int32)
+                self._store["codes_t"] = jax.device_put(ct)
+                books = self._pq.codebooks  # (m, ksub, sub_dim)
+                ksub = books.shape[1]
+                sub_dim = books.shape[2]
+                if self._is_l2_like():
+                    c3 = self._centroids.reshape(self._nlist, m, sub_dim)
+                    clut = 2.0 * np.einsum(
+                        "lms,mvs->lmv", c3.astype(np.float64), books.astype(np.float64)
+                    ) + np.sum(books.astype(np.float64) ** 2, axis=-1)[None]
+                    clut = clut.astype(np.float32)
+                else:
+                    clut = np.zeros((self._nlist, m, ksub), np.float32)
+                self._store["clut"] = jax.device_put(
+                    clut.reshape(self._nlist, m * ksub)
+                ).astype(jnp.bfloat16)
         elif self.VARIANT in ("sq", "sq_cc"):
             t = self._sq.sq_type
             self._store = {"codes": pad(self._sorted_payload["codes"]), "centroids": cents}

@@ -42,7 +42,13 @@ NEG_INF = -float("inf")
 # ---------------------------------------------------------------------------
 
 
-def _approx_knn_graph(x: np.ndarray, k: int, metric: str) -> np.ndarray:
+def _approx_knn_graph(
+    x: np.ndarray,
+    k: int,
+    metric: str,
+    centroids: Optional[np.ndarray] = None,
+    assign: Optional[np.ndarray] = None,
+) -> np.ndarray:
     """(nb, k) neighbor ids (self excluded) via batched exact/IVF kNN."""
     from . import topk as T
     from . import distances as D
@@ -58,7 +64,10 @@ def _approx_knn_graph(x: np.ndarray, k: int, metric: str) -> np.ndarray:
     else:
         # IVF-accelerated all-pairs kNN: cluster, then probe a few lists
         nlist = max(64, int(np.sqrt(nb)))
-        centroids, assign = kmeans(x, nlist, n_iters=8)
+        if centroids is None or centroids.shape[0] != nlist:
+            centroids, assign = kmeans(x, nlist, n_iters=8)
+        elif assign is None:
+            assign = assign_rows(x, centroids)
         order = np.argsort(assign, kind="stable")
         row_ids = order.astype(np.int64)
         offsets = np.zeros(nlist + 1, np.int64)
@@ -76,7 +85,7 @@ def _approx_knn_graph(x: np.ndarray, k: int, metric: str) -> np.ndarray:
         }
         is_l2 = metric == "L2"
         ids = np.empty((nb, k + 1), dtype=np.int64)
-        chunk = 8192
+        chunk = 32768  # fewer chunks = fewer ~30ms device round-trips
         for s in range(0, nb, chunk):
             e = min(s + chunk, nb)
             q_dev = jax.device_put(x[s:e])
@@ -94,9 +103,9 @@ def _approx_knn_graph(x: np.ndarray, k: int, metric: str) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("deg", "is_l2", "alpha"))
 def _prune_chunk(
-    x_nodes: jax.Array,  # (C, d) the nodes being pruned
-    cand_vecs: jax.Array,  # (C, K, d) candidate neighbor vectors
+    x_all: jax.Array,  # (nb, d) device-resident base
     cand_ids: jax.Array,  # (C, K)
+    start: jax.Array,  # () int32 — first node of the chunk
     *,
     deg: int,
     is_l2: bool,
@@ -104,8 +113,13 @@ def _prune_chunk(
 ) -> jax.Array:
     """HNSW select_neighbors_heuristic / Vamana RobustPrune(alpha),
     vectorized over a chunk of nodes. Candidates must be sorted best-first.
-    alpha > 1 (DiskANN) keeps more long-range edges."""
-    C, K, d = cand_vecs.shape
+    alpha > 1 (DiskANN) keeps more long-range edges. Node/candidate vectors
+    are gathered ON DEVICE from the resident base (a host-side gather ships
+    C*K*d floats through the interconnect per chunk — 65GB for a 1M build)."""
+    C, K = cand_ids.shape
+    d = x_all.shape[1]
+    x_nodes = jax.lax.dynamic_slice(x_all, (start, 0), (C, d))
+    cand_vecs = jnp.take(x_all, jnp.clip(cand_ids, 0), axis=0)  # (C, K, d)
 
     if is_l2:
         d_node = jnp.sum((cand_vecs - x_nodes[:, None, :]) ** 2, axis=-1)  # (C,K)
@@ -142,6 +156,8 @@ def build_graph(
     add_reverse: bool = True,
     alpha: float = 1.0,
     n_long_edges: int = 2,
+    centroids: Optional[np.ndarray] = None,
+    assign: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Returns (nb, deg) int32 adjacency (-1 padded).
 
@@ -153,25 +169,30 @@ def build_graph(
     nb, d = x.shape
     inter = intermediate_deg or min(max(2 * deg, 32), max(nb - 1, 1))
     inter = min(inter, nb - 1)
-    knn = _approx_knn_graph(x, inter, metric)
+    knn = _approx_knn_graph(x, inter, metric, centroids=centroids, assign=assign)
     is_l2 = metric.upper() != "IP"  # cosine data comes pre-normalized; L2 rule ok
 
     graph = np.full((nb, deg), -1, dtype=np.int32)
-    chunk = 2048
-    x_dev_all = x.astype(np.float32)
-    for s in range(0, nb, chunk):
-        e = min(s + chunk, nb)
-        ids = knn[s:e]
-        vecs = x_dev_all[np.clip(ids, 0, nb - 1)]
-        out = _prune_chunk(
-            jax.device_put(x_dev_all[s:e]),
-            jax.device_put(vecs),
-            jax.device_put(ids),
-            deg=deg,
-            is_l2=is_l2,
-            alpha=alpha,
+    chunk = min(2048, nb)
+    x_dev = jax.device_put(x.astype(np.float32))  # resident once; chunks gather on device
+    starts = list(range(0, max(nb - chunk, 0) + 1, chunk))
+    if starts[-1] + chunk < nb:
+        starts.append(nb - chunk)  # overlapping tail keeps one jit shape
+    outs = []
+    for s in starts:
+        outs.append(
+            _prune_chunk(
+                x_dev,
+                jax.device_put(knn[s : s + chunk]),
+                jnp.int32(s),
+                deg=deg,
+                is_l2=is_l2,
+                alpha=alpha,
+            )
         )
-        graph[s:e] = np.asarray(out)
+    # one sync for all chunks (each np.asarray costs a ~30ms device round-trip)
+    for s, out in zip(starts, np.asarray(jnp.stack(outs))):
+        graph[s : s + chunk] = out
 
     if add_reverse:
         # backfill spare slots with reverse edges (connectivity, like HNSW's
@@ -219,12 +240,18 @@ def build_graph(
     return graph
 
 
-def pick_entry_points(x: np.ndarray, n_entry: int = 64, seed: int = 7) -> np.ndarray:
+def pick_entry_points(
+    x: np.ndarray,
+    n_entry: int = 64,
+    seed: int = 7,
+    centroids: Optional[np.ndarray] = None,
+) -> np.ndarray:
     """k-means-centroid entry points (replaces the HNSW top-level descent).
 
     The level hierarchy's job is coarse navigation; on a flat graph the same
     coverage comes from seeding the beam with one real node per k-means
-    region — random picks strand whole clusters on multi-modal data."""
+    region — random picks strand whole clusters on multi-modal data. Passing
+    `centroids` reuses a clustering already computed by the graph build."""
     nb = x.shape[0]
     n_entry = min(n_entry, nb)
     if nb <= 100_000:
@@ -235,7 +262,8 @@ def pick_entry_points(x: np.ndarray, n_entry: int = 64, seed: int = 7) -> np.nda
     from .kmeans import kmeans
     from . import topk as T
 
-    centroids, _ = kmeans(x, n_entry, n_iters=6, seed=seed)
+    if centroids is None:
+        centroids, _ = kmeans(x, n_entry, n_iters=6, seed=seed)
     import jax as _jax
 
     base_dev = _jax.device_put(x.astype(np.float32))
@@ -255,7 +283,7 @@ def pick_entry_points(x: np.ndarray, n_entry: int = 64, seed: int = 7) -> np.nda
     jax.jit,
     static_argnames=(
         "kind", "ef", "k", "deg", "max_iters", "is_l2", "is_jaccard", "has_mask",
-        "hash_bits", "prec",
+        "hash_bits", "prec", "beam_width", "n_seed",
     ),
 )
 def beam_search(
@@ -275,6 +303,9 @@ def beam_search(
     has_mask: bool = False,
     hash_bits: int = 12,
     prec: str = "exact",
+    beam_width: int = 1,
+    route_cents: Optional[jax.Array] = None,  # (E, d) kmeans centroids
+    n_seed: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (nq,k) larger-is-better, ids (nq,k) int32, -1 pad)."""
     from .distances import precision_from_name
@@ -333,16 +364,30 @@ def beam_search(
         return dots
 
     # --- init: entry points ---
-    entry_b = jnp.broadcast_to(entry[None, :], (nq, E))
-    s0 = score_nodes(entry_b)
+    # Per-query k-means routing (the TPU-native replacement for the HNSW
+    # hierarchy descent): score the query against the E routing centroids (one
+    # matmul, no gathers) and seed the beam with each top centroid's resident
+    # node. The legacy path broadcasts ALL global entries into every beam,
+    # which costs E gathered rows PER QUERY at init — the dominant gather cost
+    # for large entry sets (gathers run at ~90 Mrows/s on v5e regardless of
+    # row width; see ops/ivf_pallas.py platform notes).
+    if route_cents is not None and n_seed > 0:
+        cs = jnp.dot(q, route_cents.T, preferred_element_type=jnp.float32)
+        if is_l2:
+            cs = 2.0 * cs - jnp.sum(route_cents**2, axis=1)[None, :]
+        _, top_c = jax.lax.top_k(cs, min(n_seed, E))
+        ids0 = jnp.take(entry, top_c, axis=0).astype(jnp.int32)  # (nq, E')
+    else:
+        ids0 = jnp.broadcast_to(entry[None, :].astype(jnp.int32), (nq, E))
+    E_eff = ids0.shape[1]
+    s0 = score_nodes(ids0)
 
-    ids0 = jnp.broadcast_to(entry[None, :].astype(jnp.int32), (nq, E))
-    pad = ef - min(ef, E)
+    pad = ef - min(ef, E_eff)
     beam_ids = jnp.concatenate(
-        [ids0[:, : min(ef, E)], jnp.full((nq, pad), -1, jnp.int32)], axis=1
+        [ids0[:, : min(ef, E_eff)], jnp.full((nq, pad), -1, jnp.int32)], axis=1
     )
     beam_s = jnp.concatenate(
-        [s0[:, : min(ef, E)], jnp.full((nq, pad), NEG_INF, jnp.float32)], axis=1
+        [s0[:, : min(ef, E_eff)], jnp.full((nq, pad), NEG_INF, jnp.float32)], axis=1
     )
     order0 = jnp.argsort(-beam_s, axis=1)
     beam_s = jnp.take_along_axis(beam_s, order0, axis=1)
@@ -374,22 +419,34 @@ def beam_search(
         i, beam_s, beam_ids, expanded, table, res_s, res_ids, done = state
         return (i < max_iters) & (~jnp.all(done))
 
+    W = max(1, min(beam_width, ef))
+
     def body(state):
         i, beam_s, beam_ids, expanded, table, res_s, res_ids, done = state
-        # pick best unexpanded beam entry per query
+        # pick the W best unexpanded beam entries per query (DiskANN-style
+        # beamwidth: amortizes the per-step gather/top-k dispatch across W
+        # expansions; the walk is slightly less greedy but each while_loop
+        # step does W times the MXU work)
         cand_s = jnp.where(expanded, NEG_INF, beam_s)
-        sel_pos = jnp.argmax(cand_s, axis=1)  # (nq,)
-        sel_score = jnp.take_along_axis(cand_s, sel_pos[:, None], axis=1)[:, 0]
+        if W == 1:
+            sel_pos = jnp.argmax(cand_s, axis=1)[:, None]  # (nq, 1)
+            sel_score = jnp.take_along_axis(cand_s, sel_pos, axis=1)
+        else:
+            sel_score, sel_pos = jax.lax.top_k(cand_s, W)  # (nq, W)
         # hnswlib-equivalent termination: the walk ends when the ef-sized beam
         # holds no unexpanded candidate (draining the beam == candidate heap
         # empty relative to the ef result set)
-        newly_done = sel_score == NEG_INF
+        newly_done = sel_score[:, 0] == NEG_INF
         done = done | newly_done
-        sel_id = jnp.take_along_axis(beam_ids, sel_pos[:, None], axis=1)[:, 0]
-        expanded = expanded.at[qrows, sel_pos].set(True)
+        sel_valid = (sel_score != NEG_INF) & ~done[:, None]  # (nq, W)
+        sel_id = jnp.take_along_axis(beam_ids, sel_pos, axis=1)  # (nq, W)
+        expanded = expanded.at[qrows[:, None], sel_pos].set(True)
 
-        nbrs = jnp.take(graph, jnp.clip(sel_id, 0), axis=0)  # (nq, deg)
-        nbrs = jnp.where((sel_id >= 0)[:, None] & ~done[:, None], nbrs, -1)
+        nbrs = jnp.take(graph, jnp.clip(sel_id.reshape(-1), 0), axis=0)  # (nq*W, deg)
+        nbrs = nbrs.reshape(nq, W * deg)
+        nbrs = jnp.where(
+            jnp.repeat(sel_valid & (sel_id >= 0), deg, axis=1), nbrs, -1
+        )
         # visited filter: lossy hash + EXACT membership vs the current beam.
         # The hash alone is not enough: once the walk visits more nodes than
         # the table holds, collisions evict entries and re-visited nodes enter
@@ -400,6 +457,22 @@ def beam_search(
         seen = jnp.take_along_axis(table, slots, axis=1) == nbrs
         in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=2)
         fresh = (nbrs >= 0) & ~seen & ~in_beam
+        if W > 1:
+            # intra-step dedup: with W simultaneous expansions the same node
+            # can arrive from several parents in ONE step — all lanes pass the
+            # (stale) table/beam checks and the duplicate crowds a unique id
+            # out of the k-wide result set. Keep only the first occurrence
+            # (sort ids, mark equal-adjacent, scatter back).
+            imax = jnp.int32(np.iinfo(np.int32).max)
+            key = jnp.where(fresh, nbrs, imax)
+            order = jnp.argsort(key, axis=1)
+            skey = jnp.take_along_axis(key, order, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((nq, 1), bool), (skey[:, 1:] == skey[:, :-1]) & (skey[:, 1:] != imax)],
+                axis=1,
+            )
+            inv = jnp.argsort(order, axis=1)
+            fresh &= ~jnp.take_along_axis(dup_sorted, inv, axis=1)
         # scatter only fresh lanes (non-fresh go to dummy slot H; a stale
         # write-back would otherwise race a fresh insert in the same step)
         table = table.at[qrows[:, None], jnp.where(fresh, slots, H)].set(nbrs)

@@ -186,6 +186,350 @@ def pallas_scan_tasks(
     )(blk, nrows, qids_flat, q, data)
 
 
+# ---------------------------------------------------------------------------
+# SQ8 kernel — u8 codes, in-kernel affine decode
+# ---------------------------------------------------------------------------
+#
+# SQ lists store one u8 per dim (reference: faiss IndexScalarQuantizer SQ8
+# codec + sq fast-scan paths, thirdparty/faiss/.../IndexScalarQuantizer.cpp).
+# Each task block is a (B, d) u8 slice — 4x less HBM traffic than the raw f32
+# scan — decoded in VMEM (row = vmin + (code+.5)/levels * vdiff) and fed to
+# the same MXU dots / top-k as the raw kernel.
+
+
+def _sq_kernel(
+    blk_ref,  # (Tc,) scalar prefetch
+    nrow_ref,  # (Tc,)
+    qids_ref,  # (Tc*Qg,)
+    q_ref,  # (nq_pad, d) VMEM query table
+    vminv_ref,  # (1, d) f32
+    vdiffv_ref,  # (1, d) f32
+    codes_ref,  # (B, d) u8 current block
+    out_s_ref,  # (1, Qg, kk)
+    out_p_ref,  # (1, Qg, kk)
+    qs_scratch,  # (Qg, d) VMEM
+    *,
+    B: int,
+    Qg: int,
+    kk: int,
+    levels: int,
+    is_l2: bool,
+    three_pass: bool,
+):
+    t = pl.program_id(0)
+    for j in range(Qg):
+        qid = jnp.maximum(qids_ref[t * Qg + j], 0)
+        qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
+    qs = qs_scratch[...]
+    # u8 -> i32 -> f32: Mosaic has no direct u8->f32 cast on this backend
+    codes = codes_ref[...].astype(jnp.int32).astype(jnp.float32)
+    rows = vminv_ref[...] + (codes + 0.5) * (1.0 / levels) * vdiffv_ref[...]
+
+    dn = (((1,), (1,)), ((), ()))
+    if three_pass:
+        q_hi = qs.astype(jnp.bfloat16)
+        q_lo = (qs - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        r_hi = rows.astype(jnp.bfloat16)
+        r_lo = (rows - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dots = (
+            jax.lax.dot_general(q_hi, r_hi, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(q_hi, r_lo, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(q_lo, r_hi, dn, preferred_element_type=jnp.float32)
+        )
+    else:
+        dots = jax.lax.dot_general(qs, rows, dn, preferred_element_type=jnp.float32)
+
+    if is_l2:
+        nrm = jnp.sum(rows * rows, axis=1)
+        score = 2.0 * dots - nrm[None, :]
+    else:
+        score = dots
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
+    score = jnp.where(col < nrow_ref[t], score, NEG_INF)
+    gpos = col + blk_ref[t] * B
+    s, p = _topk_rows(score, gpos, kk)
+    out_s_ref[0] = s
+    out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B", "Qg", "kk", "levels", "is_l2", "three_pass", "interpret"),
+)
+def pallas_sq_tasks(
+    blk: jax.Array,
+    nrows: jax.Array,
+    qids_flat: jax.Array,
+    q: jax.Array,  # (nq_pad, d) f32
+    vmin: jax.Array,  # (1, d) f32
+    vdiff: jax.Array,  # (1, d) f32
+    codes: jax.Array,  # (nb_pad, d) u8
+    *,
+    B: int,
+    Qg: int,
+    kk: int,
+    levels: int,
+    is_l2: bool,
+    three_pass: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    Tc = blk.shape[0]
+    nq_pad, d = q.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Tc,),
+        in_specs=[
+            pl.BlockSpec((nq_pad, d), lambda t, b, n, qd: (0, 0)),
+            pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
+            pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
+            pl.BlockSpec((B, d), lambda t, b, n, qd: (b[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((Qg, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _sq_kernel,
+            B=B, Qg=Qg, kk=kk, levels=levels, is_l2=is_l2, three_pass=three_pass,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blk, nrows, qids_flat, q, vmin, vdiff, codes)
+
+
+def pallas_sq_available(
+    d: int,
+    code_dim: int,
+    k: int,
+    nq_pad: int,
+    offsets: np.ndarray,
+    has_mask: bool,
+    sq_levels: int,
+    sq_packed4: bool,
+    prec: str,
+    interpret: bool = False,
+) -> bool:
+    if not _HAS_PLTPU or os.environ.get("KNOWHERE_DISABLE_PALLAS_IVF") == "1":
+        return False
+    if not interpret and not _on_tpu():
+        return False
+    if has_mask or sq_levels <= 0 or sq_packed4 or code_dim != d:
+        return False
+    if prec not in ("fast", "bf16"):
+        return False
+    if d % 128 != 0 or k > 32 or k < 1:
+        return False
+    if nq_pad * d * 4 > _Q_VMEM_BYTES:
+        return False
+    offsets = np.asarray(offsets)
+    if offsets.size < 2 or offsets[-1] == 0:
+        return False
+    return bool((offsets % LIST_ALIGN == 0).all())
+
+
+# ---------------------------------------------------------------------------
+# ADC (PQ / ScaNN) kernel — LUT + one-hot MXU matmul
+# ---------------------------------------------------------------------------
+#
+# The TPU-native replacement for faiss's ADC LUT scan and 4-bit fastscan SIMD
+# shuffle (reference: thirdparty/faiss/.../IndexIVFPQ.cpp scan_list_with_table,
+# IndexIVFPQFastScan.cpp): on CPU the per-code LUT lookup is an in-register
+# shuffle; the MXU equivalent is a matmul against a one-hot expansion of the
+# codes, built in VMEM so it never touches HBM:
+#
+#     score[qg, b] = sum_m LUT[qg, m*ksub + code[m, b]]
+#                  = LUT (Qg, m*ksub) @ onehot(codes) (m*ksub, B)
+#
+# chunked so each matmul has a 128/256-wide contraction (s_stack subspaces of
+# ksub levels per pass). LUTs: QLUT (per query, computed per search batch) and
+# CLUT (per list, precomputed at build: the centroid/codebook cross terms of
+# the residual L2 expansion), combined per task in VMEM. The per-(query,list)
+# constant (2<q,c> - |c|^2) is computed in-kernel from the VMEM query table
+# and the streamed centroid row. Queries are processed in slabs so QLUT stays
+# VMEM-resident; codes are stored TRANSPOSED (m_pad, nb_pad) so each task
+# block is one aligned (m_pad, B) slice.
+
+
+def _adc_kernel(
+    blk_ref,  # (Tc,) scalar prefetch: block index of each task
+    nrow_ref,  # (Tc,) scalar prefetch: valid rows
+    lid_ref,  # (Tc,) scalar prefetch: list id
+    qids_ref,  # (Tc*Qg,) scalar prefetch: query ids (slab-relative), -1 pad
+    q_ref,  # (nq_slab, d) VMEM query slab
+    qlut_ref,  # (nq_slab, m*ksub) bf16 VMEM QLUT slab
+    clut_ref,  # (1, m*ksub) bf16 — this task's list CLUT row
+    cent_ref,  # (1, d) f32 — this task's centroid row
+    codes_ref,  # (m_pad, B) i32 — this task's transposed code block
+    out_s_ref,  # (1, Qg, kk)
+    out_p_ref,  # (1, Qg, kk)
+    qs_scratch,  # (Qg, d) f32
+    lut_scratch,  # (Qg, m*ksub) bf16
+    *,
+    B: int,
+    Qg: int,
+    kk: int,
+    m: int,
+    ksub: int,
+    s_stack: int,
+    is_l2: bool,
+):
+    t = pl.program_id(0)
+    for j in range(Qg):
+        qid = jnp.maximum(qids_ref[t * Qg + j], 0)
+        qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
+        lut_scratch[pl.ds(j, 1), :] = qlut_ref[pl.ds(qid, 1), :]
+    qs = qs_scratch[...]
+    # combined LUT: QLUT - CLUT (CLUT is zeros for IP)
+    lut = lut_scratch[...] - clut_ref[...]
+
+    W = s_stack * ksub
+    acc = jnp.zeros((Qg, B), jnp.float32)
+    for i in range(m // s_stack):
+        codes = codes_ref[pl.ds(i * s_stack, s_stack), :]  # (s, B) i32
+        codes_exp = jnp.broadcast_to(
+            codes.reshape(s_stack, 1, B), (s_stack, ksub, B)
+        ).reshape(W, B)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (s_stack, ksub, B), 1).reshape(W, B)
+        oh = (codes_exp == iota_v).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            lut[:, i * W : (i + 1) * W],
+            oh,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    c = cent_ref[...]  # (1, d)
+    qc = jax.lax.dot_general(
+        qs, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Qg, 1)
+    if is_l2:
+        base = 2.0 * qc - jnp.sum(c * c)
+    else:
+        base = qc
+    score = base + acc
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
+    score = jnp.where(col < nrow_ref[t], score, NEG_INF)
+    gpos = col + blk_ref[t] * B
+    s, p = _topk_rows(score, gpos, kk)
+    out_s_ref[0] = s
+    out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B", "Qg", "kk", "m", "ksub", "s_stack", "is_l2", "interpret"),
+)
+def pallas_adc_tasks(
+    blk: jax.Array,  # (Tc,) int32
+    nrows: jax.Array,  # (Tc,) int32
+    lids: jax.Array,  # (Tc,) int32
+    qids_flat: jax.Array,  # (Tc*Qg,) int32, slab-relative
+    q: jax.Array,  # (nq_slab, d) f32
+    qlut: jax.Array,  # (nq_slab, m*ksub) bf16
+    clut: jax.Array,  # (nlist, m*ksub) bf16
+    cents: jax.Array,  # (nlist, d) f32
+    codes_t: jax.Array,  # (m_pad, nb_pad) i32
+    *,
+    B: int,
+    Qg: int,
+    kk: int,
+    m: int,
+    ksub: int,
+    s_stack: int,
+    is_l2: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (scores (Tc,Qg,kk) == 2<q,x>-|x|^2 for L2 / <q,x> for IP,
+    positions (Tc,Qg,kk) into padded sorted storage)."""
+    Tc = blk.shape[0]
+    nq_slab, d = q.shape
+    mk = m * ksub
+    m_pad = codes_t.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Tc,),
+        in_specs=[
+            pl.BlockSpec((nq_slab, d), lambda t, b, n, l, qd: (0, 0)),
+            pl.BlockSpec((nq_slab, mk), lambda t, b, n, l, qd: (0, 0)),
+            pl.BlockSpec((1, mk), lambda t, b, n, l, qd: (l[t], 0)),
+            pl.BlockSpec((1, d), lambda t, b, n, l, qd: (l[t], 0)),
+            pl.BlockSpec((m_pad, B), lambda t, b, n, l, qd: (0, b[t])),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Qg, d), jnp.float32),
+            pltpu.VMEM((Qg, mk), jnp.bfloat16),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _adc_kernel,
+            B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blk, nrows, lids, qids_flat, q, qlut, clut, cents, codes_t)
+
+
+def adc_s_stack(m: int, ksub: int) -> int:
+    """Subspaces stacked per matmul so the contraction is >=128 wide."""
+    s = max(1, 128 // ksub)
+    while s > 1 and m % s != 0:
+        s //= 2
+    return s
+
+
+# VMEM budget for the per-slab tables (query rows + QLUT rows)
+_ADC_SLAB_BYTES = 6 * 1024 * 1024
+
+
+def adc_slab_rows(d: int, mk: int) -> int:
+    """Largest pow2 query-slab size whose tables fit the VMEM budget."""
+    per_row = d * 4 + mk * 2
+    n = 16
+    while n * 2 * per_row <= _ADC_SLAB_BYTES:
+        n *= 2
+    return n
+
+
+def pallas_adc_available(
+    store: dict,
+    d: int,
+    k: int,
+    offsets: np.ndarray,
+    has_mask: bool,
+    interpret: bool = False,
+) -> bool:
+    if not _HAS_PLTPU or os.environ.get("KNOWHERE_DISABLE_PALLAS_IVF") == "1":
+        return False
+    if not interpret and not _on_tpu():
+        return False
+    if has_mask or "codes_t" not in store or "clut" not in store:
+        return False
+    if d % 128 != 0 or k > 32 or k < 1:
+        return False
+    offsets = np.asarray(offsets)
+    if offsets.size < 2 or offsets[-1] == 0:
+        return False
+    return bool((offsets % LIST_ALIGN == 0).all())
+
+
 def pallas_scan_available(
     kind: str,
     d: int,

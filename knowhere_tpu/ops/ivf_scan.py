@@ -410,7 +410,20 @@ def ivf_scan_search(
         while Qg < min(avg, 128):
             Qg *= 2
 
-    from .ivf_pallas import pallas_scan_available
+    from .ivf_pallas import pallas_adc_available, pallas_scan_available
+
+    if (
+        B is None
+        and kind == "pq"
+        and prec != "exact"
+        and pallas_adc_available(
+            store, q_dev.shape[1], k, list_offsets, keep_sorted is not None
+        )
+    ):
+        return _pallas_adc_search(
+            q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
+            return_device,
+        )
 
     if B is None and pallas_scan_available(
         kind, q_dev.shape[1], k, nq, list_offsets,
@@ -421,12 +434,30 @@ def ivf_scan_search(
             prec, return_device,
         )
 
+    if B is None and kind == "sq":
+        from .ivf_pallas import pallas_sq_available
+
+        if pallas_sq_available(
+            q_dev.shape[1], store["codes"].shape[1], k, nq, list_offsets,
+            keep_sorted is not None, sq_levels, sq_packed4, prec,
+        ):
+            return _pallas_scan_search(
+                q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
+                prec, return_device, kind="sq", sq_levels=sq_levels,
+            )
+
     if B is None:
         # block size: 512 measures fastest on v5e (1024 halves task count but
         # per-task top-k and PQ-decode gathers grow superlinearly and lose
         # more); shrink only for small-list layouts
         avg_len = float(lens_arr.mean() or 1.0)
         B = 256 if avg_len <= 256 else 512
+    if kind in ("pq", "sq", "rabitq"):
+        # decode kinds materialize the decoded chunk (Tc x B x d f32) before
+        # the matmul — at Tc=4096, B=512, d=128 that OOMs a 16GB chip. Bound
+        # the decode buffer to ~256MB per dispatch.
+        d = q_dev.shape[1]
+        task_chunk = min(task_chunk, max(256, (64 << 20) // max(B * d, 1)))
     batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=list_lengths)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
@@ -501,6 +532,165 @@ def ivf_scan_search(
     return np.asarray(best_s), np.asarray(best_p)
 
 
+@partial(jax.jit, static_argnames=("is_l2",))
+def compute_qlut(q: jax.Array, books: jax.Array, *, is_l2: bool) -> jax.Array:
+    """Per-query ADC LUT: QLUT[q, m*ksub+v] = f*<q_m, book_m[v]> (f=2 for L2).
+    bf16 — the MXU one-hot matmul selects entries, so only per-entry rounding
+    enters the ranking (below PQ reconstruction error)."""
+    m, ksub, sub = books.shape
+    q3 = q.reshape(q.shape[0], m, sub)
+    lut = jnp.einsum(
+        "qms,mvs->qmv", q3, books,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    if is_l2:
+        lut = 2.0 * lut
+    return lut.reshape(q.shape[0], m * ksub).astype(jnp.bfloat16)
+
+
+def _pallas_adc_search(
+    q_dev: jax.Array,  # (nq, d) f32, nq pow2-padded
+    store: Dict[str, jax.Array],
+    probes: np.ndarray,
+    list_offsets: np.ndarray,
+    lens_arr: np.ndarray,
+    k: int,
+    is_l2: bool,
+    Qg: int,
+    return_device: bool,
+    interpret: bool = False,
+):
+    """PQ/ScaNN ADC scan via the Pallas one-hot-matmul kernel (ops/ivf_pallas).
+
+    Queries run in pow2 slabs so the QLUT slab stays VMEM-resident; every
+    slab's task arrays ship in ONE packed h2d (each device_put costs ~28ms
+    flat on this platform)."""
+    from .ivf_pallas import (
+        LIST_ALIGN,
+        adc_s_stack,
+        adc_slab_rows,
+        pallas_adc_tasks,
+    )
+
+    nq, d = q_dev.shape
+    books = store["codebooks"]
+    m, ksub, _sub = books.shape
+    mk = m * ksub
+    B = LIST_ALIGN
+    kk = min(k, 32)
+    slab = min(adc_slab_rows(d, mk), nq)
+    n_slabs = nq // slab  # both pow2
+
+    qlut_all = compute_qlut(q_dev, books, is_l2=is_l2)
+
+    # per-slab task batches (qids slab-relative)
+    batches = [
+        build_scan_tasks(
+            probes[s0 : s0 + slab], list_offsets, B, Qg, list_lengths=lens_arr
+        )
+        for s0 in range(0, nq, slab)
+    ]
+    if all(b is None for b in batches):
+        s_empty = np.full((nq, k), NEG_INF, np.float32)
+        p_empty = np.full((nq, k), -1, np.int32)
+        if return_device:
+            return jax.device_put(s_empty), jax.device_put(p_empty)
+        return s_empty, p_empty
+
+    # fixed chunk so the scalar-prefetched qids stay within SMEM (~480KB)
+    Tc = max(8, (122880 // Qg) // 8 * 8)
+    chunk_of_slab: List[int] = []
+    for si, b in enumerate(batches):
+        n_c = 0 if b is None else (b.row_start.shape[0] + Tc - 1) // Tc
+        chunk_of_slab.extend([si] * n_c)
+    n_chunks = len(chunk_of_slab)
+    total = n_chunks * Tc
+
+    blk_h = np.zeros(total, np.int32)
+    nrow_h = np.zeros(total, np.int32)
+    lid_h = np.zeros(total, np.int32)
+    qids_h = np.full((total, Qg), -1, np.int32)
+    slots_h = np.zeros((total, Qg), np.int32)
+    ci = 0
+    for b in batches:
+        if b is None:
+            continue
+        T = b.row_start.shape[0]
+        for s0 in range(0, T, Tc):
+            e0 = min(s0 + Tc, T)
+            o = ci * Tc
+            blk_h[o : o + e0 - s0] = b.row_start[s0:e0] // B
+            nrow_h[o : o + e0 - s0] = b.nrows[s0:e0]
+            lid_h[o : o + e0 - s0] = b.list_id[s0:e0]
+            qids_h[o : o + e0 - s0] = b.qids[s0:e0]
+            slots_h[o : o + e0 - s0] = b.slots[s0:e0]
+            ci += 1
+
+    packed_h = np.concatenate(
+        [blk_h, nrow_h, lid_h, qids_h.reshape(-1), slots_h.reshape(-1)]
+    ).astype(np.int32)
+    packed_dev = jax.device_put(packed_h)  # the ONE h2d
+    blk_dev = packed_dev[:total]
+    nrow_dev = packed_dev[total : 2 * total]
+    lid_dev = packed_dev[2 * total : 3 * total]
+    qids_dev = packed_dev[3 * total : 3 * total + total * Qg]
+    slots_dev = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
+
+    s_stack = adc_s_stack(m, ksub)
+    S = _pad_pow2(max(max((b.n_slots for b in batches if b is not None)), 1), minimum=1)
+
+    # run chunks; group outputs per slab for the merge
+    per_slab_s: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
+    per_slab_p: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
+    per_slab_q: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
+    per_slab_slot: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
+    for c, si in enumerate(chunk_of_slab):
+        q_slab = jax.lax.dynamic_slice(q_dev, (si * slab, 0), (slab, d))
+        qlut_slab = jax.lax.dynamic_slice(qlut_all, (si * slab, 0), (slab, mk))
+        scores, pos = pallas_adc_tasks(
+            blk_dev[c * Tc : (c + 1) * Tc],
+            nrow_dev[c * Tc : (c + 1) * Tc],
+            lid_dev[c * Tc : (c + 1) * Tc],
+            qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
+            q_slab,
+            qlut_slab,
+            store["clut"],
+            store["centroids"],
+            store["codes_t"],
+            B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
+            interpret=interpret,
+        )
+        per_slab_s[si].append(scores)
+        per_slab_p[si].append(pos)
+        per_slab_q[si].append(qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg].reshape(Tc, Qg))
+        per_slab_slot[si].append(slots_dev[c * Tc : (c + 1) * Tc])
+
+    slab_results = []
+    empty_s = None
+    for si in range(n_slabs):
+        if not per_slab_s[si]:
+            if empty_s is None:
+                empty_s = (
+                    jnp.full((slab, k), NEG_INF, jnp.float32),
+                    jnp.full((slab, k), -1, jnp.int32),
+                )
+            slab_results.append(empty_s)
+            continue
+        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)  # noqa: E731
+        best = _merge_tasks(
+            cat(per_slab_s[si]), cat(per_slab_p[si]),
+            cat(per_slab_q[si]), cat(per_slab_slot[si]),
+            nq=slab, S=S, kk=kk, k=k,
+        )
+        slab_results.append(best)
+
+    best_s = jnp.concatenate([r[0] for r in slab_results]) if n_slabs > 1 else slab_results[0][0]
+    best_p = jnp.concatenate([r[1] for r in slab_results]) if n_slabs > 1 else slab_results[0][1]
+    if return_device:
+        return best_s, best_p
+    return np.asarray(best_s), np.asarray(best_p)
+
+
 def _pallas_scan_search(
     q_dev: jax.Array,
     store: Dict[str, jax.Array],
@@ -512,9 +702,12 @@ def _pallas_scan_search(
     Qg: int,
     prec: str,
     return_device: bool,
+    kind: str = "raw",
+    sq_levels: int = 0,
 ):
-    """Hot raw-vector path: block-aligned Pallas task scan (ops/ivf_pallas)."""
-    from .ivf_pallas import LIST_ALIGN, pallas_scan_tasks
+    """Hot raw-vector / SQ-code path: block-aligned Pallas task scan
+    (ops/ivf_pallas; kind 'sq' decodes u8 codes in-kernel)."""
+    from .ivf_pallas import LIST_ALIGN, pallas_scan_tasks, pallas_sq_tasks
 
     nq = q_dev.shape[0]
     B = LIST_ALIGN
@@ -561,18 +754,31 @@ def _pallas_scan_search(
 
     score_chunks, pos_chunks = [], []
     for c in range(n_chunks):
-        scores, pos = pallas_scan_tasks(
+        args = (
             blk_dev[c * Tc : (c + 1) * Tc],
             nrows_dev[c * Tc : (c + 1) * Tc],
             qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
             q_dev,
-            store["data"],
-            B=B,
-            Qg=Qg,
-            kk=kk,
-            is_l2=is_l2,
-            three_pass=three_pass,
         )
+        if kind == "sq":
+            scores, pos = pallas_sq_tasks(
+                *args,
+                store["vmin"].reshape(1, -1),
+                store["vdiff"].reshape(1, -1),
+                store["codes"],
+                B=B, Qg=Qg, kk=kk, levels=sq_levels, is_l2=is_l2,
+                three_pass=three_pass,
+            )
+        else:
+            scores, pos = pallas_scan_tasks(
+                *args,
+                store["data"],
+                B=B,
+                Qg=Qg,
+                kk=kk,
+                is_l2=is_l2,
+                three_pass=three_pass,
+            )
         score_chunks.append(scores)
         pos_chunks.append(pos)
 

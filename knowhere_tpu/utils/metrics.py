@@ -86,3 +86,16 @@ def get_fallback_observations(metric_name: str, index_type: str) -> List[float]:
     if h is None or _HAS_PROM:
         return []
     return list(h[index_type].observations)
+
+
+def get_observation_count(metric_name: str, index_type: str) -> int:
+    """Observation count for a histogram, in either backend (test hook)."""
+    h = _registry._hists.get(metric_name)
+    if h is None:
+        return 0
+    if not _HAS_PROM:
+        return len(h[index_type].observations)
+    for s in h.collect()[0].samples:
+        if s.name.endswith("_count") and s.labels.get("index_type", index_type) == index_type:
+            return int(s.value)
+    return 0

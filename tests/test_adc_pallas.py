@@ -1,0 +1,204 @@
+"""Pallas ADC (PQ/ScaNN) kernel vs exact decode oracle (interpret mode).
+
+The kernel scores IVF-PQ candidates as LUT @ onehot(codes) on the MXU
+(ops/ivf_pallas.pallas_adc_tasks); parity target is the reference's ADC LUT
+scan (thirdparty/faiss/.../IndexIVFPQ.cpp scan_list_with_table). bf16 LUT
+rounding bounds the tolerance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from knowhere_tpu.ops.ivf_pallas import LIST_ALIGN, adc_s_stack, pallas_adc_tasks
+from knowhere_tpu.ops.ivf_scan import compute_qlut
+
+
+def _setup(metric, m, ksub, seed=0):
+    rng = np.random.default_rng(seed)
+    d = 128
+    sub = d // m
+    nlist = 4
+    B = LIST_ALIGN
+    nb_pad = nlist * B  # one block per list
+    books = rng.standard_normal((m, ksub, sub)).astype(np.float32) * 0.3
+    cents = rng.standard_normal((nlist, d)).astype(np.float32)
+    codes = rng.integers(0, ksub, size=(nb_pad, m)).astype(np.uint8)
+    m_pad = (m + 7) // 8 * 8
+    codes_t = np.zeros((m_pad, nb_pad), np.int32)
+    codes_t[:m] = codes.T
+    nq = 16
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+
+    is_l2 = metric == "L2"
+    if is_l2:
+        c3 = cents.reshape(nlist, m, sub)
+        clut = 2.0 * np.einsum("lms,mvs->lmv", c3, books) + np.sum(books**2, -1)[None]
+    else:
+        clut = np.zeros((nlist, m, ksub), np.float32)
+    clut_dev = jax.device_put(clut.reshape(nlist, m * ksub)).astype(jnp.bfloat16)
+
+    # decode oracle: x = centroid + concat_m books[m][code]
+    dec = books.reshape(m * ksub, sub)[
+        codes.astype(np.int64) + (np.arange(m) * ksub)[None, :]
+    ].reshape(nb_pad, d)
+    lists = np.repeat(np.arange(nlist), B)
+    x = dec + cents[lists]
+    if is_l2:
+        gt_score = 2.0 * q @ x.T - np.sum(x**2, axis=1)[None, :]
+    else:
+        gt_score = q @ x.T
+    return q, books, cents, codes_t, clut_dev, gt_score, is_l2
+
+
+@pytest.mark.parametrize("metric,m,ksub", [("L2", 16, 256), ("IP", 16, 256), ("L2", 64, 16)])
+def test_adc_kernel_matches_decode_oracle(metric, m, ksub):
+    q, books, cents, codes_t, clut_dev, gt_score, is_l2 = _setup(metric, m, ksub)
+    B = LIST_ALIGN
+    nq = q.shape[0]
+    Qg = 16
+    kk = 10
+    nlist = cents.shape[0]
+
+    # one task per (list block, all queries); every list has exactly one block
+    Tc = 8  # pad to 8 tasks
+    blk = np.zeros(Tc, np.int32)
+    nrows = np.zeros(Tc, np.int32)
+    lids = np.zeros(Tc, np.int32)
+    qids = np.full((Tc, Qg), -1, np.int32)
+    for t in range(nlist):
+        blk[t] = t
+        nrows[t] = B if t < nlist - 1 else B - 17  # ragged tail list
+        lids[t] = t
+        qids[t] = np.arange(nq)
+
+    qlut = compute_qlut(jax.device_put(q), jax.device_put(books), is_l2=is_l2)
+    scores, pos = pallas_adc_tasks(
+        jax.device_put(blk),
+        jax.device_put(nrows),
+        jax.device_put(lids),
+        jax.device_put(qids.reshape(-1)),
+        jax.device_put(q),
+        qlut,
+        clut_dev,
+        jax.device_put(cents),
+        jax.device_put(codes_t),
+        B=B,
+        Qg=Qg,
+        kk=kk,
+        m=m,
+        ksub=ksub,
+        s_stack=adc_s_stack(m, ksub),
+        is_l2=is_l2,
+        interpret=True,
+    )
+    scores = np.asarray(scores)
+    pos = np.asarray(pos)
+
+    for t in range(nlist):
+        n = int(nrows[t])
+        block_gt = gt_score[:, t * B : t * B + n]  # (nq, n) masked to valid rows
+        order = np.argsort(-block_gt, axis=1)[:, :kk]
+        gt_top = np.take_along_axis(block_gt, order, axis=1)
+        for qi in range(nq):
+            got_s = scores[t, qi, :]
+            got_p = pos[t, qi, :] - t * B
+            # positions must be valid and scores match the oracle's values
+            assert (got_p >= 0).all() and (got_p < n).all()
+            oracle_at_p = block_gt[qi, got_p]
+            np.testing.assert_allclose(got_s, oracle_at_p, rtol=2e-2, atol=2e-2)
+            # top-k sets agree within bf16-LUT noise: compare score VALUES
+            np.testing.assert_allclose(
+                np.sort(got_s)[::-1], gt_top[qi], rtol=2e-2, atol=2e-2
+            )
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP"])
+def test_sq_kernel_matches_decode_oracle(metric):
+    """Pallas SQ8 scan (in-kernel u8 affine decode) vs numpy decode oracle."""
+    from knowhere_tpu.ops.ivf_pallas import pallas_sq_tasks
+
+    rng = np.random.default_rng(5)
+    d = 128
+    B = LIST_ALIGN
+    nb_pad = 2 * B
+    levels = 256
+    vmin = rng.standard_normal(d).astype(np.float32)
+    vdiff = (rng.random(d).astype(np.float32) + 0.5) * 2.0
+    codes = rng.integers(0, levels, size=(nb_pad, d)).astype(np.uint8)
+    rows = vmin[None] + (codes.astype(np.float32) + 0.5) / levels * vdiff[None]
+    nq, Qg, kk = 8, 8, 10
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    is_l2 = metric == "L2"
+    gt = 2.0 * q @ rows.T - np.sum(rows**2, 1)[None] if is_l2 else q @ rows.T
+
+    Tc = 8
+    blk = np.zeros(Tc, np.int32)
+    nrows = np.zeros(Tc, np.int32)
+    qids = np.full((Tc, Qg), -1, np.int32)
+    for t in range(2):
+        blk[t], nrows[t] = t, B if t == 0 else B - 9
+        qids[t] = np.arange(nq)
+    s, p = pallas_sq_tasks(
+        jax.device_put(blk),
+        jax.device_put(nrows),
+        jax.device_put(qids.reshape(-1)),
+        jax.device_put(q),
+        jax.device_put(vmin.reshape(1, -1)),
+        jax.device_put(vdiff.reshape(1, -1)),
+        jax.device_put(codes),
+        B=B, Qg=Qg, kk=kk, levels=levels, is_l2=is_l2, three_pass=False,
+        interpret=True,
+    )
+    s, p = np.asarray(s), np.asarray(p)
+    for t in range(2):
+        n = int(nrows[t])
+        block_gt = gt[:, t * B : t * B + n]
+        gt_top = np.take_along_axis(
+            block_gt, np.argsort(-block_gt, 1)[:, :kk], axis=1
+        )
+        for qi in range(nq):
+            np.testing.assert_allclose(
+                np.sort(s[t, qi])[::-1], gt_top[qi], rtol=2e-2, atol=2e-2
+            )
+            got_p = p[t, qi] - t * B
+            assert (got_p >= 0).all() and (got_p < n).all()
+
+
+def test_adc_end_to_end_ivf_pq_recall():
+    """IVF_PQ search through _pallas_adc_search (interpret) vs XLA scan path."""
+    from knowhere_tpu.ops.ivf_scan import _pallas_adc_search, coarse_probe_host
+
+    rng = np.random.default_rng(3)
+    d, m, ksub = 128, 16, 256
+    nlist = 4
+    B = LIST_ALIGN
+    q, books, cents, codes_t, clut_dev, gt_score, _ = _setup("L2", m, ksub, seed=3)
+    nb_pad = codes_t.shape[1]
+    lens = np.array([B, B, B, B - 17], np.int64)
+    offsets = np.arange(nlist + 1, dtype=np.int64) * B
+
+    store = {
+        "codebooks": jax.device_put(books),
+        "centroids": jax.device_put(cents),
+        "codes_t": jax.device_put(codes_t),
+        "clut": clut_dev,
+    }
+    nprobe = nlist
+    probes = coarse_probe_host(q, cents, nprobe, True)
+    k = 10
+    s, p = _pallas_adc_search(
+        jax.device_put(q), store, probes, offsets, lens, k, True, 16, False,
+        interpret=True,
+    )
+    # oracle over all valid rows
+    valid = np.zeros(nb_pad, bool)
+    for l in range(nlist):
+        valid[l * B : l * B + lens[l]] = True
+    gt_masked = np.where(valid[None, :], gt_score, -np.inf)
+    gt_top = np.argsort(-gt_masked, axis=1)[:, :k]
+    hits = sum(
+        len(set(gt_top[i].tolist()) & set(p[i].tolist())) for i in range(q.shape[0])
+    )
+    assert hits / (q.shape[0] * k) >= 0.95
