@@ -54,7 +54,7 @@ BUILD_CFG = {
 }
 
 SEARCH_EXTRA = {
-    "IVF_PQ": {"refine_k": 4},
+    "IVF_PQ": {"refine_k": 8},
     "SCANN": {"reorder_k": 100},
     "IVF_RABITQ": {"refine_k": 8},
 }

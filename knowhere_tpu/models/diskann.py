@@ -93,6 +93,7 @@ class DiskANNIndexNode(IndexNode):
         self._graph_dev = None
         self._graph_shape = None
         self._entry = None
+        self._entry_cents = None  # kmeans routing centroids (device)
         self._store: Optional[Dict[str, jax.Array]] = None
         self._disk_data: Optional[np.memmap] = None  # raw rows on disk
         self._refine_store: Optional[RefineStore] = None  # HBM cache of raw rows
@@ -147,10 +148,29 @@ class DiskANNIndexNode(IndexNode):
         efc = int(cfg.get("search_list_size") or 128)
         inter = min(max(deg * 2, min(efc, 128)), max(self._count - 1, 1))
         internal = M.IP if self._metric == M.COSINE else self._metric
-        graph = build_graph(x, deg, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA)
-        entry = pick_entry_points(
-            x, n_entry=int(min(max(64, self._count // 500), 1024, self._count))
+        # one kmeans shared by the kNN-graph accelerator and routed entries
+        cents = assign = None
+        if self._count > 65536:
+            from ..ops.kmeans import kmeans as _kmeans
+
+            cents, assign = _kmeans(x, max(64, int(np.sqrt(self._count))), n_iters=8)
+        graph = build_graph(
+            x, deg, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA,
+            centroids=cents, assign=assign,
         )
+        entry_cents = None
+        if cents is not None:
+            from ..ops import distances as D
+            from ..ops import topk as T
+
+            base_dev = jax.device_put(x)
+            ids, _ = T.knn_search(cents, base_dev, 1, "L2", aux=D.base_aux("L2", base_dev))
+            entry = ids.reshape(-1).astype(np.int32)
+            entry_cents = cents.astype(np.float32)
+        else:
+            entry = pick_entry_points(
+                x, n_entry=int(min(max(64, self._count // 500), 1024, self._count))
+            )
 
         # PQ codes sized by pq_code_budget_gb (bytes/vector)
         budget_gb = cfg.get("pq_code_budget_gb")
@@ -163,13 +183,16 @@ class DiskANNIndexNode(IndexNode):
         pq = Q.pq_train(x, m, 8)
         codes = Q.pq_encode(pq, x)
 
+        mem_sections = {
+            "graph": graph,
+            "entry": entry,
+            "pq_codebooks": pq.codebooks,
+            "pq_codes": codes,
+        }
+        if entry_cents is not None:
+            mem_sections["entry_cents"] = entry_cents
         mem_blob = write_sections(
-            {
-                "graph": graph,
-                "entry": entry,
-                "pq_codebooks": pq.codebooks,
-                "pq_codes": codes,
-            },
+            mem_sections,
             meta={
                 "metric": self._metric,
                 "dim": self._dim,
@@ -216,6 +239,11 @@ class DiskANNIndexNode(IndexNode):
             self._graph_dev = jax.device_put(graph)
             self._graph_shape = graph.shape
             self._entry = jax.device_put(np.asarray(arrays["entry"]))
+            self._entry_cents = (
+                jax.device_put(np.asarray(arrays["entry_cents"]))
+                if "entry_cents" in arrays
+                else None
+            )
             books = np.asarray(arrays["pq_codebooks"])
             self._store = {
                 "codes": jax.device_put(np.asarray(arrays["pq_codes"])),
@@ -296,6 +324,9 @@ class DiskANNIndexNode(IndexNode):
             xq_pad = self._pad_q(xq)
             from ..ops.distances import matmul_precision_name
 
+            # beamwidth parity with the reference's cached_beam_search knob
+            W = int(cfg.get("beamwidth") or max(1, min(8, L // 16)))
+            n_seed = 0 if self._entry_cents is None else int(min(max(8, L // 8), 64))
             scores, cand = beam_search(
                 jax.device_put(xq_pad),
                 self._store,
@@ -306,10 +337,13 @@ class DiskANNIndexNode(IndexNode):
                 ef=L,
                 k=min(L, max(k * 2, 32)),
                 deg=self._graph_shape[1],
-                max_iters=2 * L + 32,
+                max_iters=(2 * L) // max(W, 1) + 32,
                 is_l2=is_l2,
                 has_mask=keep is not None,
                 prec=matmul_precision_name(),
+                beam_width=W,
+                route_cents=self._entry_cents,
+                n_seed=n_seed,
             )
             cand = np.asarray(cand)[:nq]
             dists, ids = self._rerank_from_disk(xq, cand, k, is_l2)
@@ -466,6 +500,50 @@ class DiskANNIndexNode(IndexNode):
 
     def HasRawData(self, metric_type: str = "L2") -> bool:
         return normalize_metric(metric_type) != M.COSINE
+
+    def GetIndexMeta(self, cfg: Config) -> "expected[DataSet]":
+        """Vamana graph overview (reference include/knowhere/feder/DiskANN.h)."""
+        import json as _json
+
+        if not self._loaded:
+            return expected.Err(Status.empty_index, "diskann index not loaded")
+        graph = np.asarray(self._graph_dev)
+        deg = (graph >= 0).sum(axis=1)
+        meta = {
+            "index_type": self.Type(),
+            "metric_type": self._metric,
+            "dim": self._dim,
+            "count": self._count,
+            "max_degree": int(self._graph_shape[1]),
+            "avg_degree": float(deg.mean()),
+            "entry_points": np.asarray(self._entry).tolist()[:64],
+        }
+        ds = DataSet()
+        ds.set("json_info", _json.dumps(meta))
+        return expected.Ok(ds)
+
+    def GetFederVisit(self, dataset: DataSet, cfg: Config) -> "expected[DataSet]":
+        """trace_visit replay of the beam walk (reference feder/DiskANN.h)."""
+        import json as _json
+
+        from ..feder import instrumented_walk
+
+        if not self._loaded:
+            return expected.Err(Status.empty_index, "diskann index not loaded")
+        xq = self._prep_q(dataset)
+        ef = int(cfg.get("search_list_size") or max(int(cfg.get("k", 10) or 10), 16))
+        graph = np.asarray(self._graph_dev)
+        entry = np.asarray(self._entry)
+        x_host = np.asarray(self._disk_data[:])
+        traces = [
+            instrumented_walk(
+                x_host, graph, entry, q, ef, is_l2=self._metric != M.IP
+            )
+            for q in xq
+        ]
+        ds = DataSet()
+        ds.set("json_id_set", _json.dumps(traces))
+        return expected.Ok(ds)
 
     def Dim(self) -> int:
         return self._dim

@@ -970,6 +970,31 @@ class IvfIndexNode(IndexNode):
         ds.set("json_info", _json.dumps(meta))
         return expected.Ok(ds)
 
+    def GetFederVisit(self, dataset: DataSet, cfg: Config) -> "expected[DataSet]":
+        """trace_visit replay: per-query probed lists + their sizes
+        (reference include/knowhere/feder/IVFFlat.h FederResult)."""
+        import json as _json
+
+        from ..ops.ivf_scan import coarse_probe_host
+
+        if self._offsets is None:
+            return expected.Err(Status.empty_index, "index not built")
+        xq = self._prep_queries(dataset)
+        nprobe = int(cfg.get("nprobe", 8) or 8)
+        probes = coarse_probe_host(xq, self._centroids, nprobe, self._is_l2_like())
+        lens = self._lengths if self._lengths is not None else np.diff(self._offsets)
+        traces = [
+            [
+                {"list_id": int(l), "size": int(lens[l])}
+                for l in row.tolist()
+                if l >= 0
+            ]
+            for row in probes
+        ]
+        ds = DataSet()
+        ds.set("json_id_set", _json.dumps(traces))
+        return expected.Ok(ds)
+
     # --- serialization ------------------------------------------------------------------
     def Serialize(self, binset: BinarySet) -> Status:
         with self._lock:

@@ -325,7 +325,8 @@ def pallas_sq_available(
         return False
     if prec not in ("fast", "bf16"):
         return False
-    if d % 128 != 0 or k > 32 or k < 1:
+    # per-task top-k caps at 32; the cross-block merge produces any k
+    if d % 128 != 0 or k < 1:
         return False
     if nq_pad * d * 4 > _Q_VMEM_BYTES:
         return False
@@ -365,8 +366,8 @@ def _adc_kernel(
     qids_ref,  # (Tc*Qg,) scalar prefetch: query ids (slab-relative), -1 pad
     q_ref,  # (nq_slab, d) VMEM query slab
     qlut_ref,  # (nq_slab, m*ksub) bf16 VMEM QLUT slab
-    clut_ref,  # (1, m*ksub) bf16 — this task's list CLUT row
-    cent_ref,  # (1, d) f32 — this task's centroid row
+    clut_ref,  # (1, 1, m*ksub) bf16 — this task's list CLUT row
+    cent_ref,  # (1, 1, d) f32 — this task's centroid row
     codes_ref,  # (m_pad, B) i32 — this task's transposed code block
     out_s_ref,  # (1, Qg, kk)
     out_p_ref,  # (1, Qg, kk)
@@ -388,7 +389,7 @@ def _adc_kernel(
         lut_scratch[pl.ds(j, 1), :] = qlut_ref[pl.ds(qid, 1), :]
     qs = qs_scratch[...]
     # combined LUT: QLUT - CLUT (CLUT is zeros for IP)
-    lut = lut_scratch[...] - clut_ref[...]
+    lut = lut_scratch[...] - clut_ref[0]
 
     W = s_stack * ksub
     acc = jnp.zeros((Qg, B), jnp.float32)
@@ -406,7 +407,7 @@ def _adc_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    c = cent_ref[...]  # (1, d)
+    c = cent_ref[0]  # (1, d)
     qc = jax.lax.dot_general(
         qs, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Qg, 1)
@@ -454,14 +455,19 @@ def pallas_adc_tasks(
     nq_slab, d = q.shape
     mk = m * ksub
     m_pad = codes_t.shape[0]
+    # per-list rows stream as (1, 1, W) 3D blocks: a (1, W) 2D block violates
+    # Mosaic's (8, 128)-divisible block rule, but a leading singleton whose
+    # last two dims EQUAL the array dims is allowed
+    clut3 = clut.reshape(clut.shape[0], 1, mk)
+    cents3 = cents.reshape(cents.shape[0], 1, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(Tc,),
         in_specs=[
             pl.BlockSpec((nq_slab, d), lambda t, b, n, l, qd: (0, 0)),
             pl.BlockSpec((nq_slab, mk), lambda t, b, n, l, qd: (0, 0)),
-            pl.BlockSpec((1, mk), lambda t, b, n, l, qd: (l[t], 0)),
-            pl.BlockSpec((1, d), lambda t, b, n, l, qd: (l[t], 0)),
+            pl.BlockSpec((1, 1, mk), lambda t, b, n, l, qd: (l[t], 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda t, b, n, l, qd: (l[t], 0, 0)),
             pl.BlockSpec((m_pad, B), lambda t, b, n, l, qd: (0, b[t])),
         ],
         out_specs=[
@@ -484,7 +490,7 @@ def pallas_adc_tasks(
             jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
         ],
         interpret=interpret,
-    )(blk, nrows, lids, qids_flat, q, qlut, clut, cents, codes_t)
+    )(blk, nrows, lids, qids_flat, q, qlut, clut3, cents3, codes_t)
 
 
 def adc_s_stack(m: int, ksub: int) -> int:
@@ -522,7 +528,9 @@ def pallas_adc_available(
         return False
     if has_mask or "codes_t" not in store or "clut" not in store:
         return False
-    if d % 128 != 0 or k > 32 or k < 1:
+    # k may exceed the per-task top-k width (32): each task contributes its
+    # best 32 per block and the cross-block merge produces the requested k
+    if d % 128 != 0 or k < 1:
         return False
     offsets = np.asarray(offsets)
     if offsets.size < 2 or offsets[-1] == 0:
@@ -550,7 +558,8 @@ def pallas_scan_available(
         return False
     if prec not in ("fast", "bf16"):
         return False  # 'exact' keeps the fp32 XLA path
-    if d % 128 != 0 or k > 32 or k < 1:
+    # per-task top-k caps at 32; the cross-block merge produces any k
+    if d % 128 != 0 or k < 1:
         return False
     if nq_pad * d * 4 > _Q_VMEM_BYTES:
         return False  # query table must stay VMEM-resident

@@ -299,9 +299,13 @@ def _merge_tasks(
     merged_p = merged_p.at[flat_idx.reshape(-1)].set(pos.reshape(-1, kk))
     ms = merged_s[: nq * S].reshape(nq, S * kk)
     mp = merged_p[: nq * S].reshape(nq, S * kk)
-    best_s, sel = jax.lax.top_k(ms, k)
+    k_eff = min(k, S * kk)  # fewer candidates than k: pad below
+    best_s, sel = jax.lax.top_k(ms, k_eff)
     best_p = jnp.take_along_axis(mp, sel, axis=1)
     best_p = jnp.where(best_s == NEG_INF, -1, best_p)
+    if k_eff < k:
+        best_s = jnp.pad(best_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        best_p = jnp.pad(best_p, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return best_s, best_p
 
 
@@ -458,6 +462,12 @@ def ivf_scan_search(
         # the decode buffer to ~256MB per dispatch.
         d = q_dev.shape[1]
         task_chunk = min(task_chunk, max(256, (64 << 20) // max(B * d, 1)))
+        if kind == "pq":
+            # the codebook gather produces (Tc*B*m, sub_dim) rows; XLA pads
+            # the trailing dim to 128 lanes, so sub_dim=2 blows up 64x — bound
+            # by PADDED bytes (~2GB)
+            m = store["codes"].shape[1]
+            task_chunk = min(task_chunk, max(32, (1 << 22) // max(B * m // 128, 1) // 128))
     batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=list_lengths)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
@@ -719,7 +729,7 @@ def _pallas_scan_search(
             return jax.device_put(s_empty), jax.device_put(p_empty)
         return s_empty, p_empty
 
-    kk = min(k, B)
+    kk = min(k, 32)  # per-task top-k width; the merge produces the full k
     T = batch.row_start.shape[0]
     blk_all = (batch.row_start // B).astype(np.int32)  # exact: aligned storage
     three_pass = prec == "fast"

@@ -114,3 +114,23 @@ class TestFeder:
         traces = json.loads(visit.value().get("json_id_set"))
         assert len(traces) == 2 and len(traces[0]) > 5
         assert all("id" in t and "distance" in t and "source" in t for t in traces[0])
+
+    def test_ivf_overview_and_visit(self):
+        """IVF feder (reference include/knowhere/feder/IVFFlat.h)."""
+        base = gen_dataset(2000, 32, seed=117)
+        idx = kt.IndexFactory.Instance().Create("IVF_FLAT").value()
+        idx.Build(base, {"metric_type": "L2", "nlist": 16})
+        meta = idx.GetIndexMeta({})
+        assert meta.has_value(), meta.what()
+        info = json.loads(meta.value().get("json_info"))
+        assert info["nlist"] == 16 and sum(info["list_sizes"]) == 2000
+
+        from knowhere_tpu.config import Config, Stage
+
+        cfg = idx.node.CreateConfig()
+        Config.load(cfg, {"metric_type": "L2", "k": 5, "nprobe": 4}, Stage.SEARCH)
+        visit = idx.node.GetFederVisit(gen_dataset(3, 32, seed=118), cfg)
+        assert visit.has_value(), visit.what()
+        traces = json.loads(visit.value().get("json_id_set"))
+        assert len(traces) == 3 and len(traces[0]) == 4
+        assert all("list_id" in t and "size" in t for t in traces[0])
