@@ -252,11 +252,19 @@ class IvfIndexNode(IndexNode):
         x = self._prep_rows(x_in)
 
         self._nlist = match_nlist(rows, int(cfg.nlist))
-        centroids, _ = kmeans(x, self._nlist, n_iters=12, seed=1234)
+        centroids, assign_full = kmeans(x, self._nlist, n_iters=12, seed=1234)
         if self._is_binary():
             # binary IVF: centroids snap to {0,1} bit planes (majority vote)
             centroids = (centroids > 0.5).astype(np.float32)
+            assign_full = None  # snapped centroids invalidate the assignment
         self._centroids = centroids
+        # reuse the full assignment in Add when Build=Train+Add runs on the
+        # same rows (each re-assignment ships the whole corpus host->device)
+        self._assign_cache = (
+            (rows, float(x[:: max(rows // 7, 1), 0].sum()), assign_full)
+            if assign_full is not None
+            else None
+        )
 
         # codec training
         if self.VARIANT == "pq":
@@ -266,8 +274,7 @@ class IvfIndexNode(IndexNode):
                     f"dim {self._dim} not divisible by m {m}", Status.invalid_args
                 )
             nbits = match_nbits(rows, int(cfg.nbits))
-            assign = assign_rows(x, centroids)
-            resid = x - centroids[assign]
+            resid = x - centroids[assign_full]
             self._pq = Q.pq_train(resid, int(m), nbits)
             self._refine_cfg = self._refine_kind(cfg)
         elif self.VARIANT == "scann":
@@ -277,8 +284,7 @@ class IvfIndexNode(IndexNode):
                     f"dim {self._dim} not divisible by sub_dim {sub_dim}", Status.invalid_args
                 )
             m = self._dim // sub_dim
-            assign = assign_rows(x, centroids)
-            resid = x - centroids[assign]
+            resid = x - centroids[assign_full]
             self._pq = Q.pq_train(resid, m, match_nbits(rows, 4))
             self._refine_cfg = "raw" if cfg.with_raw_data else None
         elif self.VARIANT in ("sq", "sq_cc"):
@@ -328,7 +334,16 @@ class IvfIndexNode(IndexNode):
 
         x = self._prep_rows(x_in)
         nb = x.shape[0]
-        assign = assign_rows(x, self._centroids)
+        cache = getattr(self, "_assign_cache", None)
+        if (
+            cache is not None
+            and cache[0] == nb
+            and cache[1] == float(x[:: max(nb // 7, 1), 0].sum())
+        ):
+            assign = cache[2]  # Build=Train+Add on the same rows
+        else:
+            assign = assign_rows(x, self._centroids)
+        self._assign_cache = None
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=self._nlist).astype(np.int64)
         self._count = nb

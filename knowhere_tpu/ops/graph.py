@@ -148,6 +148,64 @@ def _prune_chunk(
     return jnp.where(sel_valid, sel_ids, -1)
 
 
+@partial(jax.jit, static_argnames=("deg", "is_l2", "alpha"))
+def prune_candidates_ids(
+    x_all: jax.Array,  # (nb, d) device-resident base (old + new rows)
+    cand_ids: jax.Array,  # (C, K) candidate pool, -1 padded, may hold dups
+    node_ids: jax.Array,  # (C,) the nodes being (re)pruned
+    *,
+    deg: int,
+    is_l2: bool,
+    alpha: float = 1.0,
+) -> jax.Array:
+    """`_prune_chunk` for a NON-CONTIGUOUS node set with an UNSORTED candidate
+    pool — the incremental-insert path (new-node neighbor selection and
+    reverse-edge repair of touched old nodes; hnswlib analog:
+    mutuallyConnectNewElement's getNeighborsByHeuristic2 re-prune,
+    thirdparty/hnswlib/hnswlib/hnswalg.h). Node vectors gather by id;
+    candidates are distance-sorted and deduped in-function."""
+    C, K = cand_ids.shape
+    x_nodes = jnp.take(x_all, jnp.clip(node_ids, 0), axis=0)  # (C, d)
+    cand_vecs = jnp.take(x_all, jnp.clip(cand_ids, 0), axis=0)  # (C, K, d)
+
+    if is_l2:
+        d_node = jnp.sum((cand_vecs - x_nodes[:, None, :]) ** 2, axis=-1)
+    else:
+        d_node = -jnp.einsum("cd,ckd->ck", x_nodes, cand_vecs)
+
+    BIG = jnp.float32(3.0e38)
+    valid = (cand_ids >= 0) & (cand_ids != node_ids[:, None])
+    key = jnp.where(valid, d_node, BIG)
+    order = jnp.argsort(key, axis=1)
+    cid = jnp.take_along_axis(cand_ids, order, axis=1)
+    cvecs = jnp.take_along_axis(cand_vecs, order[:, :, None], axis=1)
+    dn = jnp.take_along_axis(key, order, axis=1)
+    vv = jnp.take_along_axis(valid, order, axis=1)
+    # dedup: a candidate may arrive from both the old adjacency and the
+    # incoming reverse edges — keep its best-ranked occurrence
+    tri = jnp.arange(K)[None, :, None] > jnp.arange(K)[None, None, :]
+    dup = jnp.any((cid[:, :, None] == cid[:, None, :]) & tri, axis=2)
+    vv &= ~dup
+
+    if is_l2:
+        pair = jnp.sum((cvecs[:, :, None, :] - cvecs[:, None, :, :]) ** 2, axis=-1)
+    else:
+        pair = -jnp.einsum("ckd,cjd->ckj", cvecs, cvecs)
+
+    def body(j, kept):
+        conflict = kept & (alpha * pair[:, j, :] < dn[:, j][:, None])
+        ok = ~jnp.any(conflict, axis=1) & vv[:, j]
+        ok &= jnp.sum(kept, axis=1) < deg
+        return kept.at[:, j].set(ok)
+
+    kept = jax.lax.fori_loop(0, K, body, jnp.zeros((C, K), dtype=bool))
+    key2 = jnp.where(kept, jnp.arange(K)[None, :], K + 1)
+    order2 = jnp.argsort(key2, axis=1)[:, :deg]
+    sel_ids = jnp.take_along_axis(cid, order2, axis=1)
+    sel_valid = jnp.take_along_axis(kept, order2, axis=1)
+    return jnp.where(sel_valid, sel_ids, -1)
+
+
 def build_graph(
     x: np.ndarray,
     deg: int,

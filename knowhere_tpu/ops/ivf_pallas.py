@@ -95,16 +95,19 @@ def _scan_kernel(
     qids_ref,  # (Tc*Qg,) scalar prefetch: query ids, -1 padded
     q_ref,  # (nq_pad, d) VMEM-resident query table
     rows_ref,  # (B, d) current list block
-    out_s_ref,  # (1, Qg, kk)
-    out_p_ref,  # (1, Qg, kk)
-    qs_scratch,  # (Qg, d) VMEM
-    *,
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
     B: int,
     Qg: int,
     kk: int,
     is_l2: bool,
     three_pass: bool,
+    has_mask: bool,
 ):
+    if has_mask:
+        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
+    else:
+        keep_ref = None
+        out_s_ref, out_p_ref, qs_scratch = rest
     t = pl.program_id(0)
     for j in range(Qg):
         qid = jnp.maximum(qids_ref[t * Qg + j], 0)
@@ -138,36 +141,48 @@ def _scan_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
     score = jnp.where(col < nrow_ref[t], score, NEG_INF)
+    if has_mask:
+        score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
     s, p = _topk_rows(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "Qg", "kk", "is_l2", "three_pass"))
+@functools.partial(
+    jax.jit, static_argnames=("B", "Qg", "kk", "is_l2", "three_pass", "interpret")
+)
 def pallas_scan_tasks(
     blk: jax.Array,  # (Tc,) int32
     nrows: jax.Array,  # (Tc,) int32
     qids_flat: jax.Array,  # (Tc*Qg,) int32
     q: jax.Array,  # (nq_pad, d) f32
     data: jax.Array,  # (nb_pad, d) f32, nb_pad % B == 0
+    keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32 bitset blocks
     *,
     B: int,
     Qg: int,
     kk: int,
     is_l2: bool,
     three_pass: bool,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (Tc,Qg,kk), positions (Tc,Qg,kk) into padded storage)."""
     Tc = blk.shape[0]
     nq_pad, d = q.shape
+    has_mask = keep is not None
+    in_specs = [
+        pl.BlockSpec((nq_pad, d), lambda t, b, n, qd: (0, 0)),
+        pl.BlockSpec((B, d), lambda t, b, n, qd: (b[t], 0)),
+    ]
+    inputs = [blk, nrows, qids_flat, q, data]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, qd: (b[t], 0, 0)))
+        inputs.append(keep)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(Tc,),
-        in_specs=[
-            pl.BlockSpec((nq_pad, d), lambda t, b, n, qd: (0, 0)),
-            pl.BlockSpec((B, d), lambda t, b, n, qd: (b[t], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
             pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
@@ -176,14 +191,16 @@ def pallas_scan_tasks(
     )
     return pl.pallas_call(
         functools.partial(
-            _scan_kernel, B=B, Qg=Qg, kk=kk, is_l2=is_l2, three_pass=three_pass
+            _scan_kernel, B=B, Qg=Qg, kk=kk, is_l2=is_l2, three_pass=three_pass,
+            has_mask=has_mask,
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.float32),
             jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
         ],
-    )(blk, nrows, qids_flat, q, data)
+        interpret=interpret,
+    )(*inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -205,17 +222,20 @@ def _sq_kernel(
     vminv_ref,  # (1, d) f32
     vdiffv_ref,  # (1, d) f32
     codes_ref,  # (B, d) u8 current block
-    out_s_ref,  # (1, Qg, kk)
-    out_p_ref,  # (1, Qg, kk)
-    qs_scratch,  # (Qg, d) VMEM
-    *,
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
     B: int,
     Qg: int,
     kk: int,
     levels: int,
     is_l2: bool,
     three_pass: bool,
+    has_mask: bool,
 ):
+    if has_mask:
+        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
+    else:
+        keep_ref = None
+        out_s_ref, out_p_ref, qs_scratch = rest
     t = pl.program_id(0)
     for j in range(Qg):
         qid = jnp.maximum(qids_ref[t * Qg + j], 0)
@@ -247,6 +267,8 @@ def _sq_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
     score = jnp.where(col < nrow_ref[t], score, NEG_INF)
+    if has_mask:
+        score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
     s, p = _topk_rows(score, gpos, kk)
     out_s_ref[0] = s
@@ -265,6 +287,7 @@ def pallas_sq_tasks(
     vmin: jax.Array,  # (1, d) f32
     vdiff: jax.Array,  # (1, d) f32
     codes: jax.Array,  # (nb_pad, d) u8
+    keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32 bitset blocks
     *,
     B: int,
     Qg: int,
@@ -276,15 +299,21 @@ def pallas_sq_tasks(
 ) -> Tuple[jax.Array, jax.Array]:
     Tc = blk.shape[0]
     nq_pad, d = q.shape
+    has_mask = keep is not None
+    in_specs = [
+        pl.BlockSpec((nq_pad, d), lambda t, b, n, qd: (0, 0)),
+        pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
+        pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
+        pl.BlockSpec((B, d), lambda t, b, n, qd: (b[t], 0)),
+    ]
+    inputs = [blk, nrows, qids_flat, q, vmin, vdiff, codes]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, qd: (b[t], 0, 0)))
+        inputs.append(keep)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(Tc,),
-        in_specs=[
-            pl.BlockSpec((nq_pad, d), lambda t, b, n, qd: (0, 0)),
-            pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
-            pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
-            pl.BlockSpec((B, d), lambda t, b, n, qd: (b[t], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
             pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
@@ -295,6 +324,7 @@ def pallas_sq_tasks(
         functools.partial(
             _sq_kernel,
             B=B, Qg=Qg, kk=kk, levels=levels, is_l2=is_l2, three_pass=three_pass,
+            has_mask=has_mask,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -302,7 +332,7 @@ def pallas_sq_tasks(
             jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
         ],
         interpret=interpret,
-    )(blk, nrows, qids_flat, q, vmin, vdiff, codes)
+    )(*inputs)
 
 
 def pallas_sq_available(
@@ -321,7 +351,7 @@ def pallas_sq_available(
         return False
     if not interpret and not _on_tpu():
         return False
-    if has_mask or sq_levels <= 0 or sq_packed4 or code_dim != d:
+    if sq_levels <= 0 or sq_packed4 or code_dim != d:
         return False
     if prec not in ("fast", "bf16"):
         return False
@@ -354,26 +384,25 @@ def pallas_sq_available(
 # CLUT (per list, precomputed at build: the centroid/codebook cross terms of
 # the residual L2 expansion), combined per task in VMEM. The per-(query,list)
 # constant (2<q,c> - |c|^2) is computed in-kernel from the VMEM query table
-# and the streamed centroid row. Queries are processed in slabs so QLUT stays
-# VMEM-resident; codes are stored TRANSPOSED (m_pad, nb_pad) so each task
-# block is one aligned (m_pad, B) slice.
+# and the streamed centroid row. The QLUT (nq x m*ksub f32, tens of MB) stays
+# in HBM: the kernel DMAs this task's Qg rows (16KB sliced copies, overlapped
+# via a per-row semaphore array). Slabbing queries to fit QLUT in VMEM was
+# 10x slower — small slabs destroy query-group density, multiplying the task
+# count. Codes are stored TRANSPOSED (m_pad, nb_pad) so each task block is
+# one aligned (m_pad, B) slice.
 
 
 def _adc_kernel(
     blk_ref,  # (Tc,) scalar prefetch: block index of each task
     nrow_ref,  # (Tc,) scalar prefetch: valid rows
     lid_ref,  # (Tc,) scalar prefetch: list id
-    qids_ref,  # (Tc*Qg,) scalar prefetch: query ids (slab-relative), -1 pad
-    q_ref,  # (nq_slab, d) VMEM query slab
-    qlut_ref,  # (nq_slab, m*ksub) bf16 VMEM QLUT slab
+    qids_ref,  # (Tc*Qg,) scalar prefetch: query ids, -1 pad
+    q_ref,  # (nq_pad, d) f32 VMEM query table
+    qlut_ref,  # (nq_pad, 1, m*ksub) f32 pinned in HBM
     clut_ref,  # (1, 1, m*ksub) bf16 — this task's list CLUT row
     cent_ref,  # (1, 1, d) f32 — this task's centroid row
     codes_ref,  # (m_pad, B) i32 — this task's transposed code block
-    out_s_ref,  # (1, Qg, kk)
-    out_p_ref,  # (1, Qg, kk)
-    qs_scratch,  # (Qg, d) f32
-    lut_scratch,  # (Qg, m*ksub) bf16
-    *,
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, scratches
     B: int,
     Qg: int,
     kk: int,
@@ -381,15 +410,37 @@ def _adc_kernel(
     ksub: int,
     s_stack: int,
     is_l2: bool,
+    has_mask: bool,
 ):
+    if has_mask:
+        keep_ref, out_s_ref, out_p_ref, qs_scratch, lut_scratch, lut_sem = rest
+    else:
+        keep_ref = None
+        out_s_ref, out_p_ref, qs_scratch, lut_scratch, lut_sem = rest
     t = pl.program_id(0)
+    # issue all LUT-row DMAs up front (16KB sliced HBM->VMEM copies overlap),
+    # gather the query rows from VMEM while they fly, then wait. Rows slice
+    # on the LEADING dim of 3D (n, 1, mk) layouts — Mosaic requires sliced
+    # tiled dims be 8-aligned, so a 2D (1, mk) row slice would not lower.
+    dmas = []
+    for j in range(Qg):
+        qid = jnp.maximum(qids_ref[t * Qg + j], 0)
+        dma = pltpu.make_async_copy(
+            qlut_ref.at[pl.ds(qid, 1)],
+            lut_scratch.at[pl.ds(j, 1)],
+            lut_sem.at[j],
+        )
+        dma.start()
+        dmas.append(dma)
     for j in range(Qg):
         qid = jnp.maximum(qids_ref[t * Qg + j], 0)
         qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
-        lut_scratch[pl.ds(j, 1), :] = qlut_ref[pl.ds(qid, 1), :]
+    for dma in dmas:
+        dma.wait()
     qs = qs_scratch[...]
-    # combined LUT: QLUT - CLUT (CLUT is zeros for IP)
-    lut = lut_scratch[...] - clut_ref[0]
+    # combined LUT: QLUT - CLUT (CLUT is zeros for IP); bf16 cast happens per
+    # matmul chunk below
+    lut = lut_scratch[:, 0, :] - clut_ref[0].astype(jnp.float32)
 
     W = s_stack * ksub
     acc = jnp.zeros((Qg, B), jnp.float32)
@@ -401,7 +452,7 @@ def _adc_kernel(
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (s_stack, ksub, B), 1).reshape(W, B)
         oh = (codes_exp == iota_v).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
-            lut[:, i * W : (i + 1) * W],
+            lut[:, i * W : (i + 1) * W].astype(jnp.bfloat16),
             oh,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -419,6 +470,8 @@ def _adc_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
     score = jnp.where(col < nrow_ref[t], score, NEG_INF)
+    if has_mask:
+        score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
     s, p = _topk_rows(score, gpos, kk)
     out_s_ref[0] = s
@@ -434,11 +487,12 @@ def pallas_adc_tasks(
     nrows: jax.Array,  # (Tc,) int32
     lids: jax.Array,  # (Tc,) int32
     qids_flat: jax.Array,  # (Tc*Qg,) int32, slab-relative
-    q: jax.Array,  # (nq_slab, d) f32
-    qlut: jax.Array,  # (nq_slab, m*ksub) bf16
+    q: jax.Array,  # (nq_pad, d) f32
+    qlut: jax.Array,  # (nq_pad, m*ksub) f32 (stays in HBM)
     clut: jax.Array,  # (nlist, m*ksub) bf16
     cents: jax.Array,  # (nlist, d) f32
     codes_t: jax.Array,  # (m_pad, nb_pad) i32
+    keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32 bitset blocks
     *,
     B: int,
     Qg: int,
@@ -452,37 +506,46 @@ def pallas_adc_tasks(
     """Returns (scores (Tc,Qg,kk) == 2<q,x>-|x|^2 for L2 / <q,x> for IP,
     positions (Tc,Qg,kk) into padded sorted storage)."""
     Tc = blk.shape[0]
-    nq_slab, d = q.shape
+    nq_pad, d = q.shape
     mk = m * ksub
     m_pad = codes_t.shape[0]
+    has_mask = keep is not None
     # per-list rows stream as (1, 1, W) 3D blocks: a (1, W) 2D block violates
     # Mosaic's (8, 128)-divisible block rule, but a leading singleton whose
     # last two dims EQUAL the array dims is allowed
     clut3 = clut.reshape(clut.shape[0], 1, mk)
     cents3 = cents.reshape(cents.shape[0], 1, d)
+    qlut3 = qlut.reshape(nq_pad, 1, mk)  # rows DMA as leading-dim slices
+    in_specs = [
+        pl.BlockSpec((nq_pad, d), lambda t, b, n, l, qd: (0, 0)),
+        pl.BlockSpec(memory_space=pltpu.HBM),  # QLUT stays in HBM
+        pl.BlockSpec((1, 1, mk), lambda t, b, n, l, qd: (l[t], 0, 0)),
+        pl.BlockSpec((1, 1, d), lambda t, b, n, l, qd: (l[t], 0, 0)),
+        pl.BlockSpec((m_pad, B), lambda t, b, n, l, qd: (0, b[t])),
+    ]
+    inputs = [blk, nrows, lids, qids_flat, q, qlut3, clut3, cents3, codes_t]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)))
+        inputs.append(keep)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(Tc,),
-        in_specs=[
-            pl.BlockSpec((nq_slab, d), lambda t, b, n, l, qd: (0, 0)),
-            pl.BlockSpec((nq_slab, mk), lambda t, b, n, l, qd: (0, 0)),
-            pl.BlockSpec((1, 1, mk), lambda t, b, n, l, qd: (l[t], 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda t, b, n, l, qd: (l[t], 0, 0)),
-            pl.BlockSpec((m_pad, B), lambda t, b, n, l, qd: (0, b[t])),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
             pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((Qg, d), jnp.float32),
-            pltpu.VMEM((Qg, mk), jnp.bfloat16),
+            pltpu.VMEM((Qg, 1, mk), jnp.float32),
+            pltpu.SemaphoreType.DMA((Qg,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(
             _adc_kernel,
             B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
+            has_mask=has_mask,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -490,7 +553,7 @@ def pallas_adc_tasks(
             jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
         ],
         interpret=interpret,
-    )(blk, nrows, lids, qids_flat, q, qlut, clut3, cents3, codes_t)
+    )(*inputs)
 
 
 def adc_s_stack(m: int, ksub: int) -> int:
@@ -501,33 +564,23 @@ def adc_s_stack(m: int, ksub: int) -> int:
     return s
 
 
-# VMEM budget for the per-slab tables (query rows + QLUT rows)
-_ADC_SLAB_BYTES = 6 * 1024 * 1024
-
-
-def adc_slab_rows(d: int, mk: int) -> int:
-    """Largest pow2 query-slab size whose tables fit the VMEM budget."""
-    per_row = d * 4 + mk * 2
-    n = 16
-    while n * 2 * per_row <= _ADC_SLAB_BYTES:
-        n *= 2
-    return n
-
-
 def pallas_adc_available(
     store: dict,
     d: int,
     k: int,
     offsets: np.ndarray,
     has_mask: bool,
+    nq_pad: int = 0,
     interpret: bool = False,
 ) -> bool:
     if not _HAS_PLTPU or os.environ.get("KNOWHERE_DISABLE_PALLAS_IVF") == "1":
         return False
     if not interpret and not _on_tpu():
         return False
-    if has_mask or "codes_t" not in store or "clut" not in store:
+    if "codes_t" not in store or "clut" not in store:
         return False
+    if nq_pad and nq_pad * d * 4 > _Q_VMEM_BYTES:
+        return False  # query table must stay VMEM-resident
     # k may exceed the per-task top-k width (32): each task contributes its
     # best 32 per block and the cross-block merge produces the requested k
     if d % 128 != 0 or k < 1:
@@ -554,7 +607,7 @@ def pallas_scan_available(
         return False
     if not _on_tpu():
         return False
-    if kind != "raw" or has_mask or is_jaccard:
+    if kind != "raw" or is_jaccard:
         return False
     if prec not in ("fast", "bf16"):
         return False  # 'exact' keeps the fp32 XLA path

@@ -421,12 +421,13 @@ def ivf_scan_search(
         and kind == "pq"
         and prec != "exact"
         and pallas_adc_available(
-            store, q_dev.shape[1], k, list_offsets, keep_sorted is not None
+            store, q_dev.shape[1], k, list_offsets, keep_sorted is not None,
+            nq_pad=nq,
         )
     ):
         return _pallas_adc_search(
             q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
-            return_device,
+            return_device, keep_sorted=keep_sorted,
         )
 
     if B is None and pallas_scan_available(
@@ -435,7 +436,7 @@ def ivf_scan_search(
     ):
         return _pallas_scan_search(
             q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
-            prec, return_device,
+            prec, return_device, keep_sorted=keep_sorted,
         )
 
     if B is None and kind == "sq":
@@ -448,6 +449,7 @@ def ivf_scan_search(
             return _pallas_scan_search(
                 q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
                 prec, return_device, kind="sq", sq_levels=sq_levels,
+                keep_sorted=keep_sorted,
             )
 
     if B is None:
@@ -545,8 +547,9 @@ def ivf_scan_search(
 @partial(jax.jit, static_argnames=("is_l2",))
 def compute_qlut(q: jax.Array, books: jax.Array, *, is_l2: bool) -> jax.Array:
     """Per-query ADC LUT: QLUT[q, m*ksub+v] = f*<q_m, book_m[v]> (f=2 for L2).
-    bf16 — the MXU one-hot matmul selects entries, so only per-entry rounding
-    enters the ranking (below PQ reconstruction error)."""
+    f32 (cast to bf16 per matmul chunk in-kernel — the one-hot matmul selects
+    entries, so only per-entry bf16 rounding enters the ranking, below PQ
+    reconstruction error)."""
     m, ksub, sub = books.shape
     q3 = q.reshape(q.shape[0], m, sub)
     lut = jnp.einsum(
@@ -555,7 +558,14 @@ def compute_qlut(q: jax.Array, books: jax.Array, *, is_l2: bool) -> jax.Array:
     )
     if is_l2:
         lut = 2.0 * lut
-    return lut.reshape(q.shape[0], m * ksub).astype(jnp.bfloat16)
+    return lut.reshape(q.shape[0], m * ksub)
+
+
+@partial(jax.jit, static_argnames=("nb_pad", "B"))
+def _mask_blocks(keep_sorted: jax.Array, nb_pad: int, B: int) -> jax.Array:
+    """Bitset keep mask (bool, sorted storage order) -> (nb_pad//B, 1, B) i32
+    blocks the Pallas kernels stream alongside each task's list block."""
+    return keep_sorted[:nb_pad].astype(jnp.int32).reshape(nb_pad // B, 1, B)
 
 
 def _pallas_adc_search(
@@ -568,74 +578,56 @@ def _pallas_adc_search(
     is_l2: bool,
     Qg: int,
     return_device: bool,
+    keep_sorted: Optional[jax.Array] = None,
     interpret: bool = False,
 ):
     """PQ/ScaNN ADC scan via the Pallas one-hot-matmul kernel (ops/ivf_pallas).
 
-    Queries run in pow2 slabs so the QLUT slab stays VMEM-resident; every
-    slab's task arrays ship in ONE packed h2d (each device_put costs ~28ms
-    flat on this platform)."""
+    One dense task batch over ALL queries — the QLUT stays in HBM and the
+    kernel DMAs each task's rows, so there is no query slabbing (small slabs
+    destroyed query-group density and multiplied the task count 20x). Task
+    arrays ship in ONE packed h2d."""
     from .ivf_pallas import (
         LIST_ALIGN,
         adc_s_stack,
-        adc_slab_rows,
         pallas_adc_tasks,
     )
 
     nq, d = q_dev.shape
     books = store["codebooks"]
     m, ksub, _sub = books.shape
-    mk = m * ksub
     B = LIST_ALIGN
     kk = min(k, 32)
-    slab = min(adc_slab_rows(d, mk), nq)
-    n_slabs = nq // slab  # both pow2
 
     qlut_all = compute_qlut(q_dev, books, is_l2=is_l2)
 
-    # per-slab task batches (qids slab-relative)
-    batches = [
-        build_scan_tasks(
-            probes[s0 : s0 + slab], list_offsets, B, Qg, list_lengths=lens_arr
-        )
-        for s0 in range(0, nq, slab)
-    ]
-    if all(b is None for b in batches):
+    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
+    if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
         p_empty = np.full((nq, k), -1, np.int32)
         if return_device:
             return jax.device_put(s_empty), jax.device_put(p_empty)
         return s_empty, p_empty
 
-    # fixed chunk so the scalar-prefetched qids stay within SMEM (~480KB)
-    Tc = max(8, (122880 // Qg) // 8 * 8)
-    chunk_of_slab: List[int] = []
-    for si, b in enumerate(batches):
-        n_c = 0 if b is None else (b.row_start.shape[0] + Tc - 1) // Tc
-        chunk_of_slab.extend([si] * n_c)
-    n_chunks = len(chunk_of_slab)
+    T = batch.row_start.shape[0]
+    # chunk so the scalar-prefetched qids stay within SMEM (~480KB)
+    chunk = max(8, (122880 // Qg) // 8 * 8)
+    n_chunks = (T + chunk - 1) // chunk
+    Tc = (min(chunk, T) + 7) // 8 * 8
     total = n_chunks * Tc
 
-    blk_h = np.zeros(total, np.int32)
-    nrow_h = np.zeros(total, np.int32)
-    lid_h = np.zeros(total, np.int32)
-    qids_h = np.full((total, Qg), -1, np.int32)
-    slots_h = np.zeros((total, Qg), np.int32)
-    ci = 0
-    for b in batches:
-        if b is None:
-            continue
-        T = b.row_start.shape[0]
-        for s0 in range(0, T, Tc):
-            e0 = min(s0 + Tc, T)
-            o = ci * Tc
-            blk_h[o : o + e0 - s0] = b.row_start[s0:e0] // B
-            nrow_h[o : o + e0 - s0] = b.nrows[s0:e0]
-            lid_h[o : o + e0 - s0] = b.list_id[s0:e0]
-            qids_h[o : o + e0 - s0] = b.qids[s0:e0]
-            slots_h[o : o + e0 - s0] = b.slots[s0:e0]
-            ci += 1
+    def padded_all(a, fill):
+        out = np.full((total, *a.shape[1:]), fill, a.dtype)
+        for c in range(n_chunks):
+            s0, e0 = c * chunk, min((c + 1) * chunk, T)
+            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+        return out
 
+    blk_h = padded_all((batch.row_start // B).astype(np.int32), 0)
+    nrow_h = padded_all(batch.nrows, 0)
+    lid_h = padded_all(batch.list_id, 0)
+    qids_h = padded_all(batch.qids, -1)
+    slots_h = padded_all(batch.slots, 0)
     packed_h = np.concatenate(
         [blk_h, nrow_h, lid_h, qids_h.reshape(-1), slots_h.reshape(-1)]
     ).astype(np.int32)
@@ -647,55 +639,37 @@ def _pallas_adc_search(
     slots_dev = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
 
     s_stack = adc_s_stack(m, ksub)
-    S = _pad_pow2(max(max((b.n_slots for b in batches if b is not None)), 1), minimum=1)
-
-    # run chunks; group outputs per slab for the merge
-    per_slab_s: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
-    per_slab_p: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
-    per_slab_q: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
-    per_slab_slot: List[List[jax.Array]] = [[] for _ in range(n_slabs)]
-    for c, si in enumerate(chunk_of_slab):
-        q_slab = jax.lax.dynamic_slice(q_dev, (si * slab, 0), (slab, d))
-        qlut_slab = jax.lax.dynamic_slice(qlut_all, (si * slab, 0), (slab, mk))
+    nb_pad = int(list_offsets[-1])
+    keep_blk = (
+        _mask_blocks(keep_sorted, nb_pad=nb_pad, B=B)
+        if keep_sorted is not None
+        else None
+    )
+    score_chunks, pos_chunks = [], []
+    for c in range(n_chunks):
         scores, pos = pallas_adc_tasks(
             blk_dev[c * Tc : (c + 1) * Tc],
             nrow_dev[c * Tc : (c + 1) * Tc],
             lid_dev[c * Tc : (c + 1) * Tc],
             qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
-            q_slab,
-            qlut_slab,
+            q_dev,
+            qlut_all,
             store["clut"],
             store["centroids"],
             store["codes_t"],
+            keep_blk,
             B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
             interpret=interpret,
         )
-        per_slab_s[si].append(scores)
-        per_slab_p[si].append(pos)
-        per_slab_q[si].append(qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg].reshape(Tc, Qg))
-        per_slab_slot[si].append(slots_dev[c * Tc : (c + 1) * Tc])
+        score_chunks.append(scores)
+        pos_chunks.append(pos)
 
-    slab_results = []
-    empty_s = None
-    for si in range(n_slabs):
-        if not per_slab_s[si]:
-            if empty_s is None:
-                empty_s = (
-                    jnp.full((slab, k), NEG_INF, jnp.float32),
-                    jnp.full((slab, k), -1, jnp.int32),
-                )
-            slab_results.append(empty_s)
-            continue
-        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)  # noqa: E731
-        best = _merge_tasks(
-            cat(per_slab_s[si]), cat(per_slab_p[si]),
-            cat(per_slab_q[si]), cat(per_slab_slot[si]),
-            nq=slab, S=S, kk=kk, k=k,
-        )
-        slab_results.append(best)
+    all_s = jnp.concatenate(score_chunks) if n_chunks > 1 else score_chunks[0]
+    all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
+    all_q = qids_dev.reshape(total, Qg)
 
-    best_s = jnp.concatenate([r[0] for r in slab_results]) if n_slabs > 1 else slab_results[0][0]
-    best_p = jnp.concatenate([r[1] for r in slab_results]) if n_slabs > 1 else slab_results[0][1]
+    S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+    best_s, best_p = _merge_tasks(all_s, all_p, all_q, slots_dev, nq=nq, S=S, kk=kk, k=k)
     if return_device:
         return best_s, best_p
     return np.asarray(best_s), np.asarray(best_p)
@@ -714,6 +688,7 @@ def _pallas_scan_search(
     return_device: bool,
     kind: str = "raw",
     sq_levels: int = 0,
+    keep_sorted: Optional[jax.Array] = None,
 ):
     """Hot raw-vector / SQ-code path: block-aligned Pallas task scan
     (ops/ivf_pallas; kind 'sq' decodes u8 codes in-kernel)."""
@@ -762,6 +737,12 @@ def _pallas_scan_search(
     qids_dev = packed_dev[2 * total : 2 * total + total * Qg]
     slots_dev = packed_dev[2 * total + total * Qg :].reshape(total, Qg)
 
+    nb_pad = int(list_offsets[-1])
+    keep_blk = (
+        _mask_blocks(keep_sorted, nb_pad=nb_pad, B=B)
+        if keep_sorted is not None
+        else None
+    )
     score_chunks, pos_chunks = [], []
     for c in range(n_chunks):
         args = (
@@ -776,6 +757,7 @@ def _pallas_scan_search(
                 store["vmin"].reshape(1, -1),
                 store["vdiff"].reshape(1, -1),
                 store["codes"],
+                keep_blk,
                 B=B, Qg=Qg, kk=kk, levels=sq_levels, is_l2=is_l2,
                 three_pass=three_pass,
             )
@@ -783,6 +765,7 @@ def _pallas_scan_search(
             scores, pos = pallas_scan_tasks(
                 *args,
                 store["data"],
+                keep_blk,
                 B=B,
                 Qg=Qg,
                 kk=kk,

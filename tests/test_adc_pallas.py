@@ -166,6 +166,76 @@ def test_sq_kernel_matches_decode_oracle(metric):
             assert (got_p >= 0).all() and (got_p < n).all()
 
 
+@pytest.mark.parametrize("kernel", ["adc", "sq", "raw"])
+def test_pallas_kernels_respect_bitset_mask(kernel):
+    """Masked rows never surface: parity with the reference's IDSelector
+    filtering inside the IVF scan (src/index/ivf/ivf.cc:967-968)."""
+    from knowhere_tpu.ops.ivf_pallas import (
+        pallas_scan_tasks,
+        pallas_sq_tasks,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 128
+    B = LIST_ALIGN
+    nq, Qg, kk = 8, 8, 10
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    keep = rng.random(2 * B) > 0.5  # drop ~half the rows
+    keep_blk = jax.device_put(keep.astype(np.int32).reshape(-1, 1, B))
+
+    Tc = 8
+    blk = np.zeros(Tc, np.int32)
+    nrows = np.zeros(Tc, np.int32)
+    qids = np.full((Tc, Qg), -1, np.int32)
+    for t in range(2):
+        blk[t], nrows[t] = t, B if t == 0 else B - 9
+        qids[t] = np.arange(nq)
+
+    if kernel == "adc":
+        m, ksub = 16, 256
+        q2, books, cents, codes_t, clut_dev, gt_score, _ = _setup("L2", m, ksub, seed=11)
+        lids = np.zeros(Tc, np.int32)
+        lids[1] = 1
+        qlut = compute_qlut(jax.device_put(q2), jax.device_put(books), is_l2=True)
+        keep2 = rng.random(codes_t.shape[1]) > 0.5
+        s, p = pallas_adc_tasks(
+            jax.device_put(blk), jax.device_put(nrows), jax.device_put(lids),
+            jax.device_put(qids.reshape(-1)), jax.device_put(q2), qlut,
+            clut_dev, jax.device_put(cents), jax.device_put(codes_t),
+            jax.device_put(keep2.astype(np.int32).reshape(-1, 1, B)),
+            B=B, Qg=Qg, kk=kk, m=m, ksub=ksub,
+            s_stack=adc_s_stack(m, ksub), is_l2=True, interpret=True,
+        )
+        keep = keep2
+    elif kernel == "sq":
+        levels = 256
+        vmin = rng.standard_normal(d).astype(np.float32)
+        vdiff = (rng.random(d).astype(np.float32) + 0.5) * 2.0
+        codes = rng.integers(0, levels, size=(2 * B, d)).astype(np.uint8)
+        s, p = pallas_sq_tasks(
+            jax.device_put(blk), jax.device_put(nrows),
+            jax.device_put(qids.reshape(-1)), jax.device_put(q),
+            jax.device_put(vmin.reshape(1, -1)), jax.device_put(vdiff.reshape(1, -1)),
+            jax.device_put(codes), keep_blk,
+            B=B, Qg=Qg, kk=kk, levels=levels, is_l2=True, three_pass=False,
+            interpret=True,
+        )
+    else:
+        data = rng.standard_normal((2 * B, d)).astype(np.float32)
+        s, p = pallas_scan_tasks(
+            jax.device_put(blk), jax.device_put(nrows),
+            jax.device_put(qids.reshape(-1)), jax.device_put(q),
+            jax.device_put(data), keep_blk,
+            B=B, Qg=Qg, kk=kk, is_l2=True, three_pass=False, interpret=True,
+        )
+    p = np.asarray(p)
+    for t in range(2):
+        got = p[t, :nq].reshape(-1)
+        got = got[got >= 0]
+        assert (got >= t * B).all() and (got < t * B + int(nrows[t])).all()
+        assert keep[got].all(), "a masked-out row surfaced in top-k"
+
+
 def test_adc_end_to_end_ivf_pq_recall():
     """IVF_PQ search through _pallas_adc_search (interpret) vs XLA scan path."""
     from knowhere_tpu.ops.ivf_scan import _pallas_adc_search, coarse_probe_host

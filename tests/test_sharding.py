@@ -131,3 +131,51 @@ class TestShardedIVF:
         idx.build(xb, nlist=32)
         _, ids = idx.search(xq, k=5, nprobe=8)
         assert (ids[:, 0] == np.arange(8)).mean() >= 0.9
+
+    @pytest.mark.parametrize("variant,m", [("sq8", 0), ("pq", 8)])
+    def test_quantized_variants(self, mesh, variant, m):
+        """Sharded IVF with global codecs (SQ8 / PQ-ADC) on per-device lists."""
+        from knowhere_tpu.parallel.sharding import ShardedIVFIndex
+
+        rng = np.random.default_rng(79)
+        xb = rng.standard_normal((2000, 32)).astype(np.float32)
+        xq = xb[:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32)
+        idx = ShardedIVFIndex(devices=jax.devices()[:4], metric="L2")
+        idx.build(xb, nlist=32, variant=variant, m=m)
+        _, ids = idx.search(xq, k=5, nprobe=32)
+        # quantization noise tolerated: the true row must appear in top-5
+        assert np.mean([(ids[i] == i).any() for i in range(8)]) >= 0.85
+
+
+class TestShardedGraph:
+    def test_recall_vs_bruteforce(self, mesh):
+        from knowhere_tpu.parallel.sharding import ShardedGraphIndex
+        from .utils import knn_recall
+
+        rng = np.random.default_rng(80)
+        xb = rng.standard_normal((2000, 32)).astype(np.float32)
+        xq = rng.standard_normal((16, 32)).astype(np.float32)
+        idx = ShardedGraphIndex(devices=jax.devices()[:4], metric="L2")
+        idx.build(xb, M=16, ef_construction=100)
+        dists, ids = idx.search(xq, k=10, ef=64)
+        d = ((xq[:, None, :].astype(np.float64) - xb[None]) ** 2).sum(-1)
+        gt = np.argsort(d, 1, kind="stable")[:, :10]
+        assert knn_recall(gt, ids, 16, 10) >= 0.8
+        # distances are true L2^2 for returned ids
+        row = ids[0, 0]
+        np.testing.assert_allclose(
+            dists[0, 0], ((xq[0] - xb[row]) ** 2).sum(), rtol=1e-3, atol=1e-3
+        )
+
+    def test_ip_metric(self, mesh):
+        from knowhere_tpu.parallel.sharding import ShardedGraphIndex
+        from .utils import knn_recall
+
+        rng = np.random.default_rng(81)
+        xb = rng.standard_normal((1500, 32)).astype(np.float32)
+        xq = rng.standard_normal((8, 32)).astype(np.float32)
+        idx = ShardedGraphIndex(devices=jax.devices()[:3], metric="IP")
+        idx.build(xb, M=16)
+        _, ids = idx.search(xq, k=10, ef=64)
+        gt = np.argsort(-(xq @ xb.T), 1, kind="stable")[:, :10]
+        assert knn_recall(gt, ids, 8, 10) >= 0.8
