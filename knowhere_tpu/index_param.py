@@ -66,6 +66,12 @@ class IndexEnum:
     INDEX_GPU_IVFPQ = "GPU_IVF_PQ"
     INDEX_GPU_CAGRA = "GPU_CAGRA"
 
+    # legacy faiss-GPU names (reference index_param.h:42-45, src/index/gpu/)
+    INDEX_FAISS_GPU_IDMAP = "GPU_FAISS_FLAT"
+    INDEX_FAISS_GPU_IVFFLAT = "GPU_FAISS_IVF_FLAT"
+    INDEX_FAISS_GPU_IVFPQ = "GPU_FAISS_IVF_PQ"
+    INDEX_FAISS_GPU_IVFSQ8 = "GPU_FAISS_IVF_SQ8"
+
 
 class ClusterEnum:
     CLUSTER_KMEANS = "KMEANS"

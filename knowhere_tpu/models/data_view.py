@@ -94,6 +94,25 @@ class ScannDvrNode(IndexNode):
             return expected.Err(Status.invalid_metric_type, "metric mismatch")
         k = cfg.k
         reorder_k = cfg.get("reorder_k") or max(4 * k, 100)
+        # filtered search: widen the coarse stage so enough candidates survive
+        # the bitset; materialized-view hints (reference comp/
+        # materialized_view.h:21-45, feature::MV consumer) mark clustered
+        # filters (pure-AND over few categories), which strand coarse
+        # candidates harder — widen further.
+        if not bitset.empty_view():
+            ratio = bitset.filter_ratio()
+            widen = 1.0 / max(1.0 - ratio, 0.05)
+            mv = cfg.get("materialized_view_search_info")
+            if isinstance(mv, dict):
+                touched = mv.get("field_id_to_touched_categories_cnt", {})
+                if (
+                    mv.get("is_pure_and", False)
+                    and not mv.get("has_not", False)
+                    and touched
+                    and max(touched.values()) <= 2
+                ):
+                    widen *= 2.0
+            reorder_k = int(min(reorder_k * widen, max(self._count, 1)))
         coarse_cfg = self._base.CreateConfig()
         Config.load(
             coarse_cfg,

@@ -253,3 +253,9 @@ register_index(
     ("fp32", "fp16", "bf16", "int8"),
     feature.ALL_DENSE_TYPE | feature.KNN | feature.NO_TRAIN | feature.GPU,
 )(FlatIndexNode)
+# legacy faiss-GPU name (reference src/index/gpu/flat_gpu/flat_gpu.cc)
+register_index(
+    IndexEnum.INDEX_FAISS_GPU_IDMAP,
+    ("fp32", "fp16", "bf16", "int8"),
+    feature.ALL_DENSE_TYPE | feature.KNN | feature.NO_TRAIN | feature.GPU,
+)(FlatIndexNode)

@@ -323,17 +323,181 @@ class HnswIndexNode(IndexNode):
                 self._refine_store = RefineStore("raw", jax.device_put(self._payload["refine"]))
 
     def _flush_pending(self) -> None:
-        if self._pending:
-            parts = []
-            if self._raw_host is not None:
-                parts.append(self._raw_host)
-            elif self._is_binary():
-                parts.append(self._payload["bits_raw"])
-            parts.extend(self._pending)
-            merged = np.concatenate(parts, axis=0)
-            self._pending = []
-            self._graph = None
-            self._build_all(merged)
+        if not self._pending:
+            return
+        new_rows = np.concatenate(self._pending, axis=0)
+        self._pending = []
+        nb_old = 0 if self._graph is None else self._graph.shape[0]
+        if (
+            self._graph is not None
+            and not self._is_binary()
+            and nb_old >= 1024
+            and new_rows.shape[0] <= nb_old // 5
+        ):
+            # small additions insert incrementally; big ones rebuild (the
+            # batched build is fast enough that >20% growth favors a rebuild
+            # whose every node sees the full corpus)
+            self._insert_batch(new_rows)
+            return
+        parts = []
+        if self._raw_host is not None:
+            parts.append(self._raw_host)
+        elif self._is_binary():
+            parts.append(self._payload["bits_raw"])
+        parts.append(new_rows)
+        merged = np.concatenate(parts, axis=0)
+        self._graph = None
+        self._build_all(merged)
+
+    def _insert_batch(self, x_new_in: np.ndarray) -> None:
+        """Incremental insert without a rebuild — the batched analog of
+        hnswlib's per-insert path (thirdparty/hnswlib/hnswlib/hnswalg.h
+        addPoint: searchBaseLayer for candidates, getNeighborsByHeuristic2
+        prune, mutuallyConnectNewElement reverse-edge repair):
+
+        1. ONE batched beam search over the existing graph finds every new
+           node's candidate pool (all inserts run as a device batch).
+        2. An intra-batch kNN adds new<->new candidates (sequential inserts
+           see earlier ones; a batch must make those pairs explicit).
+        3. prune_candidates_ids (RobustPrune, sorts+dedupes in-function)
+           picks each new node's <=deg neighbors.
+        4. Reverse edges: touched nodes get their adjacency re-pruned over
+           {old neighbors} + {incoming new nodes}.
+        """
+        from ..ops.graph import _approx_knn_graph, beam_search, prune_candidates_ids
+        from ..ops.distances import matmul_precision_name
+        from ..ops import quant as Q
+
+        x_new = self._prep_rows(x_new_in)
+        n_new, d = x_new.shape
+        nb_old = self._graph.shape[0]
+        deg = self._graph.shape[1]
+        is_l2 = self._is_l2_like()
+        internal = self._internal_metric()
+        prune_l2 = internal != M.IP
+        prec = matmul_precision_name()
+
+        # 1. candidate pools from the existing graph
+        efc = int(min(max(deg + 16, 64), 128, nb_old))
+        cand_l = []
+        chunk = 4096
+        for s0 in range(0, n_new, chunk):
+            xc = x_new[s0 : s0 + chunk]
+            _, ic = beam_search(
+                jax.device_put(self._pad_q(xc)),
+                self._store, self._graph_dev, self._entry_dev, None,
+                kind=self._kind, ef=efc, k=efc, deg=deg,
+                max_iters=2 * efc + 32, is_l2=is_l2,
+                is_jaccard=internal == M.JACCARD, prec=prec,
+                beam_width=max(1, min(8, efc // 16)),
+                route_cents=self._entry_cents_dev,
+                n_seed=0 if self._entry_cents_dev is None else int(min(max(8, efc // 8), 64)),
+            )
+            cand_l.append(np.asarray(ic)[: xc.shape[0]])
+        cand = np.concatenate(cand_l) if len(cand_l) > 1 else cand_l[0]
+
+        # 2. intra-batch candidates (ids offset into the combined row space)
+        if n_new > 1:
+            intra = _approx_knn_graph(x_new, min(16, n_new - 1), internal)
+            intra = np.where(intra >= 0, intra.astype(np.int32) + nb_old, -1)
+            cand = np.concatenate([cand.astype(np.int32), intra], axis=1)
+
+        x_old = self._prep_rows(self._raw_host)
+        x_all_dev = jax.device_put(
+            np.concatenate([x_old, x_new]).astype(np.float32)
+        )
+
+        def prune_rows(node_ids: np.ndarray, cand_ids: np.ndarray) -> np.ndarray:
+            """Chunked prune with uniform jit shapes (-1 padded rows)."""
+            n = node_ids.shape[0]
+            PC = 2048
+            out = np.empty((n, deg), np.int32)
+            for s0 in range(0, n, PC):
+                e0 = min(s0 + PC, n)
+                nid = np.zeros(PC, np.int32)
+                cid = np.full((PC, cand_ids.shape[1]), -1, np.int32)
+                nid[: e0 - s0] = node_ids[s0:e0]
+                cid[: e0 - s0] = cand_ids[s0:e0]
+                res = prune_candidates_ids(
+                    x_all_dev, jax.device_put(cid), jax.device_put(nid),
+                    deg=deg, is_l2=prune_l2,
+                )
+                out[s0:e0] = np.asarray(res)[: e0 - s0]
+            return out
+
+        # 3. new nodes' adjacency
+        new_ids = np.arange(n_new, dtype=np.int32) + nb_old
+        new_adj = prune_rows(new_ids, cand)
+        graph = np.concatenate([self._graph, new_adj], axis=0)
+
+        # 4. reverse-edge repair of touched nodes
+        src = np.repeat(new_ids, deg)
+        dst = new_adj.reshape(-1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        if dst.size:
+            R = 8  # cap incoming per node; overflow pairs drop (rare)
+            order = np.argsort(dst, kind="stable")
+            src, dst = src[order], dst[order]
+            change = np.empty(dst.size, bool)
+            change[0] = True
+            change[1:] = dst[1:] != dst[:-1]
+            grp_start = np.nonzero(change)[0]
+            rank = np.arange(dst.size) - grp_start[np.cumsum(change) - 1]
+            keepp = rank < R
+            src, dst, rank = src[keepp], dst[keepp], rank[keepp]
+            affected = np.unique(dst)
+            inc = np.full((affected.size, R), -1, np.int32)
+            inc[np.searchsorted(affected, dst), rank] = src
+            cand_aff = np.concatenate([graph[affected], inc], axis=1)
+            graph[affected] = prune_rows(affected.astype(np.int32), cand_aff)
+
+        self._graph = graph
+
+        # 5. storage appends (codecs stay as trained — reference semantics:
+        # Add encodes with the codebooks from Train)
+        self._raw_host = np.concatenate([self._raw_host, np.asarray(x_new_in)])
+        if self.VARIANT == "flat":
+            self._payload["data"] = np.concatenate([self._payload["data"], x_new])
+        elif self.VARIANT == "sq":
+            self._payload["codes"] = np.concatenate(
+                [self._payload["codes"], Q.sq_encode(self._sq, x_new)]
+            )
+        elif self.VARIANT == "pq":
+            self._payload["codes"] = np.concatenate(
+                [self._payload["codes"], Q.pq_encode(self._pq, x_new)]
+            )
+        elif self.VARIANT == "prq":
+            books = self._prq_books  # (nrq, m, ksub, sub_dim)
+            nrq, m, ksub, _ = books.shape
+            nbits = int(round(np.log2(ksub)))
+            resid = x_new.copy()
+            codes_new = np.empty((n_new, nrq * m), np.uint8)
+            for s in range(nrq):
+                pq = Q.PQCodec(codebooks=books[s], m=m, nbits=nbits)
+                c = Q.pq_encode(pq, resid)
+                codes_new[:, s * m : (s + 1) * m] = c
+                resid = resid - np.asarray(
+                    Q.pq_decode_dev(jax.device_put(books[s]), jax.device_put(c))
+                )
+            self._payload["codes"] = np.concatenate([self._payload["codes"], codes_new])
+        if "refine" in self._payload:
+            kind = self._refine_cfg or "raw"
+            if kind == "raw":
+                app = x_new.astype(np.float32)
+            elif kind == "sq8":
+                sq = Q.SQCodec(
+                    "SQ8", self._payload["refine_vmin"], self._payload["refine_vdiff"], dim=d
+                )
+                app = Q.sq_encode(sq, x_new)
+            elif kind == "fp16":
+                app = x_new.astype(np.float16)
+            else:  # bf16
+                import ml_dtypes
+
+                app = x_new.astype(ml_dtypes.bfloat16)
+            self._payload["refine"] = np.concatenate([self._payload["refine"], app])
+        self._upload()
 
     # --- search --------------------------------------------------------------
     def _effective_ef(self, cfg: Config, k: int) -> int:

@@ -510,6 +510,14 @@ class IvfIndexNode(IndexNode):
                 self._store["clut"] = jax.device_put(
                     clut.reshape(self._nlist, m * ksub)
                 ).astype(jnp.bfloat16)
+                # block-diagonal codebooks: the kernel computes each task's
+                # QLUT as ONE dense MXU matmul qs @ books_bd (ivf_pallas)
+                books_bd = np.zeros((self._dim, m * ksub), np.float32)
+                for i in range(m):
+                    books_bd[
+                        i * sub_dim : (i + 1) * sub_dim, i * ksub : (i + 1) * ksub
+                    ] = books[i].T
+                self._store["books_bd"] = jax.device_put(books_bd).astype(jnp.bfloat16)
         elif self.VARIANT in ("sq", "sq_cc"):
             t = self._sq.sq_type
             self._store = {"codes": pad(self._sorted_payload["codes"]), "centroids": cents}
@@ -534,6 +542,28 @@ class IvfIndexNode(IndexNode):
                     (self._centroids @ self._rbq.rotation.T).astype(np.float32)
                 ),
             }
+            # block-aligned per-row corrections for the Pallas RaBitQ kernel
+            # ((1,1,B) streams; ops/ivf_pallas._rbq_kernel)
+            from ..ops.ivf_pallas import LIST_ALIGN as _LA
+
+            offs = self._offsets
+            if (
+                offs is not None
+                and int(offs[-1]) > 0
+                and (offs % _LA == 0).all()
+                and self._dim % 128 == 0
+            ):
+                nb_pad = int(offs[-1])
+                self._store["rn_blk"] = jax.device_put(
+                    self._sorted_payload["r_norm"][:nb_pad]
+                    .astype(np.float32)
+                    .reshape(nb_pad // _LA, 1, _LA)
+                )
+                self._store["t_blk"] = jax.device_put(
+                    self._sorted_payload["t"][:nb_pad]
+                    .astype(np.float32)
+                    .reshape(nb_pad // _LA, 1, _LA)
+                )
             self._kind = "rabitq"
         # refine store
         if self._refine_cfg and "refine" in self._sorted_payload:
@@ -1196,5 +1226,9 @@ for _alias, _node in (
     (IndexEnum.INDEX_TPU_IVFPQ, IvfPqNode),
     (IndexEnum.INDEX_CUVS_IVFPQ, IvfPqNode),
     (IndexEnum.INDEX_GPU_IVFPQ, IvfPqNode),
+    # legacy faiss-GPU names (reference src/index/gpu/ flat_gpu/ivf_gpu)
+    (IndexEnum.INDEX_FAISS_GPU_IVFFLAT, IvfFlatNode),
+    (IndexEnum.INDEX_FAISS_GPU_IVFPQ, IvfPqNode),
+    (IndexEnum.INDEX_FAISS_GPU_IVFSQ8, IvfSqNode),
 ):
     register_index(_alias, _DENSE_TYPES, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(_node)

@@ -380,16 +380,18 @@ def pallas_sq_available(
 #                  = LUT (Qg, m*ksub) @ onehot(codes) (m*ksub, B)
 #
 # chunked so each matmul has a 128/256-wide contraction (s_stack subspaces of
-# ksub levels per pass). LUTs: QLUT (per query, computed per search batch) and
+# ksub levels per pass). LUTs: the per-query QLUT is computed IN-KERNEL as one
+# dense MXU matmul qs @ books_bd, where books_bd is the (d, m*ksub)
+# block-diagonal matrix holding book_i^T in rows [i*sub, (i+1)*sub) x cols
+# [i*ksub, (i+1)*ksub) — the block structure makes the einsum
+# 'qms,mvs->qmv' a single dense matmul (the zero blocks add Qg*d*mk MACs,
+# ~6% of the scan matmuls, and eliminate the per-task QLUT HBM DMAs that
+# dominated the v1 kernel: Qg * m*ksub * 4B ~ 1MB/task vs 32KB of codes).
 # CLUT (per list, precomputed at build: the centroid/codebook cross terms of
-# the residual L2 expansion), combined per task in VMEM. The per-(query,list)
-# constant (2<q,c> - |c|^2) is computed in-kernel from the VMEM query table
-# and the streamed centroid row. The QLUT (nq x m*ksub f32, tens of MB) stays
-# in HBM: the kernel DMAs this task's Qg rows (16KB sliced copies, overlapped
-# via a per-row semaphore array). Slabbing queries to fit QLUT in VMEM was
-# 10x slower — small slabs destroy query-group density, multiplying the task
-# count. Codes are stored TRANSPOSED (m_pad, nb_pad) so each task block is
-# one aligned (m_pad, B) slice.
+# the residual L2 expansion) streams per task. The per-(query,list) constant
+# (2<q,c> - |c|^2) is computed in-kernel from the VMEM query table and the
+# streamed centroid row. Codes are stored TRANSPOSED (m_pad, nb_pad) so each
+# task block is one aligned (m_pad, B) slice.
 
 
 def _adc_kernel(
@@ -398,11 +400,11 @@ def _adc_kernel(
     lid_ref,  # (Tc,) scalar prefetch: list id
     qids_ref,  # (Tc*Qg,) scalar prefetch: query ids, -1 pad
     q_ref,  # (nq_pad, d) f32 VMEM query table
-    qlut_ref,  # (nq_pad, 1, m*ksub) f32 pinned in HBM
+    books_ref,  # (d, m*ksub) bf16 VMEM block-diagonal codebooks
     clut_ref,  # (1, 1, m*ksub) bf16 — this task's list CLUT row
     cent_ref,  # (1, 1, d) f32 — this task's centroid row
     codes_ref,  # (m_pad, B) i32 — this task's transposed code block
-    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, scratches
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
     B: int,
     Qg: int,
     kk: int,
@@ -413,34 +415,28 @@ def _adc_kernel(
     has_mask: bool,
 ):
     if has_mask:
-        keep_ref, out_s_ref, out_p_ref, qs_scratch, lut_scratch, lut_sem = rest
+        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
     else:
         keep_ref = None
-        out_s_ref, out_p_ref, qs_scratch, lut_scratch, lut_sem = rest
+        out_s_ref, out_p_ref, qs_scratch = rest
     t = pl.program_id(0)
-    # issue all LUT-row DMAs up front (16KB sliced HBM->VMEM copies overlap),
-    # gather the query rows from VMEM while they fly, then wait. Rows slice
-    # on the LEADING dim of 3D (n, 1, mk) layouts — Mosaic requires sliced
-    # tiled dims be 8-aligned, so a 2D (1, mk) row slice would not lower.
-    dmas = []
-    for j in range(Qg):
-        qid = jnp.maximum(qids_ref[t * Qg + j], 0)
-        dma = pltpu.make_async_copy(
-            qlut_ref.at[pl.ds(qid, 1)],
-            lut_scratch.at[pl.ds(j, 1)],
-            lut_sem.at[j],
-        )
-        dma.start()
-        dmas.append(dma)
     for j in range(Qg):
         qid = jnp.maximum(qids_ref[t * Qg + j], 0)
         qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
-    for dma in dmas:
-        dma.wait()
     qs = qs_scratch[...]
-    # combined LUT: QLUT - CLUT (CLUT is zeros for IP); bf16 cast happens per
-    # matmul chunk below
-    lut = lut_scratch[:, 0, :] - clut_ref[0].astype(jnp.float32)
+    # QLUT = f * qs @ books_bd (f=2 for L2), hi/lo split on qs so LUT error
+    # is bounded by the books' bf16 rounding (below PQ reconstruction error)
+    bd = books_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    q_hi = qs.astype(jnp.bfloat16)
+    q_lo = (qs - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lutq = jax.lax.dot_general(
+        q_hi, bd, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(q_lo, bd, dn, preferred_element_type=jnp.float32)
+    if is_l2:
+        lut = 2.0 * lutq - clut_ref[0].astype(jnp.float32)
+    else:
+        lut = lutq  # CLUT is zeros for IP
 
     W = s_stack * ksub
     acc = jnp.zeros((Qg, B), jnp.float32)
@@ -488,7 +484,7 @@ def pallas_adc_tasks(
     lids: jax.Array,  # (Tc,) int32
     qids_flat: jax.Array,  # (Tc*Qg,) int32, slab-relative
     q: jax.Array,  # (nq_pad, d) f32
-    qlut: jax.Array,  # (nq_pad, m*ksub) f32 (stays in HBM)
+    books_bd: jax.Array,  # (d, m*ksub) bf16 block-diagonal codebooks
     clut: jax.Array,  # (nlist, m*ksub) bf16
     cents: jax.Array,  # (nlist, d) f32
     codes_t: jax.Array,  # (m_pad, nb_pad) i32
@@ -515,15 +511,14 @@ def pallas_adc_tasks(
     # last two dims EQUAL the array dims is allowed
     clut3 = clut.reshape(clut.shape[0], 1, mk)
     cents3 = cents.reshape(cents.shape[0], 1, d)
-    qlut3 = qlut.reshape(nq_pad, 1, mk)  # rows DMA as leading-dim slices
     in_specs = [
         pl.BlockSpec((nq_pad, d), lambda t, b, n, l, qd: (0, 0)),
-        pl.BlockSpec(memory_space=pltpu.HBM),  # QLUT stays in HBM
+        pl.BlockSpec((d, mk), lambda t, b, n, l, qd: (0, 0)),
         pl.BlockSpec((1, 1, mk), lambda t, b, n, l, qd: (l[t], 0, 0)),
         pl.BlockSpec((1, 1, d), lambda t, b, n, l, qd: (l[t], 0, 0)),
         pl.BlockSpec((m_pad, B), lambda t, b, n, l, qd: (0, b[t])),
     ]
-    inputs = [blk, nrows, lids, qids_flat, q, qlut3, clut3, cents3, codes_t]
+    inputs = [blk, nrows, lids, qids_flat, q, books_bd, clut3, cents3, codes_t]
     if has_mask:
         in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)))
         inputs.append(keep)
@@ -537,8 +532,6 @@ def pallas_adc_tasks(
         ],
         scratch_shapes=[
             pltpu.VMEM((Qg, d), jnp.float32),
-            pltpu.VMEM((Qg, 1, mk), jnp.float32),
-            pltpu.SemaphoreType.DMA((Qg,)),
         ],
     )
     return pl.pallas_call(
@@ -577,13 +570,175 @@ def pallas_adc_available(
         return False
     if not interpret and not _on_tpu():
         return False
-    if "codes_t" not in store or "clut" not in store:
+    if "codes_t" not in store or "clut" not in store or "books_bd" not in store:
         return False
     if nq_pad and nq_pad * d * 4 > _Q_VMEM_BYTES:
         return False  # query table must stay VMEM-resident
     # k may exceed the per-task top-k width (32): each task contributes its
     # best 32 per block and the cross-block merge produces the requested k
     if d % 128 != 0 or k < 1:
+        return False
+    offsets = np.asarray(offsets)
+    if offsets.size < 2 or offsets[-1] == 0:
+        return False
+    return bool((offsets % LIST_ALIGN == 0).all())
+
+
+# ---------------------------------------------------------------------------
+# RaBitQ kernel — sign-plane estimator scan
+# ---------------------------------------------------------------------------
+#
+# RaBitQ stores one sign bit per dim plus two per-row corrections (residual
+# norm, alignment t) (reference: thirdparty/faiss/.../IndexIVFRaBitQ.cpp +
+# src/simd rabitq_dp_popcnt). On CPU the estimator is an XOR+popcount; the
+# MXU equivalent is a matmul of the rotated query residual against the +-1
+# sign planes (exact in bf16), then the scalar corrections on the VPU.
+# Per-row corrections stream as (1, 1, B) 3D blocks of a (nb/B, 1, B) layout
+# (1-wide 2D blocks violate Mosaic's tiling rule).
+
+
+def _rbq_kernel(
+    blk_ref,  # (Tc,) scalar prefetch
+    nrow_ref,  # (Tc,)
+    lid_ref,  # (Tc,)
+    qids_ref,  # (Tc*Qg,)
+    q_ref,  # (nq_pad, d) f32 ROTATED queries
+    cent_ref,  # (1, 1, d) f32 — this task's ROTATED centroid row
+    signs_ref,  # (B, d) i8 current block (+-1)
+    rn_ref,  # (1, 1, B) f32 residual norms
+    t_ref,  # (1, 1, B) f32 alignment
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
+    B: int,
+    Qg: int,
+    kk: int,
+    is_l2: bool,
+    three_pass: bool,
+    has_mask: bool,
+):
+    if has_mask:
+        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
+    else:
+        keep_ref = None
+        out_s_ref, out_p_ref, qs_scratch = rest
+    ti = pl.program_id(0)
+    for j in range(Qg):
+        qid = jnp.maximum(qids_ref[ti * Qg + j], 0)
+        qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
+    qs = qs_scratch[...]
+    d = qs.shape[1]
+    c = cent_ref[0]  # (1, d)
+    qr = qs - c  # rotated query residual (Qg, d)
+    # i8 -> i32 -> f32 (no direct i8->f32 on this backend); +-1 exact in bf16
+    signs = signs_ref[...].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    if three_pass:  # hi/lo split on qr only — signs are exact
+        q_hi = qr.astype(jnp.bfloat16)
+        q_lo = (qr - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            q_hi, signs, dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(q_lo, signs, dn, preferred_element_type=jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            qr.astype(jnp.bfloat16), signs, dn, preferred_element_type=jnp.float32
+        )
+    rn = rn_ref[0]  # (1, B)
+    tt = t_ref[0]
+    ip_est = rn * dots / (jnp.maximum(tt, 1e-6) * np.sqrt(d))
+    if is_l2:
+        q_res_sq = jnp.sum(qr * qr, axis=1, keepdims=True)
+        score = -(q_res_sq + rn * rn - 2.0 * ip_est)
+    else:  # IP: <q,x> = <q,c> + <q,r>_est (q here is the rotated full query)
+        qc = jax.lax.dot_general(qs, c, dn, preferred_element_type=jnp.float32)
+        score = qc + ip_est
+    col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
+    score = jnp.where(col < nrow_ref[ti], score, NEG_INF)
+    if has_mask:
+        score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
+    gpos = col + blk_ref[ti] * B
+    s, p = _topk_rows(score, gpos, kk)
+    out_s_ref[0] = s
+    out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "Qg", "kk", "is_l2", "three_pass", "interpret")
+)
+def pallas_rbq_tasks(
+    blk: jax.Array,
+    nrows: jax.Array,
+    lids: jax.Array,
+    qids_flat: jax.Array,
+    q: jax.Array,  # (nq_pad, d) f32 rotated
+    cents_rot: jax.Array,  # (nlist, d) f32 rotated centroids
+    signs: jax.Array,  # (nb_pad+slack, d) i8
+    rn_blk: jax.Array,  # (nb_pad//B, 1, B) f32
+    t_blk: jax.Array,  # (nb_pad//B, 1, B) f32
+    keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32
+    *,
+    B: int,
+    Qg: int,
+    kk: int,
+    is_l2: bool,
+    three_pass: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    Tc = blk.shape[0]
+    nq_pad, d = q.shape
+    has_mask = keep is not None
+    cents3 = cents_rot.reshape(cents_rot.shape[0], 1, d)
+    in_specs = [
+        pl.BlockSpec((nq_pad, d), lambda t, b, n, l, qd: (0, 0)),
+        pl.BlockSpec((1, 1, d), lambda t, b, n, l, qd: (l[t], 0, 0)),
+        pl.BlockSpec((B, d), lambda t, b, n, l, qd: (b[t], 0)),
+        pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)),
+        pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)),
+    ]
+    inputs = [blk, nrows, lids, qids_flat, q, cents3, signs, rn_blk, t_blk]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)))
+        inputs.append(keep)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Tc,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((Qg, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _rbq_kernel,
+            B=B, Qg=Qg, kk=kk, is_l2=is_l2, three_pass=three_pass,
+            has_mask=has_mask,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+
+def pallas_rbq_available(
+    store: dict,
+    d: int,
+    k: int,
+    nq_pad: int,
+    offsets: np.ndarray,
+    interpret: bool = False,
+) -> bool:
+    if not _HAS_PLTPU or os.environ.get("KNOWHERE_DISABLE_PALLAS_IVF") == "1":
+        return False
+    if not interpret and not _on_tpu():
+        return False
+    if "rn_blk" not in store or "t_blk" not in store:
+        return False
+    if d % 128 != 0 or k < 1:
+        return False
+    if nq_pad * d * 4 > _Q_VMEM_BYTES:
         return False
     offsets = np.asarray(offsets)
     if offsets.size < 2 or offsets[-1] == 0:

@@ -439,6 +439,15 @@ def ivf_scan_search(
             prec, return_device, keep_sorted=keep_sorted,
         )
 
+    if B is None and kind == "rabitq" and prec != "exact":
+        from .ivf_pallas import pallas_rbq_available
+
+        if pallas_rbq_available(store, q_dev.shape[1], k, nq, list_offsets):
+            return _pallas_rbq_search(
+                q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
+                prec, return_device, keep_sorted=keep_sorted,
+            )
+
     if B is None and kind == "sq":
         from .ivf_pallas import pallas_sq_available
 
@@ -583,10 +592,10 @@ def _pallas_adc_search(
 ):
     """PQ/ScaNN ADC scan via the Pallas one-hot-matmul kernel (ops/ivf_pallas).
 
-    One dense task batch over ALL queries — the QLUT stays in HBM and the
-    kernel DMAs each task's rows, so there is no query slabbing (small slabs
-    destroyed query-group density and multiplied the task count 20x). Task
-    arrays ship in ONE packed h2d."""
+    One dense task batch over ALL queries — the per-task QLUT is computed
+    IN-KERNEL as qs @ block-diagonal-codebooks (no LUT HBM traffic, no query
+    slabbing; small slabs destroyed query-group density and multiplied the
+    task count 20x). Task arrays ship in ONE packed h2d."""
     from .ivf_pallas import (
         LIST_ALIGN,
         adc_s_stack,
@@ -598,8 +607,6 @@ def _pallas_adc_search(
     m, ksub, _sub = books.shape
     B = LIST_ALIGN
     kk = min(k, 32)
-
-    qlut_all = compute_qlut(q_dev, books, is_l2=is_l2)
 
     batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
     if batch is None:
@@ -653,12 +660,108 @@ def _pallas_adc_search(
             lid_dev[c * Tc : (c + 1) * Tc],
             qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
             q_dev,
-            qlut_all,
+            store["books_bd"],
             store["clut"],
             store["centroids"],
             store["codes_t"],
             keep_blk,
             B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
+            interpret=interpret,
+        )
+        score_chunks.append(scores)
+        pos_chunks.append(pos)
+
+    all_s = jnp.concatenate(score_chunks) if n_chunks > 1 else score_chunks[0]
+    all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
+    all_q = qids_dev.reshape(total, Qg)
+
+    S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+    best_s, best_p = _merge_tasks(all_s, all_p, all_q, slots_dev, nq=nq, S=S, kk=kk, k=k)
+    if return_device:
+        return best_s, best_p
+    return np.asarray(best_s), np.asarray(best_p)
+
+
+def _pallas_rbq_search(
+    q_dev: jax.Array,  # (nq_pad, d) f32 ROTATED queries
+    store: Dict[str, jax.Array],
+    probes: np.ndarray,
+    list_offsets: np.ndarray,
+    lens_arr: np.ndarray,
+    k: int,
+    is_l2: bool,
+    Qg: int,
+    prec: str,
+    return_device: bool,
+    keep_sorted: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """RaBitQ sign-plane scan via the Pallas kernel (ops/ivf_pallas
+    _rbq_kernel); task packing mirrors _pallas_adc_search (lids needed for
+    the per-list rotated centroid row)."""
+    from .ivf_pallas import LIST_ALIGN, pallas_rbq_tasks
+
+    nq = q_dev.shape[0]
+    B = LIST_ALIGN
+    kk = min(k, 32)
+    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
+    if batch is None:
+        s_empty = np.full((nq, k), NEG_INF, np.float32)
+        p_empty = np.full((nq, k), -1, np.int32)
+        if return_device:
+            return jax.device_put(s_empty), jax.device_put(p_empty)
+        return s_empty, p_empty
+
+    T = batch.row_start.shape[0]
+    chunk = max(8, (122880 // Qg) // 8 * 8)
+    n_chunks = (T + chunk - 1) // chunk
+    Tc = (min(chunk, T) + 7) // 8 * 8
+    total = n_chunks * Tc
+
+    def padded_all(a, fill):
+        out = np.full((total, *a.shape[1:]), fill, a.dtype)
+        for c in range(n_chunks):
+            s0, e0 = c * chunk, min((c + 1) * chunk, T)
+            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+        return out
+
+    packed_h = np.concatenate(
+        [
+            padded_all((batch.row_start // B).astype(np.int32), 0),
+            padded_all(batch.nrows, 0),
+            padded_all(batch.list_id, 0),
+            padded_all(batch.qids, -1).reshape(-1),
+            padded_all(batch.slots, 0).reshape(-1),
+        ]
+    ).astype(np.int32)
+    packed_dev = jax.device_put(packed_h)  # the ONE h2d
+    blk_dev = packed_dev[:total]
+    nrow_dev = packed_dev[total : 2 * total]
+    lid_dev = packed_dev[2 * total : 3 * total]
+    qids_dev = packed_dev[3 * total : 3 * total + total * Qg]
+    slots_dev = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
+
+    nb_pad = int(list_offsets[-1])
+    keep_blk = (
+        _mask_blocks(keep_sorted, nb_pad=nb_pad, B=B)
+        if keep_sorted is not None
+        else None
+    )
+    three_pass = prec == "fast"
+    score_chunks, pos_chunks = [], []
+    for c in range(n_chunks):
+        scores, pos = pallas_rbq_tasks(
+            blk_dev[c * Tc : (c + 1) * Tc],
+            nrow_dev[c * Tc : (c + 1) * Tc],
+            lid_dev[c * Tc : (c + 1) * Tc],
+            qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
+            q_dev,
+            store["centroids_rot"],
+            store["signs"],
+            store["rn_blk"],
+            store["t_blk"],
+            keep_blk,
+            B=B, Qg=Qg, kk=kk, is_l2=is_l2, three_pass=three_pass,
             interpret=interpret,
         )
         score_chunks.append(scores)

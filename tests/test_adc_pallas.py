@@ -12,7 +12,16 @@ import jax
 import jax.numpy as jnp
 
 from knowhere_tpu.ops.ivf_pallas import LIST_ALIGN, adc_s_stack, pallas_adc_tasks
-from knowhere_tpu.ops.ivf_scan import compute_qlut
+
+
+def _books_bd(books):
+    import numpy as np
+    import jax, jax.numpy as jnp
+    m, ksub, sub = books.shape
+    bd = np.zeros((m * sub, m * ksub), np.float32)
+    for i in range(m):
+        bd[i * sub : (i + 1) * sub, i * ksub : (i + 1) * ksub] = books[i].T
+    return jax.device_put(bd).astype(jnp.bfloat16)
 
 
 def _setup(metric, m, ksub, seed=0):
@@ -73,14 +82,13 @@ def test_adc_kernel_matches_decode_oracle(metric, m, ksub):
         lids[t] = t
         qids[t] = np.arange(nq)
 
-    qlut = compute_qlut(jax.device_put(q), jax.device_put(books), is_l2=is_l2)
     scores, pos = pallas_adc_tasks(
         jax.device_put(blk),
         jax.device_put(nrows),
         jax.device_put(lids),
         jax.device_put(qids.reshape(-1)),
         jax.device_put(q),
-        qlut,
+        _books_bd(books),
         clut_dev,
         jax.device_put(cents),
         jax.device_put(codes_t),
@@ -107,10 +115,13 @@ def test_adc_kernel_matches_decode_oracle(metric, m, ksub):
             # positions must be valid and scores match the oracle's values
             assert (got_p >= 0).all() and (got_p < n).all()
             oracle_at_p = block_gt[qi, got_p]
-            np.testing.assert_allclose(got_s, oracle_at_p, rtol=2e-2, atol=2e-2)
+            # tolerance: the in-kernel LUT matmul uses bf16 codebooks (sum of
+            # m bf16-rounded entries ~ 3e-2 absolute at these scales) — far
+            # tighter than the reference fastscan's uint8-quantized LUTs
+            np.testing.assert_allclose(got_s, oracle_at_p, rtol=3e-2, atol=3e-2)
             # top-k sets agree within bf16-LUT noise: compare score VALUES
             np.testing.assert_allclose(
-                np.sort(got_s)[::-1], gt_top[qi], rtol=2e-2, atol=2e-2
+                np.sort(got_s)[::-1], gt_top[qi], rtol=3e-2, atol=3e-2
             )
 
 
@@ -196,11 +207,10 @@ def test_pallas_kernels_respect_bitset_mask(kernel):
         q2, books, cents, codes_t, clut_dev, gt_score, _ = _setup("L2", m, ksub, seed=11)
         lids = np.zeros(Tc, np.int32)
         lids[1] = 1
-        qlut = compute_qlut(jax.device_put(q2), jax.device_put(books), is_l2=True)
         keep2 = rng.random(codes_t.shape[1]) > 0.5
         s, p = pallas_adc_tasks(
             jax.device_put(blk), jax.device_put(nrows), jax.device_put(lids),
-            jax.device_put(qids.reshape(-1)), jax.device_put(q2), qlut,
+            jax.device_put(qids.reshape(-1)), jax.device_put(q2), _books_bd(books),
             clut_dev, jax.device_put(cents), jax.device_put(codes_t),
             jax.device_put(keep2.astype(np.int32).reshape(-1, 1, B)),
             B=B, Qg=Qg, kk=kk, m=m, ksub=ksub,
@@ -254,6 +264,7 @@ def test_adc_end_to_end_ivf_pq_recall():
         "centroids": jax.device_put(cents),
         "codes_t": jax.device_put(codes_t),
         "clut": clut_dev,
+        "books_bd": _books_bd(books),
     }
     nprobe = nlist
     probes = coarse_probe_host(q, cents, nprobe, True)
@@ -272,3 +283,60 @@ def test_adc_end_to_end_ivf_pq_recall():
         len(set(gt_top[i].tolist()) & set(p[i].tolist())) for i in range(q.shape[0])
     )
     assert hits / (q.shape[0] * k) >= 0.95
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP"])
+def test_rbq_kernel_matches_estimator_oracle(metric):
+    """Pallas RaBitQ scan vs the numpy sign-plane estimator (the same formula
+    the XLA task scan uses; reference: faiss IndexIVFRaBitQ estimator)."""
+    from knowhere_tpu.ops.ivf_pallas import pallas_rbq_tasks
+
+    rng = np.random.default_rng(17)
+    d = 128
+    B = LIST_ALIGN
+    nlist = 2
+    nb_pad = nlist * B
+    signs = (rng.integers(0, 2, size=(nb_pad, d)) * 2 - 1).astype(np.int8)
+    r_norm = (rng.random(nb_pad).astype(np.float32) + 0.1) * 2.0
+    tval = rng.random(nb_pad).astype(np.float32) * 0.9 + 0.1
+    cents = rng.standard_normal((nlist, d)).astype(np.float32)
+    nq, Qg, kk = 8, 8, 10
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    is_l2 = metric == "L2"
+
+    lists = np.repeat(np.arange(nlist), B)
+    qr = q[:, None, :] - cents[lists][None]  # (nq, nb, d)
+    dots = np.einsum("qnd,nd->qn", qr, signs.astype(np.float32))
+    ip_est = r_norm[None] * dots / (np.maximum(tval, 1e-6)[None] * np.sqrt(d))
+    if is_l2:
+        gt = -((qr**2).sum(-1) + (r_norm**2)[None] - 2.0 * ip_est)
+    else:
+        gt = (q @ cents[lists].T) + ip_est
+
+    Tc = 8
+    blk = np.zeros(Tc, np.int32)
+    nrows = np.zeros(Tc, np.int32)
+    lids = np.zeros(Tc, np.int32)
+    qids = np.full((Tc, Qg), -1, np.int32)
+    for t in range(nlist):
+        blk[t], nrows[t], lids[t] = t, B if t == 0 else B - 21, t
+        qids[t] = np.arange(nq)
+    s, p = pallas_rbq_tasks(
+        jax.device_put(blk), jax.device_put(nrows), jax.device_put(lids),
+        jax.device_put(qids.reshape(-1)), jax.device_put(q),
+        jax.device_put(cents), jax.device_put(signs),
+        jax.device_put(r_norm.reshape(nlist, 1, B)),
+        jax.device_put(tval.reshape(nlist, 1, B)),
+        B=B, Qg=Qg, kk=kk, is_l2=is_l2, three_pass=True, interpret=True,
+    )
+    s, p = np.asarray(s), np.asarray(p)
+    for t in range(nlist):
+        n = int(nrows[t])
+        block_gt = gt[:, t * B : t * B + n]
+        gt_top = np.take_along_axis(block_gt, np.argsort(-block_gt, 1)[:, :kk], 1)
+        for qi in range(nq):
+            got_p = p[t, qi] - t * B
+            assert (got_p >= 0).all() and (got_p < n).all()
+            np.testing.assert_allclose(
+                np.sort(s[t, qi])[::-1], gt_top[qi], rtol=2e-2, atol=2e-2
+            )

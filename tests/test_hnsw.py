@@ -161,6 +161,25 @@ class TestHnswLifecycle:
         gt = np.argsort(((np.asarray(queries.tensor)[:, None] - xall[None]) ** 2).sum(-1), 1)[:, :K]
         assert knn_recall(gt, res.value().ids, NQ, K) >= KNN_RECALL_THRESHOLD
 
+    def test_incremental_insert_no_rebuild(self, queries):
+        """<=20% growth takes the true incremental path (_insert_batch):
+        batched candidate search + RobustPrune + reverse-edge repair."""
+        x1 = gen_dataset(2000, DIM, seed=65)
+        x2 = gen_dataset(200, DIM, seed=66)
+        idx = build("HNSW", x1, {"metric_type": "L2", "M": 16, "efConstruction": 128})
+        node = idx  # IndexNode behind the facade handles _flush_pending
+        assert idx.Add(x2, {"metric_type": "L2"}) == kt.Status.success
+        assert idx.Count() == 2200
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 96})
+        xall = np.concatenate([np.asarray(x1.tensor), np.asarray(x2.tensor)])
+        gt = np.argsort(((np.asarray(queries.tensor)[:, None] - xall[None]) ** 2).sum(-1), 1)[:, :K]
+        assert knn_recall(gt, res.value().ids, NQ, K) >= KNN_RECALL_THRESHOLD
+        # new rows are reachable: search directly for an added vector
+        qs2 = kt.GenDataSetFromArray(np.asarray(x2.tensor)[:8])
+        r2 = idx.Search(qs2, {"metric_type": "L2", "k": 1, "ef": 96})
+        top1 = np.asarray(r2.value().ids).reshape(-1)
+        assert (top1 >= 2000).mean() >= 0.75, top1
+
     def test_index_meta(self, base):
         idx = build("HNSW", base, {"metric_type": "L2", "M": 16})
         meta = idx.GetIndexMeta({})
