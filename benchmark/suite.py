@@ -40,6 +40,7 @@ KNOBS = {
     "SCANN": ("nprobe", [1, 2, 4, 8, 16, 32, 64, 128, 256]),
     "IVF_RABITQ": ("nprobe", [1, 2, 4, 8, 16, 32, 64, 128, 256]),
     "HNSW": ("ef", [16, 32, 64, 128, 256, 512]),
+    "DISKANN": ("search_list_size", [16, 32, 64, 128, 256, 512]),
     "FLAT": (None, [None]),
 }
 
@@ -101,17 +102,67 @@ def recall_at_k(gt, ids, k):
     return hits / (nq * k)
 
 
+class _BenchFileManager:
+    """milvus::LocalFileManager stand-in for the DISKANN benchmark row
+    (reference benches DISKANN through the same injected-FileManager path)."""
+
+    def LoadFile(self, path):
+        return True
+
+    def AddFile(self, path):
+        return os.path.exists(path)
+
+
+def _build_diskann(xb):
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="kt_diskann_bench_")
+    data_path = os.path.join(tmp, "raw.bin")
+    with open(data_path, "wb") as f:
+        np.asarray(xb.shape, dtype=np.int32).tofile(f)
+        xb.tofile(f)
+    fm = _BenchFileManager()
+    idx = kt.IndexFactory.Instance().Create("DISKANN", object=fm).value()
+    prefix = os.path.join(tmp, "idx")
+    t0 = time.perf_counter()
+    st = idx.Build(
+        kt.DataSet(),
+        {
+            "metric_type": "L2",
+            "index_prefix": prefix,
+            "data_path": data_path,
+            "max_degree": 48,
+            "search_list_size": 128,
+            "pq_code_budget_gb": 32 * xb.shape[0] / 1e9,
+            "build_dram_budget_gb": 8.0,
+        },
+    )
+    build_s = time.perf_counter() - t0
+    if st != kt.Status.success:
+        return None, build_s, st
+    idx2 = kt.IndexFactory.Instance().Create("DISKANN", object=fm).value()
+    st = idx2.Deserialize(
+        kt.BinarySet(), {"metric_type": "L2", "index_prefix": prefix}
+    )
+    return (idx2 if st == kt.Status.success else None), build_s, st
+
+
 def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192):
     base = kt.GenDataSetFromArray(xb)
     created = kt.IndexFactory.Instance().Create(name)
-    if not created.has_value():
+    if not created.has_value() and name != "DISKANN":
         return None
-    idx = created.value()
-    t0 = time.perf_counter()
-    st = idx.Build(base, {"metric_type": "L2", **BUILD_CFG.get(name, {})})
-    build_s = time.perf_counter() - t0
-    if st != kt.Status.success:
-        return {"index": name, "error": st.name}
+    if name == "DISKANN":
+        idx, build_s, st = _build_diskann(xb)
+        if idx is None:
+            return {"index": name, "error": st.name}
+    else:
+        idx = created.value()
+        t0 = time.perf_counter()
+        st = idx.Build(base, {"metric_type": "L2", **BUILD_CFG.get(name, {})})
+        build_s = time.perf_counter() - t0
+        if st != kt.Status.success:
+            return {"index": name, "error": st.name}
 
     knob, values = KNOBS[name]
     gt_nq = gt_ids.shape[0]
@@ -165,6 +216,7 @@ def main():
     args = ap.parse_args()
 
     xb, xq, gt, ds_name = load_dataset(args.nb, args.dim, args.nq)
+    args.gt_nq = min(args.gt_nq, args.nq)
     set_distance_precision(DistancePrecision.EXACT)
     if gt is None:
         g = kt.BruteForce.Search(

@@ -44,6 +44,17 @@ from ..status import KnowhereException, Status, expected
 # back to brute force (IndexConditionalWrapper behavior).
 BRUTE_FORCE_FALLBACK_RATIO = 0.9
 
+# beam-search gather compaction (ops/graph.beam_search compact_ratio): score
+# only this fraction of the W*deg neighbor lanes per step, fresh-first in
+# parent-rank order. MEASURED NEGATIVE on v5e (SIFT-like 1M, ef=32/W=2:
+# 6417 QPS@1.0 vs 5132@0.75 vs 3851@0.5, recall flat then dipping) — the
+# per-step argsort outweighs the saved gather width, i.e. the walk is NOT
+# purely gather-bound at the operating point. Default off; kept env-gated
+# for re-evaluation at larger W/deg.
+import os as _os
+
+GRAPH_COMPACT_RATIO = float(_os.environ.get("KNOWHERE_GRAPH_COMPACT", "1.0"))
+
 
 class BaseHnswConfig(BaseConfig):
     """reference src/index/hnsw/base_hnsw_config.h:28-58 + faiss additions."""
@@ -619,6 +630,7 @@ class HnswIndexNode(IndexNode):
                 beam_width=W,
                 route_cents=self._entry_cents_dev,
                 n_seed=n_seed,
+                compact_ratio=GRAPH_COMPACT_RATIO if W > 1 else 1.0,
             )
             scores_l.append(np.asarray(sc)[: xc.shape[0]])
             ids_l.append(np.asarray(ic)[: xc.shape[0]])

@@ -341,7 +341,7 @@ def pick_entry_points(
     jax.jit,
     static_argnames=(
         "kind", "ef", "k", "deg", "max_iters", "is_l2", "is_jaccard", "has_mask",
-        "hash_bits", "prec", "beam_width", "n_seed",
+        "hash_bits", "prec", "beam_width", "n_seed", "compact_ratio",
     ),
 )
 def beam_search(
@@ -364,6 +364,7 @@ def beam_search(
     beam_width: int = 1,
     route_cents: Optional[jax.Array] = None,  # (E, d) kmeans centroids
     n_seed: int = 0,
+    compact_ratio: float = 1.0,  # <1.0 enables gather compaction (W>1 only)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (nq,k) larger-is-better, ids (nq,k) int32, -1 pad)."""
     from .distances import precision_from_name
@@ -531,6 +532,22 @@ def beam_search(
             )
             inv = jnp.argsort(order, axis=1)
             fresh &= ~jnp.take_along_axis(dup_sorted, inv, axis=1)
+        if W > 1 and compact_ratio < 1.0:
+            # gather compaction: the walk is row-gather-bound (~90 Mrows/s on
+            # v5e regardless of row width), and with W parallel expansions a
+            # large fraction of lanes are stale (visited/duplicate). Stable-
+            # sort fresh lanes first — lane order == parent beam rank, so the
+            # truncated tail holds the worst parents' neighbors — and score
+            # only the first G columns. Lanes compact BEFORE the visited-table
+            # scatter so a truncated fresh lane stays unvisited and can
+            # re-enter via a later parent.
+            G = max(deg, int(W * deg * compact_ratio) // 8 * 8)
+            order = jnp.argsort(
+                jnp.where(fresh, 0, 1).astype(jnp.int32), axis=1, stable=True
+            )[:, :G]
+            nbrs = jnp.take_along_axis(nbrs, order, axis=1)
+            fresh = jnp.take_along_axis(fresh, order, axis=1)
+            slots = jnp.take_along_axis(slots, order, axis=1)
         # scatter only fresh lanes (non-fresh go to dummy slot H; a stale
         # write-back would otherwise race a fresh insert in the same step)
         table = table.at[qrows[:, None], jnp.where(fresh, slots, H)].set(nbrs)
