@@ -62,65 +62,36 @@ def _approx_knn_graph(
         aux = D.base_aux(metric, base_dev)
         ids, _ = T.knn_search(x, base_dev, k + 1, metric, aux=aux, query_chunk=4096)
     else:
-        # IVF-accelerated all-pairs kNN: cluster, then probe a few lists.
-        # Lists pad to LIST_ALIGN multiples so the scan rides the Pallas
-        # raw kernel (the compact layout fell back to the XLA task scan —
-        # measured 160s of a 194s 1M build in that fallback).
-        from .ivf_pallas import LIST_ALIGN
-
-        # pow2 ladder: sqrt(nb) directly would give every corpus size its
-        # own kernel shapes (first compile costs minutes on this platform)
-        nlist = 1 << int(round(np.log2(max(64, int(np.sqrt(nb))))))
+        # IVF-accelerated all-pairs kNN: cluster, then probe a few lists
+        nlist = max(64, int(np.sqrt(nb)))
         if centroids is None or centroids.shape[0] != nlist:
             centroids, assign = kmeans(x, nlist, n_iters=8)
         elif assign is None:
             assign = assign_rows(x, centroids)
         order = np.argsort(assign, kind="stable")
-        counts = np.bincount(assign, minlength=nlist).astype(np.int64)
-        align = LIST_ALIGN if d % 128 == 0 else 0
-        pad_counts = (
-            (counts + align - 1) // align * align if align else counts
-        )
+        row_ids = order.astype(np.int64)
         offsets = np.zeros(nlist + 1, np.int64)
-        np.cumsum(pad_counts, out=offsets[1:])
-        nb_pad = int(offsets[-1])
-        true_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        dst = np.arange(nb, dtype=np.int64) + np.repeat(
-            offsets[:-1] - true_starts, counts
-        )
-        row_ids = np.full(nb_pad, -1, dtype=np.int64)
-        row_ids[dst] = order
-        x_sorted = np.zeros((nb_pad, d), np.float32)
-        x_sorted[dst] = x[order]
+        np.cumsum(np.bincount(assign, minlength=nlist), out=offsets[1:])
+        x_sorted = x[order]
         pad = np.zeros((2048, d), np.float32)
         store = {
             "data": jax.device_put(np.concatenate([x_sorted, pad])),
             "norms": jax.device_put(
                 np.concatenate(
-                    [
-                        np.sum(x_sorted.astype(np.float64) ** 2, 1).astype(np.float32),
-                        np.zeros(2048, np.float32),
-                    ]
+                    [np.sum(x_sorted.astype(np.float64) ** 2, 1).astype(np.float32), np.zeros(2048, np.float32)]
                 )
             ),
             "centroids": jax.device_put(centroids),
         }
         is_l2 = metric == "L2"
         ids = np.empty((nb, k + 1), dtype=np.int64)
-        # 16384 keeps the query table within the Pallas kernel's VMEM budget
-        # (32768 x 128 x 4B would exceed it and fall back to the XLA scan)
-        chunk = 16384
+        chunk = 32768  # fewer chunks = fewer ~30ms device round-trips
         for s in range(0, nb, chunk):
             e = min(s + chunk, nb)
             q_dev = jax.device_put(x[s:e])
             probes = np.asarray(coarse_probe(q_dev, store["centroids"], nprobe=12, is_l2=is_l2))
-            _, pos = ivf_scan_search(
-                q_dev, store, "raw", probes, offsets, k + 1, is_l2,
-                list_lengths=counts,
-            )
-            ids[s:e] = np.where(
-                pos >= 0, row_ids[np.clip(pos, 0, nb_pad - 1)], -1
-            )
+            _, pos = ivf_scan_search(q_dev, store, "raw", probes, offsets, k + 1, is_l2)
+            ids[s:e] = np.where(pos >= 0, row_ids[np.clip(pos, 0, nb - 1)], -1)
     # drop self edges (vectorized: stable-sort self-hits to the end, cut to k)
     ids = np.asarray(ids, dtype=np.int64)
     is_self = ids == np.arange(nb, dtype=np.int64)[:, None]
@@ -150,33 +121,14 @@ def _prune_chunk(
     x_nodes = jax.lax.dynamic_slice(x_all, (start, 0), (C, d))
     cand_vecs = jnp.take(x_all, jnp.clip(cand_ids, 0), axis=0)  # (C, K, d)
 
-    hp = jax.lax.Precision.HIGHEST
     if is_l2:
-        # matmul identity, NOT broadcast-subtract-square: the elementwise
-        # form is (C,K,K,d) VPU work (~400s for a 200k build); the batched
-        # einsum lands on the MXU (measured: build-dominating -> ~10s)
-        nrm = jnp.sum(cand_vecs**2, axis=-1)  # (C, K)
-        dots = jnp.einsum(
-            "ckd,cjd->ckj", cand_vecs, cand_vecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
-        pair = jnp.maximum(nrm[:, :, None] + nrm[:, None, :] - 2.0 * dots, 0.0)
-        nd = jnp.einsum(
-            "cd,ckd->ck", x_nodes, cand_vecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
-        d_node = jnp.maximum(
-            jnp.sum(x_nodes**2, -1)[:, None] + nrm - 2.0 * nd, 0.0
-        )
+        d_node = jnp.sum((cand_vecs - x_nodes[:, None, :]) ** 2, axis=-1)  # (C,K)
+        pair = jnp.sum(
+            (cand_vecs[:, :, None, :] - cand_vecs[:, None, :, :]) ** 2, axis=-1
+        )  # (C,K,K)
     else:  # similarity: "closer" = larger; diversification uses similarity
-        d_node = -jnp.einsum(
-            "cd,ckd->ck", x_nodes, cand_vecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
-        pair = -jnp.einsum(
-            "ckd,cjd->ckj", cand_vecs, cand_vecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
+        d_node = -jnp.einsum("cd,ckd->ck", x_nodes, cand_vecs)
+        pair = -jnp.einsum("ckd,cjd->ckj", cand_vecs, cand_vecs)
 
     valid = cand_ids >= 0
 
@@ -216,22 +168,10 @@ def prune_candidates_ids(
     x_nodes = jnp.take(x_all, jnp.clip(node_ids, 0), axis=0)  # (C, d)
     cand_vecs = jnp.take(x_all, jnp.clip(cand_ids, 0), axis=0)  # (C, K, d)
 
-    hp = jax.lax.Precision.HIGHEST
     if is_l2:
-        nd = jnp.einsum(
-            "cd,ckd->ck", x_nodes, cand_vecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
-        d_node = jnp.maximum(
-            jnp.sum(x_nodes**2, -1)[:, None]
-            + jnp.sum(cand_vecs**2, -1) - 2.0 * nd,
-            0.0,
-        )
+        d_node = jnp.sum((cand_vecs - x_nodes[:, None, :]) ** 2, axis=-1)
     else:
-        d_node = -jnp.einsum(
-            "cd,ckd->ck", x_nodes, cand_vecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
+        d_node = -jnp.einsum("cd,ckd->ck", x_nodes, cand_vecs)
 
     BIG = jnp.float32(3.0e38)
     valid = (cand_ids >= 0) & (cand_ids != node_ids[:, None])
@@ -248,17 +188,9 @@ def prune_candidates_ids(
     vv &= ~dup
 
     if is_l2:
-        nrm2 = jnp.sum(cvecs**2, axis=-1)
-        dots2 = jnp.einsum(
-            "ckd,cjd->ckj", cvecs, cvecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
-        pair = jnp.maximum(nrm2[:, :, None] + nrm2[:, None, :] - 2.0 * dots2, 0.0)
+        pair = jnp.sum((cvecs[:, :, None, :] - cvecs[:, None, :, :]) ** 2, axis=-1)
     else:
-        pair = -jnp.einsum(
-            "ckd,cjd->ckj", cvecs, cvecs,
-            preferred_element_type=jnp.float32, precision=hp,
-        )
+        pair = -jnp.einsum("ckd,cjd->ckj", cvecs, cvecs)
 
     def body(j, kept):
         conflict = kept & (alpha * pair[:, j, :] < dn[:, j][:, None])
@@ -284,7 +216,6 @@ def build_graph(
     n_long_edges: int = 2,
     centroids: Optional[np.ndarray] = None,
     assign: Optional[np.ndarray] = None,
-    x_dev: Optional[jax.Array] = None,
 ) -> np.ndarray:
     """Returns (nb, deg) int32 adjacency (-1 padded).
 
@@ -293,32 +224,15 @@ def build_graph(
     produces such links implicitly; a batched flat build must add them
     explicitly or multi-modal corpora split into disconnected components
     (observed: recall 0.06 on a 500-cluster 1M corpus without them)."""
-    import os
-    import time as _time
-
-    timing = os.environ.get("KNOWHERE_BUILD_TIMING") == "1"
-    t0 = _time.time()
-
-    def _mark(phase):
-        nonlocal t0
-        if timing:
-            now = _time.time()
-            print(f"[build_graph] {phase}: {now - t0:.1f}s", flush=True)
-            t0 = now
-
     nb, d = x.shape
     inter = intermediate_deg or min(max(2 * deg, 32), max(nb - 1, 1))
     inter = min(inter, nb - 1)
     knn = _approx_knn_graph(x, inter, metric, centroids=centroids, assign=assign)
-    _mark("approx-knn")
     is_l2 = metric.upper() != "IP"  # cosine data comes pre-normalized; L2 rule ok
 
     graph = np.full((nb, deg), -1, dtype=np.int32)
     chunk = min(2048, nb)
-    if x_dev is None:  # resident once; chunks gather on device. A 512MB
-        # corpus upload costs ~5-30s through the tunnel, so callers pass a
-        # shared resident copy (models/hnsw uploads the corpus ONCE per build)
-        x_dev = jax.device_put(x.astype(np.float32))
+    x_dev = jax.device_put(x.astype(np.float32))  # resident once; chunks gather on device
     starts = list(range(0, max(nb - chunk, 0) + 1, chunk))
     if starts[-1] + chunk < nb:
         starts.append(nb - chunk)  # overlapping tail keeps one jit shape
@@ -337,7 +251,6 @@ def build_graph(
     # one sync for all chunks (each np.asarray costs a ~30ms device round-trip)
     for s, out in zip(starts, np.asarray(jnp.stack(outs))):
         graph[s : s + chunk] = out
-    _mark("prune")
 
     if add_reverse:
         # backfill spare slots with reverse edges (connectivity, like HNSW's
@@ -372,7 +285,6 @@ def build_graph(
             keep = rank < free[dst]
             s2, d2, r2 = src[keep], dst[keep], rank[keep]
             graph[d2, slots_used[d2] + r2] = s2
-    _mark("reverse-edges")
 
     if n_long_edges > 0 and nb > deg * 4:
         # small-world shortcuts: overwrite the LAST n_long_edges slots with
@@ -383,7 +295,6 @@ def build_graph(
             targets = rng.integers(0, nb, nb).astype(np.int32)
             targets = np.where(targets == np.arange(nb, dtype=np.int32), (targets + 1) % nb, targets)
             graph[:, deg - j] = targets
-    _mark("long-edges")
     return graph
 
 
@@ -392,7 +303,6 @@ def pick_entry_points(
     n_entry: int = 64,
     seed: int = 7,
     centroids: Optional[np.ndarray] = None,
-    base_dev: Optional[jax.Array] = None,
 ) -> np.ndarray:
     """k-means-centroid entry points (replaces the HNSW top-level descent).
 
@@ -414,8 +324,7 @@ def pick_entry_points(
         centroids, _ = kmeans(x, n_entry, n_iters=6, seed=seed)
     import jax as _jax
 
-    if base_dev is None:
-        base_dev = _jax.device_put(x.astype(np.float32))
+    base_dev = _jax.device_put(x.astype(np.float32))
     from . import distances as D
 
     aux = D.base_aux("L2", base_dev)
@@ -432,7 +341,7 @@ def pick_entry_points(
     jax.jit,
     static_argnames=(
         "kind", "ef", "k", "deg", "max_iters", "is_l2", "is_jaccard", "has_mask",
-        "hash_bits", "prec", "beam_width", "n_seed", "compact_ratio",
+        "hash_bits", "prec", "beam_width", "n_seed", "compact_ratio", "ablate",
     ),
 )
 def beam_search(
@@ -456,9 +365,10 @@ def beam_search(
     route_cents: Optional[jax.Array] = None,  # (E, d) kmeans centroids
     n_seed: int = 0,
     compact_ratio: float = 1.0,  # <1.0 enables gather compaction (W>1 only)
+    ablate: str = "",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (nq,k) larger-is-better, ids (nq,k) int32, -1 pad)."""
-    from .distances import precision_from_name
+    from knowhere_tpu.ops.distances import precision_from_name
 
     mp = precision_from_name(prec)
     nq, d = q.shape
@@ -604,22 +514,31 @@ def beam_search(
         # than k unique ids, so recall DROPS as ef grows (observed inversion:
         # 0.88@ef=64 -> 0.74@ef=256 on a 50-cluster corpus).
         slots = hash_slot(nbrs)
-        seen = jnp.take_along_axis(table, slots, axis=1) == nbrs
-        in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=2)
-        fresh = (nbrs >= 0) & ~seen & ~in_beam
-        if W > 1:
+        if "notable" in ablate:
+            seen = jnp.zeros(nbrs.shape, bool)
+        else:
+            seen = jnp.take_along_axis(table, slots, axis=1) == nbrs
+        if "noinbeam" in ablate:
+            fresh = (nbrs >= 0) & ~seen
+        else:
+            in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=2)
+            fresh = (nbrs >= 0) & ~seen & ~in_beam
+        if W > 1 and "nodedup" not in ablate:
             # intra-step dedup: with W simultaneous expansions the same node
             # can arrive from several parents in ONE step — all lanes pass the
             # (stale) table/beam checks and the duplicate crowds a unique id
-            # out of the k-wide result set. Keep only the first occurrence.
-            # Exact triangular pairwise compare — measured 1.7x faster than
-            # the sort-based formulation (XLA sort is many bitonic passes;
-            # the (G, G) compare fuses into one reduce).
-            G_cur = nbrs.shape[1]
-            tri = jnp.tril(jnp.ones((G_cur, G_cur), bool), -1)  # j < i
-            eq = nbrs[:, :, None] == nbrs[:, None, :]
-            dup = jnp.any(eq & (fresh[:, None, :] & tri[None]), axis=2)
-            fresh &= ~dup
+            # out of the k-wide result set. Keep only the first occurrence
+            # (sort ids, mark equal-adjacent, scatter back).
+            imax = jnp.int32(np.iinfo(np.int32).max)
+            key = jnp.where(fresh, nbrs, imax)
+            order = jnp.argsort(key, axis=1)
+            skey = jnp.take_along_axis(key, order, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((nq, 1), bool), (skey[:, 1:] == skey[:, :-1]) & (skey[:, 1:] != imax)],
+                axis=1,
+            )
+            inv = jnp.argsort(order, axis=1)
+            fresh &= ~jnp.take_along_axis(dup_sorted, inv, axis=1)
         if W > 1 and compact_ratio < 1.0:
             # gather compaction: the walk is row-gather-bound (~90 Mrows/s on
             # v5e regardless of row width), and with W parallel expansions a
@@ -638,17 +557,21 @@ def beam_search(
             slots = jnp.take_along_axis(slots, order, axis=1)
         # scatter only fresh lanes (non-fresh go to dummy slot H; a stale
         # write-back would otherwise race a fresh insert in the same step)
-        table = table.at[qrows[:, None], jnp.where(fresh, slots, H)].set(nbrs)
+        if "notable" not in ablate:
+            table = table.at[qrows[:, None], jnp.where(fresh, slots, H)].set(nbrs)
 
-        nb_scores = score_nodes(jnp.where(fresh, nbrs, 0))
-        nb_scores = jnp.where(fresh, nb_scores, NEG_INF)
+        if "noscore" in ablate:
+            nb_scores = jnp.where(fresh, -jnp.abs(nbrs.astype(jnp.float32)), NEG_INF)
+        else:
+            nb_scores = score_nodes(jnp.where(fresh, nbrs, 0))
+            nb_scores = jnp.where(fresh, nb_scores, NEG_INF)
 
-        # result update (only bitset-valid nodes surface). Unmasked searches
-        # skip it entirely: top-k is always a prefix of the score-sorted
-        # ef-beam (beam evicts worst-first), so the final beam prefix IS the
-        # result set — measured +25% QPS at identical recall.
+        # result update (only bitset-valid nodes surface)
         if has_mask:
             res_valid = fresh & jnp.take(keep_mask, jnp.clip(nbrs, 0), axis=0)
+        else:
+            res_valid = fresh
+        if "nores" not in ablate:
             res_cand_s = jnp.where(res_valid, nb_scores, NEG_INF)
             cat_rs = jnp.concatenate([res_s, res_cand_s], axis=1)
             cat_ri = jnp.concatenate([res_ids, jnp.where(res_valid, nbrs, -1)], axis=1)
@@ -674,17 +597,10 @@ def beam_search(
         res_ids,
         jnp.zeros((nq,), bool),
     )
-    _, beam_s_f, beam_ids_f, _, _, res_s, res_ids, _ = jax.lax.while_loop(
-        cond, body, state
-    )
-    if not has_mask:
-        # unmasked: the sorted ef-beam's k-prefix is the exact result set
-        ke = min(k, ef)
-        res_s = beam_s_f[:, :ke]
-        res_ids = jnp.where(res_s == NEG_INF, -1, beam_ids_f[:, :ke])
-        if ke < k:
-            res_s = jnp.pad(res_s, ((0, 0), (0, k - ke)), constant_values=NEG_INF)
-            res_ids = jnp.pad(res_ids, ((0, 0), (0, k - ke)), constant_values=-1)
+    out = jax.lax.while_loop(cond, body, state)
+    _, beam_s_f, beam_ids_f, _, _, res_s, res_ids, _ = out
+    if "nores" in ablate:
+        res_s, res_ids = beam_s_f[:, :k], beam_ids_f[:, :k]
 
     # lossy-hash collisions can duplicate ids in results: dedupe, keep best
     order = jnp.argsort(jnp.where(res_ids < 0, np.iinfo(np.int32).max, res_ids), axis=1)

@@ -16,6 +16,33 @@ Public API mirrors the reference surface (see SURVEY.md):
     ids = res.value().ids
 """
 
+def _setup_compile_cache() -> None:
+    """Persistent XLA compile cache, default ON (KNOWHERE_JAX_CACHE=0 opts
+    out). First compilation of each kernel shape costs tens of seconds on
+    TPU; serving processes restart, so without a disk cache every restart
+    repays the full compile bill (measured: 1M-corpus HNSW build 375s warm
+    vs >600s cold). Config-only — does not initialize the JAX backend."""
+    import os
+
+    if os.environ.get("KNOWHERE_JAX_CACHE", "1") != "1":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:  # respect user setting
+            cache = os.environ.get(
+                "KNOWHERE_JAX_CACHE_DIR",
+                os.path.join(os.path.expanduser("~"), ".cache", "knowhere_tpu", "jax"),
+            )
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization; never block import
+        pass
+
+
+_setup_compile_cache()
+
 from .binaryset import Binary, BinarySet  # noqa: F401
 from .bitset import BitsetView  # noqa: F401
 from .brute_force import BruteForce  # noqa: F401

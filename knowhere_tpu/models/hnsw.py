@@ -197,11 +197,17 @@ class HnswIndexNode(IndexNode):
         if nb > 65536:
             from ..ops.kmeans import kmeans as _kmeans
 
-            nlist = max(64, int(np.sqrt(nb)))
+            # kmeans subsamples internally (max_points_per_centroid=256,
+            # faiss parity) and assigns the full corpus once
+            # pow2 ladder keeps kernel shapes reusable across corpus sizes
+            nlist = 1 << int(round(np.log2(max(64, int(np.sqrt(nb))))))
             cents, assign = _kmeans(x, nlist, n_iters=8)
+        # ONE resident corpus upload shared by prune, entry mapping, and (for
+        # the flat variant) the search store — each 512MB h2d costs ~5-30s
+        x_dev_shared = jax.device_put(x.astype(np.float32))
         self._graph = build_graph(
             x, deg, self._internal_metric(), intermediate_deg=inter,
-            centroids=cents, assign=assign,
+            centroids=cents, assign=assign, x_dev=x_dev_shared,
         )
         # entry points: at scale, keep the PER-CENTROID map (centroid i ->
         # its nearest resident node) plus the centroids themselves, so search
@@ -211,20 +217,21 @@ class HnswIndexNode(IndexNode):
         if cents is not None:
             from ..ops import topk as T
 
-            base_dev = jax.device_put(x)
-            aux = D.base_aux("L2", base_dev)
-            ids, _ = T.knn_search(cents, base_dev, 1, "L2", aux=aux)
+            aux = D.base_aux("L2", x_dev_shared)
+            ids, _ = T.knn_search(cents, x_dev_shared, 1, "L2", aux=aux)
             self._entry = ids.reshape(-1).astype(np.int32)
             self._entry_cents = cents.astype(np.float32)
         else:
             n_entry = int(min(max(64, nb // 500), 1024, nb))
-            self._entry = pick_entry_points(x, n_entry=n_entry)
+            self._entry = pick_entry_points(x, n_entry=n_entry, base_dev=x_dev_shared)
             self._entry_cents = None
         if not self._is_binary():
             self._raw_host = np.asarray(x_in)
         # payload per variant
         if self.VARIANT == "flat":
             self._payload = {"data": x}
+            if not self._is_binary():
+                self._data_dev_prebuilt = x_dev_shared
             if self._is_binary():
                 self._payload["bits_raw"] = np.asarray(x_in)
         elif self.VARIANT == "sq":
@@ -301,7 +308,12 @@ class HnswIndexNode(IndexNode):
             jax.device_put(self._entry_cents) if self._entry_cents is not None else None
         )
         if self.VARIANT == "flat":
-            self._store = {"data": jax.device_put(self._payload["data"])}
+            pre = getattr(self, "_data_dev_prebuilt", None)
+            if pre is not None and pre.shape == self._payload["data"].shape:
+                self._store = {"data": pre}  # corpus already resident (build)
+            else:
+                self._store = {"data": jax.device_put(self._payload["data"])}
+            self._data_dev_prebuilt = None
             self._kind = "raw"
         elif self.VARIANT == "sq":
             self._store = {

@@ -87,13 +87,18 @@ def kmeans(
     for _ in range(n_iters):
         cents, counts = _lloyd_step(x_dev, cents, k=k)
         counts_np = np.asarray(counts)
+        # Route centroids through the host EVERY iteration so the step always
+        # sees host-layout inputs: feeding the jit output straight back gives
+        # it a device-chosen layout, which is a SECOND executable — and this
+        # platform's compile of the scatter-heavy step took 648s (measured)
+        # for that second layout. One 512KB d2h per iteration is ~30ms.
+        cents_np = np.array(cents)  # copy: np.asarray of a jax array is read-only
         empty = counts_np == 0
         if empty.any():
             # reseed dead centroids from random training points (host-side;
             # the reference splits the largest cluster — same net effect)
-            cents_np = np.array(cents)  # copy: np.asarray of a jax array is read-only
             cents_np[empty] = x_train[rng.integers(0, x_train.shape[0], int(empty.sum()))]
-            cents = jax.device_put(cents_np)
+        cents = jax.device_put(cents_np)
 
     centroids_np = np.asarray(cents, dtype=np.float32)
     assign_all = assign_rows(x, centroids_np, chunk=chunk)
