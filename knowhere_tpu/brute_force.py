@@ -135,6 +135,91 @@ class BruteForce:
         return guarded_expected(impl)
 
     @staticmethod
+    def SearchSparse(
+        base_dataset: DataSet,
+        query_dataset: DataSet,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> "expected[DataSet]":
+        """Named sparse entrypoint (reference brute_force.h:50-57
+        SearchSparse); Search() auto-detects sparse datasets and routes to
+        the same implementation."""
+
+        def impl():
+            from .models.sparse import brute_force_search_sparse
+
+            if not base_dataset.is_sparse:
+                return expected.Err(
+                    Status.invalid_args, "SearchSparse requires a sparse dataset"
+                )
+            return brute_force_search_sparse(
+                base_dataset, query_dataset, json_cfg or {}, bitset
+            )
+
+        return guarded_expected(impl)
+
+    @staticmethod
+    def SearchSparseWithBuf(
+        base_dataset: DataSet,
+        query_dataset: DataSet,
+        ids_buf: np.ndarray,
+        dist_buf: np.ndarray,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> Status:
+        res = BruteForce.SearchSparse(base_dataset, query_dataset, json_cfg, bitset)
+        if not res.has_value():
+            return res.error()
+        ds = res.value()
+        np.copyto(np.asarray(ids_buf).reshape(-1), ds.ids)
+        np.copyto(np.asarray(dist_buf).reshape(-1), ds.distance)
+        return Status.success
+
+    @staticmethod
+    def AnnIteratorOnChunk(
+        chunk_datasets: list,
+        query_dataset: DataSet,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> "expected[list]":
+        """Iterators over a MULTI-CHUNK base (reference brute_force.h
+        AnnIteratorOnChunk + dataset.h:296-317 chunked datasets): each chunk
+        is scanned independently and the per-query streams merge by distance.
+        Ids are global (chunk offsets accumulate); the bitset indexes the
+        concatenated row space."""
+
+        def impl():
+            from .index_node import PrecomputedDistanceIterator
+
+            cfg = BruteForceConfig()
+            st, msg = Config.load(cfg, json_cfg or {}, Stage.ITERATOR)
+            if st != Status.success:
+                return expected.Err(st, msg)
+            metric = normalize_metric(cfg.metric_type)
+            total = sum(ds.rows for ds in chunk_datasets)
+            keep = (
+                bitset.host_mask(total)
+                if bitset and not bitset.empty_view()
+                else None
+            )
+            larger = D.larger_is_better(metric)
+            nq = query_dataset.rows
+            dmats = []
+            for ds in chunk_datasets:
+                err = _check_metric(ds, metric)
+                if err:
+                    return expected.Err(Status.invalid_metric_type, err)
+                xq, b_dev, aux = _prep(ds, query_dataset, metric)
+                dmats.append(np.asarray(D.pairwise_distance(metric, jax.device_put(xq), b_dev, aux)))
+            dmat = np.concatenate(dmats, axis=1)  # (nq, total)
+            iterators = [
+                PrecomputedDistanceIterator(dmat[r], keep, larger) for r in range(nq)
+            ]
+            return expected.Ok(iterators)
+
+        return guarded_expected(impl)
+
+    @staticmethod
     def AnnIterator(
         base_dataset: DataSet,
         query_dataset: DataSet,

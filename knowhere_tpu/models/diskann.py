@@ -153,7 +153,10 @@ class DiskANNIndexNode(IndexNode):
         if self._count > 65536:
             from ..ops.kmeans import kmeans as _kmeans
 
-            cents, assign = _kmeans(x, max(64, int(np.sqrt(self._count))), n_iters=8)
+            # pow2 ladder MUST match build_graph's internal nlist choice or
+            # it discards these centroids and reruns kmeans
+            nlist = 1 << int(round(np.log2(max(64, int(np.sqrt(self._count))))))
+            cents, assign = _kmeans(x, nlist, n_iters=8)
         graph = build_graph(
             x, deg, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA,
             centroids=cents, assign=assign,

@@ -521,19 +521,21 @@ class SparseWandNode(SparseInvertedIndexNode):
     IS_WAND = True
 
 
+# "sparse" is this framework's short name; "sparse_u32_f32" is the
+# reference's data-type string (feature.h:23-35) — both resolve
 register_index(
-    IndexEnum.INDEX_SPARSE_INVERTED_INDEX, ("sparse",),
+    IndexEnum.INDEX_SPARSE_INVERTED_INDEX, ("sparse", "sparse_u32_f32"),
     _feature.SPARSE_FLOAT32 | _feature.KNN | _feature.MMAP,
 )(SparseInvertedIndexNode)
 register_index(
-    IndexEnum.INDEX_SPARSE_WAND, ("sparse",),
+    IndexEnum.INDEX_SPARSE_WAND, ("sparse", "sparse_u32_f32"),
     _feature.SPARSE_FLOAT32 | _feature.KNN | _feature.MMAP,
 )(SparseWandNode)
 register_index(
-    IndexEnum.INDEX_SPARSE_INVERTED_INDEX_CC, ("sparse",),
+    IndexEnum.INDEX_SPARSE_INVERTED_INDEX_CC, ("sparse", "sparse_u32_f32"),
     _feature.SPARSE_FLOAT32 | _feature.KNN,
 )(SparseInvertedIndexNode)
 register_index(
-    IndexEnum.INDEX_SPARSE_WAND_CC, ("sparse",),
+    IndexEnum.INDEX_SPARSE_WAND_CC, ("sparse", "sparse_u32_f32"),
     _feature.SPARSE_FLOAT32 | _feature.KNN,
 )(SparseWandNode)

@@ -466,7 +466,21 @@ def beam_search(
     H = 1 << hash_bits
 
     def decode(ids_flat: jax.Array) -> jax.Array:
-        """(N,) node ids -> (N, d) f32 vectors."""
+        """(N,) node ids -> (N, d) f32 vectors. Quantized decodes run in
+        lax.map chunks: the (N, m, sub_dim) gather intermediate lane-pads
+        sub_dim up to 128 — a 32x memory blow-up at sub_dim=4 that OOMed
+        1M-corpus DiskANN/HNSW_PQ compiles when N = nq*W*deg is large."""
+        if kind in ("pq", "prq"):
+            CH = 16384
+            N = ids_flat.shape[0]
+            if N > CH:
+                P = (N + CH - 1) // CH * CH
+                idsp = jnp.pad(ids_flat, (0, P - N))
+                out = jax.lax.map(_decode_core, idsp.reshape(P // CH, CH))
+                return out.reshape(P, -1)[:N]
+        return _decode_core(ids_flat)
+
+    def _decode_core(ids_flat: jax.Array) -> jax.Array:
         safe = jnp.clip(ids_flat, 0)
         if kind == "raw":
             return jnp.take(store["data"], safe, axis=0).astype(jnp.float32)

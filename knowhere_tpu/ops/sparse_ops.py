@@ -94,7 +94,8 @@ def _score_and_topk(
     scores = jnp.where(scores > 0, scores, -jnp.inf)
     s, i = jax.lax.top_k(scores, k)
     i = jnp.where(s == -jnp.inf, -1, i)
-    return s, i
+    # one packed d2h per chunk (every sync costs ~30ms on this platform)
+    return jnp.concatenate([jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
 
 
 def sparse_search(
@@ -113,6 +114,9 @@ def sparse_search(
     out_s = np.full((nq, k), -np.inf, np.float32)
     out_i = np.full((nq, k), -1, np.int64)
     kk = min(k, nb)
+    # widen the chunk while the dense (nqc, nb) accumulator stays <=256MB —
+    # fewer chunks means fewer ~30ms device syncs
+    q_chunk = max(q_chunk, min(1024, max(64, (256 << 20) // max(nb * 4, 1))))
 
     for s0 in range(0, nq, q_chunk):
         e0 = min(s0 + q_chunk, nq)
@@ -149,17 +153,22 @@ def sparse_search(
             entry_idx = np.concatenate([entry_idx, np.zeros(P - U, np.int32)])
             qids = np.concatenate([qids, np.zeros(P - U, np.int32)])
             ws = np.concatenate([ws, np.zeros(P - U, np.float32)])
-        s, i = _score_and_topk(
+        # ONE h2d for the chunk's task arrays (weights bitcast into the
+        # same i32 buffer), sliced on device
+        packed_h = np.concatenate([entry_idx, qids, ws.view(np.int32)])
+        packed_dev = jax.device_put(packed_h)
+        packed = _score_and_topk(
             doc_ids_dev,
             vals_dev,
-            jax.device_put(entry_idx),
-            jax.device_put(qids),
-            jax.device_put(ws),
+            packed_dev[:P],
+            packed_dev[P : 2 * P],
+            jax.lax.bitcast_convert_type(packed_dev[2 * P :], jnp.float32),
             mask,
             nqc=q_chunk if nqc == q_chunk else nqc,
             nb=nb,
             k=kk,
         )
-        out_s[s0:e0, :kk] = np.asarray(s)[:nqc]
-        out_i[s0:e0, :kk] = np.asarray(i, dtype=np.int64)[:nqc]
+        packed_np = np.asarray(packed)  # the ONE sync
+        out_s[s0:e0, :kk] = np.ascontiguousarray(packed_np[:nqc, :kk]).view(np.float32)
+        out_i[s0:e0, :kk] = packed_np[:nqc, kk:].astype(np.int64)
     return out_s, out_i

@@ -195,3 +195,42 @@ class TestBruteForceIterator:
             _i, d = it.Next()
             assert d >= prev
             prev = d
+
+
+def test_search_sparse_named_entrypoint():
+    """reference brute_force.h:50-57 SearchSparse / SearchSparseWithBuf."""
+    from .utils import gen_sparse_dataset
+    base = gen_sparse_dataset(200, 64, seed=91)
+    q = gen_sparse_dataset(8, 64, seed=92)
+    r = kt.BruteForce.SearchSparse(base, q, {"metric_type": "IP", "k": 5})
+    assert r.has_value(), r.what()
+    ids = np.asarray(r.value().ids).reshape(8, 5)
+    ibuf = np.empty(8 * 5, np.int64)
+    dbuf = np.empty(8 * 5, np.float32)
+    st = kt.BruteForce.SearchSparseWithBuf(base, q, ibuf, dbuf, {"metric_type": "IP", "k": 5})
+    assert st == kt.Status.success
+    np.testing.assert_array_equal(ibuf.reshape(8, 5), ids)
+    # dense dataset through the sparse entrypoint errors
+    dense = gen_dataset(50, 16, seed=93)
+    assert not kt.BruteForce.SearchSparse(dense, q, {"metric_type": "IP", "k": 5}).has_value()
+
+
+def test_ann_iterator_on_chunk():
+    """reference brute_force.h AnnIteratorOnChunk: multi-chunk base, global
+    ids, merged exact-distance streams."""
+    rng = np.random.default_rng(94)
+    c1 = rng.standard_normal((100, 32)).astype(np.float32)
+    c2 = rng.standard_normal((150, 32)).astype(np.float32)
+    q = c2[:4] + 0.001 * rng.standard_normal((4, 32)).astype(np.float32)
+    res = kt.BruteForce.AnnIteratorOnChunk(
+        [kt.GenDataSetFromArray(c1), kt.GenDataSetFromArray(c2)],
+        kt.GenDataSetFromArray(q),
+        {"metric_type": "L2"},
+    )
+    assert res.has_value(), res.what()
+    its = res.value()
+    assert len(its) == 4
+    # top-1 of query i must be global id 100 + i (the row in chunk 2)
+    for i, it in enumerate(its):
+        rid, _ = it.Next()
+        assert rid == 100 + i, (i, rid)

@@ -180,6 +180,40 @@ class TestHnswLifecycle:
         top1 = np.asarray(r2.value().ids).reshape(-1)
         assert (top1 >= 2000).mean() >= 0.75, top1
 
+    @pytest.mark.parametrize("name,extra", [
+        ("HNSW_SQ", {"sq_type": "SQ8"}),
+        ("HNSW_PQ", {"m": 8, "nbits": 8}),
+    ])
+    def test_incremental_insert_quantized(self, queries, name, extra):
+        """_insert_batch encodes added rows with the TRAINED codecs (reference
+        semantics: Add uses the codebooks from Train) and appends the refine
+        store; added rows must be searchable."""
+        x1 = gen_dataset(2000, DIM, seed=67)
+        x2 = gen_dataset(200, DIM, seed=68)
+        idx = build(name, x1, {"metric_type": "L2", "M": 16, "efConstruction": 128, **extra})
+        assert idx.Add(x2, {"metric_type": "L2"}) == kt.Status.success
+        assert idx.Count() == 2200
+        qs2 = kt.GenDataSetFromArray(np.asarray(x2.tensor)[:8])
+        r2 = idx.Search(qs2, {"metric_type": "L2", "k": 1, "ef": 96, "refine_k": 4})
+        top1 = np.asarray(r2.value().ids).reshape(-1)
+        assert (top1 >= 2000).mean() >= 0.6, top1
+        # raw rows survive the append (GetVectorByIds reads _raw_host)
+        res = idx.GetVectorByIds(kt.GenIdsDataSet(np.array([2100])))
+        np.testing.assert_allclose(
+            np.asarray(res.value().tensor).reshape(-1),
+            np.asarray(x2.tensor)[100], rtol=1e-6
+        )
+
+    def test_incremental_insert_cosine(self, queries):
+        x1 = gen_dataset(2000, DIM, seed=69)
+        x2 = gen_dataset(200, DIM, seed=70)
+        idx = build("HNSW", x1, {"metric_type": "COSINE", "M": 16, "efConstruction": 128})
+        assert idx.Add(x2, {"metric_type": "COSINE"}) == kt.Status.success
+        qs2 = kt.GenDataSetFromArray(np.asarray(x2.tensor)[:8])
+        r2 = idx.Search(qs2, {"metric_type": "COSINE", "k": 1, "ef": 96})
+        top1 = np.asarray(r2.value().ids).reshape(-1)
+        assert (top1 >= 2000).mean() >= 0.75, top1
+
     def test_index_meta(self, base):
         idx = build("HNSW", base, {"metric_type": "L2", "M": 16})
         meta = idx.GetIndexMeta({})
