@@ -146,12 +146,10 @@ class ScannDvrNode(IndexNode):
                 n = np.linalg.norm(rows, axis=1, keepdims=True)
                 n[n == 0] = 1.0
                 rows = rows / n
-            remap = {int(v): i for i, v in enumerate(uniq)}
+            # vectorized remap (np.unique output is sorted)
             local = np.full_like(cand, -1)
-            for i in range(nq):
-                for j in range(cand.shape[1]):
-                    if cand[i, j] >= 0:
-                        local[i, j] = remap[int(cand[i, j])]
+            pos = cand >= 0
+            local[pos] = np.searchsorted(uniq, cand[pos]).astype(cand.dtype)
             store = RefineStore("raw", jax.device_put(rows))
             dists, loc = refine_topk(jax.device_put(xq), store, local, k, is_l2)
             ids = np.where(loc >= 0, uniq[np.clip(loc, 0, None)], -1)
