@@ -16,13 +16,22 @@ IndexHNSWWrapper.cc:71-194 bitset-filtered search) — re-designed for TPU:
 
 - SEARCH is batched best-first beam search: per query a beam of ef
   candidates; each step expands the best unexpanded node, gathers its <=deg
-  neighbors, dedupes via a lossy per-query hash table (CAGRA-style; the
-  reference uses visited lists), scores them (gather + VPU), and merges into
-  the beam with top_k. The whole loop is one lax.while_loop under jit —
-  queries run as a device batch, replacing the reference's per-query thread
-  fan-out. Filtered-out nodes ARE traversed but never surface as results
-  (two top-k sets), matching the reference's filter semantics
-  (hnswalg.h:436-473).
+  neighbors, dedupes against an EXACT per-query visited ring (broadcast
+  equality on the VPU — the reference uses per-thread visited lists), scores
+  them (gather + VPU), and merges into the beam with top_k. The whole loop is
+  one lax.while_loop under jit — queries run as a device batch, replacing the
+  reference's per-query thread fan-out. Filtered-out nodes ARE traversed but
+  never surface as results (two top-k sets), matching the reference's filter
+  semantics (hnswalg.h:436-473).
+
+  Visited-set design note: an earlier lossy hash table needed one scalar
+  GATHER and one scalar SCATTER over a (nq, 2^bits) table per step — random
+  access runs at ~100M elems/s on v5e, making the table ~2x the cost of the
+  neighbor-vector gather itself. The ring compares every candidate against
+  all previously-scored ids with one fused (nq, G, V) equality-reduce: pure
+  VPU throughput, ~10x cheaper at serving ef, and exact (no collision-driven
+  duplicate results — the hash path's recall inversion at high ef is gone by
+  construction).
 """
 
 from __future__ import annotations
@@ -463,7 +472,6 @@ def beam_search(
     mp = precision_from_name(prec)
     nq, d = q.shape
     E = entry.shape[0]
-    H = 1 << hash_bits
 
     def decode(ids_flat: jax.Array) -> jax.Array:
         """(N,) node ids -> (N, d) f32 vectors. Quantized decodes run in
@@ -558,16 +566,25 @@ def beam_search(
     beam_ids = jnp.take_along_axis(beam_ids, order0, axis=1)
     expanded = beam_ids < 0  # padding counts as expanded
 
-    # visited hash (lossy): slot = id * 2654435761 mod 2^32 >> (32-bits).
-    # Slot H is a write-off dummy so non-fresh lanes never clobber real slots.
-    table = jnp.full((nq, H + 1), -1, jnp.int32)
-
-    def hash_slot(ids):
-        h = (ids.astype(jnp.uint32) * jnp.uint32(2654435761)) >> jnp.uint32(32 - hash_bits)
-        return h.astype(jnp.int32)
-
-    qrows = jnp.arange(nq, dtype=jnp.int32)
-    table = table.at[qrows[:, None], hash_slot(beam_ids)].set(beam_ids)
+    # Exact visited ring (see module docstring): every id ever scored is
+    # appended; candidates are deduped with one (nq, G, V) equality-reduce on
+    # the VPU instead of random-access hash probes. Capacity is Gc-slot
+    # aligned so step offsets cycle without wrap-splitting a write; when the
+    # walk can visit more than RING_CAP ids the ring becomes a recent-window
+    # (old entries overwritten) — a re-scored ancient node only wastes a lane
+    # and is removed by the final dedup, never a correctness issue.
+    W = max(1, min(beam_width, ef))
+    G_full = W * deg
+    if W > 1 and compact_ratio < 1.0:
+        Gc = max(deg, int(G_full * compact_ratio) // 8 * 8)
+    else:
+        Gc = G_full
+    RING_CAP = 4096
+    n_slots = max(1, min(max_iters, RING_CAP // Gc))
+    ring_cap = n_slots * Gc
+    visited = jnp.concatenate(
+        [ids0, jnp.full((nq, ring_cap), -1, jnp.int32)], axis=1
+    )  # (nq, E_eff + ring_cap)
 
     # result top-k (valid-only)
     if has_mask:
@@ -580,13 +597,11 @@ def beam_search(
     res_ids = jnp.where(res_s == NEG_INF, -1, res_ids)
 
     def cond(state):
-        i, beam_s, beam_ids, expanded, table, res_s, res_ids, done = state
+        i, beam_s, beam_ids, expanded, visited, res_s, res_ids, done = state
         return (i < max_iters) & (~jnp.all(done))
 
-    W = max(1, min(beam_width, ef))
-
     def body(state):
-        i, beam_s, beam_ids, expanded, table, res_s, res_ids, done = state
+        i, beam_s, beam_ids, expanded, visited, res_s, res_ids, done = state
         # pick the W best unexpanded beam entries per query (DiskANN-style
         # beamwidth: amortizes the per-step gather/top-k dispatch across W
         # expansions; the walk is slightly less greedy but each while_loop
@@ -604,21 +619,28 @@ def beam_search(
         done = done | newly_done
         sel_valid = (sel_score != NEG_INF) & ~done[:, None]  # (nq, W)
         sel_id = jnp.take_along_axis(beam_ids, sel_pos, axis=1)  # (nq, W)
-        expanded = expanded.at[qrows[:, None], sel_pos].set(True)
+        # positional-compare instead of scatter: a (nq, ef) row scatter is
+        # random access (~100M elems/s); the (nq, ef, W) equality fuses into
+        # one VPU reduce
+        cols_ef = jnp.arange(ef, dtype=sel_pos.dtype)
+        expanded = expanded | jnp.any(
+            cols_ef[None, :, None] == sel_pos[:, None, :], axis=2
+        )
 
         nbrs = jnp.take(graph, jnp.clip(sel_id.reshape(-1), 0), axis=0)  # (nq*W, deg)
         nbrs = nbrs.reshape(nq, W * deg)
         nbrs = jnp.where(
             jnp.repeat(sel_valid & (sel_id >= 0), deg, axis=1), nbrs, -1
         )
-        # visited filter: lossy hash + EXACT membership vs the current beam.
-        # The hash alone is not enough: once the walk visits more nodes than
-        # the table holds, collisions evict entries and re-visited nodes enter
-        # the beam/results as duplicates — the final dedup then returns fewer
-        # than k unique ids, so recall DROPS as ef grows (observed inversion:
-        # 0.88@ef=64 -> 0.74@ef=256 on a 50-cluster corpus).
-        slots = hash_slot(nbrs)
-        seen = jnp.take_along_axis(table, slots, axis=1) == nbrs
+        # visited filter: ring membership + EXACT membership vs the current
+        # beam. The in-beam check is load-bearing whenever the ring has
+        # wrapped (long walks): a node evicted from the window re-enters as
+        # "fresh", and without the beam check duplicate copies of the best
+        # nodes crowd the beam until the final dedup returns fewer than k
+        # unique ids (measured recall 1.0@ef=64 -> 0.51@ef=192 on a small
+        # corpus). The earlier lossy hash had the same inversion from
+        # collisions; the ring is exact whenever the walk fits RING_CAP.
+        seen = jnp.any(nbrs[:, :, None] == visited[:, None, :], axis=2)
         in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=2)
         fresh = (nbrs >= 0) & ~seen & ~in_beam
         if W > 1:
@@ -643,16 +665,18 @@ def beam_search(
             # only the first G columns. Lanes compact BEFORE the visited-table
             # scatter so a truncated fresh lane stays unvisited and can
             # re-enter via a later parent.
-            G = max(deg, int(W * deg * compact_ratio) // 8 * 8)
             order = jnp.argsort(
                 jnp.where(fresh, 0, 1).astype(jnp.int32), axis=1, stable=True
-            )[:, :G]
+            )[:, :Gc]
             nbrs = jnp.take_along_axis(nbrs, order, axis=1)
             fresh = jnp.take_along_axis(fresh, order, axis=1)
-            slots = jnp.take_along_axis(slots, order, axis=1)
-        # scatter only fresh lanes (non-fresh go to dummy slot H; a stale
-        # write-back would otherwise race a fresh insert in the same step)
-        table = table.at[qrows[:, None], jnp.where(fresh, slots, H)].set(nbrs)
+        # append this step's fresh ids to the ring (stale lanes write -1,
+        # which can never match a real id). Offsets cycle every n_slots steps
+        # (recent-window semantics once the ring is full).
+        ring_off = jnp.int32(E_eff) + (i % jnp.int32(n_slots)) * jnp.int32(Gc)
+        visited = jax.lax.dynamic_update_slice(
+            visited, jnp.where(fresh, nbrs, -1), (jnp.int32(0), ring_off)
+        )
 
         nb_scores = score_nodes(jnp.where(fresh, nbrs, 0))
         nb_scores = jnp.where(fresh, nb_scores, NEG_INF)
@@ -676,14 +700,14 @@ def beam_search(
         beam_s, bsel = jax.lax.top_k(cat_s, ef)
         beam_ids = jnp.take_along_axis(cat_i, bsel, axis=1)
         expanded = jnp.take_along_axis(cat_e, bsel, axis=1)
-        return (i + 1, beam_s, beam_ids, expanded, table, res_s, res_ids, done)
+        return (i + 1, beam_s, beam_ids, expanded, visited, res_s, res_ids, done)
 
     state = (
         jnp.int32(0),
         beam_s,
         beam_ids,
         expanded,
-        table,
+        visited,
         res_s,
         res_ids,
         jnp.zeros((nq,), bool),

@@ -32,10 +32,15 @@ from . import distances as D
 # backend as an import side effect, which a library must never do
 _NEG_INF = -float("inf")
 
-# Default base tile: 16k rows keeps the (nq_chunk, tile) block and the tile's
-# vectors comfortably inside VMEM-friendly XLA fusion windows.
-DEFAULT_TILE = 16384
+# Default base tile. Large tiles amortize the per-tile top-k/merge dispatch;
+# the (nq_chunk, tile) f32 score block is transient HBM (2GB at 4096 x 131072).
+DEFAULT_TILE = 131072
 DEFAULT_QUERY_CHUNK = 4096
+
+# Group width for the exact group-max top-k selection (see _knn_core). 64
+# keeps the candidate merge at k*64 columns while the group-max top_k runs on
+# tile/64 columns — both far cheaper than a full-tile top_k.
+GROUP = 64
 
 
 def _merge_topk(best_s, best_i, new_s, new_i, k: int):
@@ -92,14 +97,37 @@ def _knn_core(
         offsets = (jnp.arange(n_full, dtype=jnp.int32) * tile).reshape(n_full, 1)
 
         kk = min(k, tile)
+        # Exact group-max selection: full-tile lax.top_k is the FLAT
+        # bottleneck (measured 1.6% of MXU roofline at 1M x 128). Instead,
+        # reduce the tile's scores to per-GROUP maxima, top_k over tile/GROUP
+        # group maxima, and gather only the winning groups' scores into the
+        # merge. Exact: every global top-k element lives in a group whose max
+        # is >= the global k-th best score, and at most k groups can hold such
+        # maxima — so the top-k groups by max cover all global top-k elements
+        # in this tile. (Ties at the k-th value may resolve differently than
+        # a full sort — same latitude the reference's heap has.)
+        n_groups = tile // GROUP
+        use_groups = tile % GROUP == 0 and kk <= n_groups and n_groups >= 2
 
         def step(carry, inp):
             bs, bi = carry
             b_tile, aux_tile, mask_tile, off = inp
             score = _tile_scores(metric_name, sign, q, b_tile, aux_tile, mask_tile)
-            s_t, i_t = jax.lax.top_k(score, kk)
-            idx_t = i_t.astype(jnp.int32) + off[0]
-            bs, bi = _merge_topk(bs, bi, s_t, idx_t, k)
+            if use_groups:
+                sg = score.reshape(nq, n_groups, GROUP)
+                gmax = jnp.max(sg, axis=2)
+                _, g_i = jax.lax.top_k(gmax, kk)  # (nq, kk) winning groups
+                cand = jnp.take_along_axis(sg, g_i[:, :, None], axis=1)
+                cand_ids = (
+                    g_i[:, :, None] * GROUP
+                    + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+                )
+                s_t = cand.reshape(nq, kk * GROUP)
+                i_t = cand_ids.reshape(nq, kk * GROUP) + off[0]
+            else:
+                s_t, i_t = jax.lax.top_k(score, kk)
+                i_t = i_t.astype(jnp.int32) + off[0]
+            bs, bi = _merge_topk(bs, bi, s_t, i_t, k)
             return (bs, bi), None
 
         xs = (body_base, body_aux, body_mask, offsets)
@@ -111,9 +139,32 @@ def _knn_core(
         mask_tile = mask[n_full * tile :] if mask is not None else None
         score = _tile_scores(metric_name, sign, q, b_tile, aux_tile, mask_tile)
         kk = min(k, rem)
-        s_t, i_t = jax.lax.top_k(score, kk)
-        idx_t = i_t.astype(jnp.int32) + n_full * tile
-        best_s, best_i = _merge_topk(best_s, best_i, s_t, idx_t, k)
+        rem_pad = (-rem) % GROUP
+        rem_groups = (rem + rem_pad) // GROUP
+        if kk <= rem_groups and rem_groups >= 2:
+            # same group-max selection as the main scan (pad to a GROUP
+            # multiple with -inf so padded lanes never win; padded lanes
+            # carry ids >= nb but their -inf score maps them to -1 below)
+            score_p = (
+                jnp.pad(score, ((0, 0), (0, rem_pad)), constant_values=_NEG_INF)
+                if rem_pad
+                else score
+            )
+            sg = score_p.reshape(nq, rem_groups, GROUP)
+            gmax = jnp.max(sg, axis=2)
+            _, g_i = jax.lax.top_k(gmax, kk)
+            cand = jnp.take_along_axis(sg, g_i[:, :, None], axis=1)
+            cand_ids = (
+                g_i[:, :, None] * GROUP
+                + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+            )
+            s_t = cand.reshape(nq, kk * GROUP)
+            i_t = cand_ids.reshape(nq, kk * GROUP) + n_full * tile
+            best_s, best_i = _merge_topk(best_s, best_i, s_t, i_t, k)
+        else:
+            s_t, i_t = jax.lax.top_k(score, kk)
+            idx_t = i_t.astype(jnp.int32) + n_full * tile
+            best_s, best_i = _merge_topk(best_s, best_i, s_t, idx_t, k)
 
     # -1 ids for slots that never got a real candidate
     best_i = jnp.where(best_s == _NEG_INF, -1, best_i)
