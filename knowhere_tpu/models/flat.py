@@ -51,6 +51,7 @@ class FlatIndexNode(IndexNode):
         # device caches
         self._dev = None  # compute-ready representation (unpacked for bin1)
         self._aux = None
+        self._scan_stores = {}  # metric -> pallas_flat.FlatScanStore
 
     # --- helpers -----------------------------------------------------------
     def _is_binary(self) -> bool:
@@ -95,6 +96,7 @@ class FlatIndexNode(IndexNode):
         else:
             self._xb = np.concatenate([self._xb, xb], axis=0)
         self._dev = None  # invalidate device cache
+        self._scan_stores = {}
         return Status.success
 
     # --- queries -----------------------------------------------------------
@@ -108,20 +110,46 @@ class FlatIndexNode(IndexNode):
             aux = D.base_aux(metric, dev)
         xq = self._prep_queries(dataset)
         mask = bitset.device_mask(self.Count()) if not bitset.empty_view() else None
-        # optional hand-written fused kernel (no HBM score materialization);
-        # unfiltered L2/IP only — the XLA path remains the default/oracle
+        # Default fast path on TPU: the two-phase exact Pallas scan
+        # (ops/pallas_flat.py — 1M x 128: 21k QPS at k=10 / 9.8k at k=100 vs
+        # 1.3k / 0.4k for the XLA streaming scan, recall 1.0). The XLA path
+        # remains the oracle, the filtered path, and the CPU-test path.
+        # KNOWHERE_FLAT_ENGINE=xla forces the oracle path.
+        engine = os.environ.get("KNOWHERE_FLAT_ENGINE", "auto")
         if (
-            os.environ.get("KNOWHERE_USE_PALLAS") == "1"
+            engine != "xla"
             and mask is None
-            and metric in ("L2", "IP")
+            and metric in ("L2", "IP", "COSINE")
             and not self._is_binary()
+            and self.Count() >= 16384
+            and cfg.k <= 1024
+            and jax.default_backend() != "cpu"
         ):
-            from ..ops.pallas_topk import pallas_knn
-
-            dists, ids = pallas_knn(xq, dev, cfg.k, metric, norms=aux if metric == "L2" else None)
+            dists, ids = self._pallas_search(xq, cfg.k, metric)
             return expected.Ok(GenResultDataSet(dataset.rows, cfg.k, ids, dists))
         ids, dists = T.knn_search(xq, dev, cfg.k, metric, bitset_mask=mask, aux=aux)
         return expected.Ok(GenResultDataSet(dataset.rows, cfg.k, ids, dists))
+
+    def _pallas_search(self, xq: np.ndarray, k: int, metric: str):
+        """Two-phase exact scan; COSINE runs as IP over normalized copies."""
+        from ..ops.pallas_flat import FlatScanStore, flat_topk
+
+        store = self._scan_stores.get(metric)
+        if store is None:
+            dev, _ = self._ensure_device()
+            if metric == "COSINE":
+                import jax.numpy as jnp
+
+                nrm = jnp.linalg.norm(dev.astype(jnp.float32), axis=1, keepdims=True)
+                base = dev / jnp.maximum(nrm, 1e-12)
+                store = FlatScanStore(base, None, False)
+            else:
+                store = FlatScanStore(dev, None, metric == "L2")
+            self._scan_stores[metric] = store
+        if metric == "COSINE":
+            qn = np.linalg.norm(xq, axis=1, keepdims=True)
+            xq = xq / np.maximum(qn, 1e-12)
+        return flat_topk(xq, store, k)
 
     def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         metric = normalize_metric(cfg.metric_type)
@@ -205,6 +233,7 @@ class FlatIndexNode(IndexNode):
         self._metric = meta["metric"]
         self.data_type = meta.get("data_type", self.data_type)
         self._dev = None
+        self._scan_stores = {}
         return Status.success
 
     # --- introspection -----------------------------------------------------------
