@@ -147,7 +147,7 @@ def _build_diskann(xb):
     return (idx2 if st == kt.Status.success else None), build_s, st
 
 
-def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192):
+def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192, bitset=None):
     base = kt.GenDataSetFromArray(xb)
     created = kt.IndexFactory.Instance().Create(name)
     if not created.has_value() and name != "DISKANN":
@@ -172,6 +172,8 @@ def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192):
         cfg = {"metric_type": "L2", "k": k, **SEARCH_EXTRA.get(name, {})}
         if knob:
             cfg[knob] = knob_val
+        if bitset is not None:
+            return idx.Search(queries, cfg, bitset)
         return idx.Search(queries, cfg)
 
     chosen, achieved = None, 0.0
@@ -213,25 +215,48 @@ def main():
     ap.add_argument("--recall", type=float, default=0.95)
     ap.add_argument("--gt-nq", type=int, default=1000)
     ap.add_argument("--index", type=str, default="IVF_FLAT,IVF_PQ,SCANN,HNSW")
+    ap.add_argument(
+        "--filter",
+        type=float,
+        default=0.0,
+        help="bitset filter ratio in [0,1): fraction of base rows filtered out "
+        "(reference: benchmark/hdf5/benchmark_float_bitset.cpp sweeps the same)",
+    )
     args = ap.parse_args()
 
     xb, xq, gt, ds_name = load_dataset(args.nb, args.dim, args.nq)
     args.gt_nq = min(args.gt_nq, args.nq)
+    bitset = None
+    if args.filter > 0.0:
+        rng = np.random.default_rng(12345)
+        filtered_out = rng.random(xb.shape[0]) < args.filter
+        bitset = kt.BitsetView.from_bool_array(filtered_out)
+        gt = None  # HDF5 ground truth does not apply under a filter
     set_distance_precision(DistancePrecision.EXACT)
     if gt is None:
         g = kt.BruteForce.Search(
             kt.GenDataSetFromArray(xb),
             kt.GenDataSetFromArray(xq[: args.gt_nq]),
             {"metric_type": "L2", "k": args.k},
+            *( [bitset] if bitset is not None else [] ),
         )
         gt = g.value().ids.reshape(args.gt_nq, args.k)
     else:
         gt = gt[: args.gt_nq, : args.k]
     set_distance_precision(DistancePrecision.FAST)
 
-    print(json.dumps({"dataset": ds_name, "recall_target": args.recall, "k": args.k}))
+    print(
+        json.dumps(
+            {
+                "dataset": ds_name,
+                "recall_target": args.recall,
+                "k": args.k,
+                **({"filter_ratio": args.filter} if bitset is not None else {}),
+            }
+        )
+    )
     for name in args.index.split(","):
-        res = bench_index(name.strip(), xb, xq, gt, args.k, args.recall)
+        res = bench_index(name.strip(), xb, xq, gt, args.k, args.recall, bitset=bitset)
         if res:
             print(json.dumps(res))
 

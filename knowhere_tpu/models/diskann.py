@@ -327,7 +327,7 @@ class DiskANNIndexNode(IndexNode):
             from ..ops.distances import matmul_precision_name
 
             # beamwidth parity with the reference's cached_beam_search knob
-            W = int(cfg.get("beamwidth") or max(1, min(8, L // 16)))
+            W = int(cfg.get("beamwidth") or max(1, min(8, L // 8)))
             n_seed = 0 if self._entry_cents is None else int(min(max(8, L // 8), 64))
             scores, cand = beam_search(
                 jax.device_put(xq_pad),

@@ -597,8 +597,10 @@ class HnswIndexNode(IndexNode):
         d = xq.shape[1]
         # beamwidth: expand W nodes per step (fewer sequential while_loop
         # dispatches, W x the MXU work per step); scale with ef so small-ef
-        # walks stay greedy enough to match reference recall at equal ef
-        W = max(1, min(8, ef // 16))
+        # walks stay greedy enough to match reference recall at equal ef.
+        # Ring-sweep ablation (ops/graph.py visited-ring note): W=ef//8
+        # matched or beat W=ef//16 recall at +15-20% QPS.
+        W = max(1, min(8, ef // 8))
         max_iters = (2 * ef) // W + 32
         # chunk queries so each step's neighbor-gather stays under ~512MB
         chunk = 16384
