@@ -113,7 +113,7 @@ class _BenchFileManager:
         return os.path.exists(path)
 
 
-def _build_diskann(xb):
+def _build_diskann(xb, metric="L2"):
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="kt_diskann_bench_")
@@ -128,7 +128,7 @@ def _build_diskann(xb):
     st = idx.Build(
         kt.DataSet(),
         {
-            "metric_type": "L2",
+            "metric_type": metric,
             "index_prefix": prefix,
             "data_path": data_path,
             "max_degree": 48,
@@ -142,24 +142,24 @@ def _build_diskann(xb):
         return None, build_s, st
     idx2 = kt.IndexFactory.Instance().Create("DISKANN", object=fm).value()
     st = idx2.Deserialize(
-        kt.BinarySet(), {"metric_type": "L2", "index_prefix": prefix}
+        kt.BinarySet(), {"metric_type": metric, "index_prefix": prefix}
     )
     return (idx2 if st == kt.Status.success else None), build_s, st
 
 
-def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192, bitset=None):
+def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192, bitset=None, metric="L2"):
     base = kt.GenDataSetFromArray(xb)
     created = kt.IndexFactory.Instance().Create(name)
     if not created.has_value() and name != "DISKANN":
         return None
     if name == "DISKANN":
-        idx, build_s, st = _build_diskann(xb)
+        idx, build_s, st = _build_diskann(xb, metric)
         if idx is None:
             return {"index": name, "error": st.name}
     else:
         idx = created.value()
         t0 = time.perf_counter()
-        st = idx.Build(base, {"metric_type": "L2", **BUILD_CFG.get(name, {})})
+        st = idx.Build(base, {"metric_type": metric, **BUILD_CFG.get(name, {})})
         build_s = time.perf_counter() - t0
         if st != kt.Status.success:
             return {"index": name, "error": st.name}
@@ -169,7 +169,7 @@ def bench_index(name, xb, xq, gt_ids, k, recall_target, nq_timed=8192, bitset=No
     q_gt = kt.GenDataSetFromArray(xq[:gt_nq])
 
     def search(knob_val, queries):
-        cfg = {"metric_type": "L2", "k": k, **SEARCH_EXTRA.get(name, {})}
+        cfg = {"metric_type": metric, "k": k, **SEARCH_EXTRA.get(name, {})}
         if knob:
             cfg[knob] = knob_val
         if bitset is not None:
@@ -216,6 +216,13 @@ def main():
     ap.add_argument("--gt-nq", type=int, default=1000)
     ap.add_argument("--index", type=str, default="IVF_FLAT,IVF_PQ,SCANN,HNSW")
     ap.add_argument(
+        "--metric",
+        type=str,
+        default="L2",
+        choices=["L2", "IP", "COSINE"],
+        help="distance metric (reference: angular HDF5 datasets map to COSINE)",
+    )
+    ap.add_argument(
         "--filter",
         type=float,
         default=0.0,
@@ -225,6 +232,8 @@ def main():
     args = ap.parse_args()
 
     xb, xq, gt, ds_name = load_dataset(args.nb, args.dim, args.nq)
+    if args.metric != "L2":
+        gt = None  # HDF5 neighbors are euclidean; recompute under the chosen metric
     args.gt_nq = min(args.gt_nq, args.nq)
     bitset = None
     if args.filter > 0.0:
@@ -237,7 +246,7 @@ def main():
         g = kt.BruteForce.Search(
             kt.GenDataSetFromArray(xb),
             kt.GenDataSetFromArray(xq[: args.gt_nq]),
-            {"metric_type": "L2", "k": args.k},
+            {"metric_type": args.metric, "k": args.k},
             *( [bitset] if bitset is not None else [] ),
         )
         gt = g.value().ids.reshape(args.gt_nq, args.k)
@@ -251,12 +260,13 @@ def main():
                 "dataset": ds_name,
                 "recall_target": args.recall,
                 "k": args.k,
+                "metric": args.metric,
                 **({"filter_ratio": args.filter} if bitset is not None else {}),
             }
         )
     )
     for name in args.index.split(","):
-        res = bench_index(name.strip(), xb, xq, gt, args.k, args.recall, bitset=bitset)
+        res = bench_index(name.strip(), xb, xq, gt, args.k, args.recall, bitset=bitset, metric=args.metric)
         if res:
             print(json.dumps(res))
 

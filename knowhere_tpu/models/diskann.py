@@ -27,6 +27,7 @@ import threading
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..binaryset import BinarySet
@@ -96,7 +97,11 @@ class DiskANNIndexNode(IndexNode):
         self._entry_cents = None  # kmeans routing centroids (device)
         self._store: Optional[Dict[str, jax.Array]] = None
         self._disk_data: Optional[np.memmap] = None  # raw rows on disk
-        self._refine_store: Optional[RefineStore] = None  # HBM cache of raw rows
+        self._refine_store: Optional[RefineStore] = None  # HBM cache of ALL raw rows
+        # partial node cache (reference: PQFlashIndex node cache, diskann.cc:640-760)
+        self._cache_pos: Optional[np.ndarray] = None  # (count,) int32 -> slot or -1
+        self._cache_ids: Optional[np.ndarray] = None  # (C,) slot -> id
+        self._cache_rows: Optional[jax.Array] = None  # (C, d) fp32 in HBM
         self._loaded = False
 
     # --- paths --------------------------------------------------------------
@@ -253,15 +258,38 @@ class DiskANNIndexNode(IndexNode):
                 "codebooks": jax.device_put(books),
             }
             self._disk_data = d_arrays["data"]  # zero-copy memmap view
-            # node cache: pin raw rows in HBM when budget allows
+            # node cache: pin raw rows in HBM when budget allows; a partial
+            # budget caches a node subset (reference: PQFlashIndex node cache
+            # sized by search_cache_budget_gb, BFS-seeded from the medoid when
+            # use_bfs_cache, diskann.cc:640-760) and rerank fetches only the
+            # misses from disk
             budget = float(cfg.get("search_cache_budget_gb", 0.0) or 0.0)
             row_bytes = self._dim * 4
-            if budget * 1e9 >= self._count * row_bytes:
+            self._refine_store = None
+            self._cache_pos = None
+            self._cache_ids = None
+            self._cache_rows = None
+            budget_rows = int(budget * 1e9 // max(row_bytes, 1))
+            if budget_rows >= self._count:
                 self._refine_store = RefineStore(
                     "raw", jax.device_put(np.asarray(self._disk_data, dtype=np.float32))
                 )
-            else:
-                self._refine_store = None
+            elif budget_rows >= 256:
+                if cfg.get("use_bfs_cache", False):
+                    cache_ids = self._bfs_cache_ids(graph, budget_rows)
+                else:
+                    # uniform stride sample: beam-search candidates are
+                    # query-dependent (spread over the corpus), so a uniform
+                    # cache maximizes expected rerank hit rate
+                    cache_ids = np.arange(0, self._count, max(1, self._count // budget_rows))[
+                        :budget_rows
+                    ].astype(np.int64)
+                self._cache_ids = cache_ids
+                self._cache_pos = np.full(self._count, -1, np.int32)
+                self._cache_pos[cache_ids] = np.arange(len(cache_ids), dtype=np.int32)
+                self._cache_rows = jax.device_put(
+                    np.asarray(self._disk_data[cache_ids], dtype=np.float32)
+                )
             if cfg.get("warm_up", False):
                 _ = np.asarray(self._disk_data[: min(1024, self._count)])  # touch pages
             self._loaded = True
@@ -283,18 +311,74 @@ class DiskANNIndexNode(IndexNode):
             xq = xq / n
         return xq
 
+    @staticmethod
+    def _bfs_cache_ids(graph: np.ndarray, budget_rows: int) -> np.ndarray:
+        """Breadth-first node set from node 0 (the medoid entry), level by
+        level until the budget fills — mirrors the reference's
+        cache_bfs_levels (diskann.cc use_bfs_cache path)."""
+        seen = np.zeros(graph.shape[0], bool)
+        frontier = np.asarray([0], np.int64)
+        seen[0] = True
+        out = [frontier]
+        total = 1
+        while total < budget_rows and frontier.size:
+            nxt = np.unique(graph[frontier].reshape(-1))
+            nxt = nxt[(nxt >= 0) & ~seen[np.clip(nxt, 0, None)]]
+            if not nxt.size:
+                break
+            seen[nxt] = True
+            take = nxt[: budget_rows - total]
+            out.append(take.astype(np.int64))
+            total += take.size
+            frontier = take
+        return np.sort(np.concatenate(out))
+
+    @staticmethod
+    def _pow2ceil(n: int) -> int:
+        p = 1024
+        while p < n:
+            p *= 2
+        return p
+
     def _rerank_from_disk(self, xq: np.ndarray, cand: np.ndarray, k: int, is_l2: bool):
         """Exact rerank of beam candidates with raw rows (HBM cache or disk)."""
         if self._refine_store is not None:
             return refine_topk(jax.device_put(xq), self._refine_store, cand, k, is_l2)
         nq, R = cand.shape
         uniq = np.unique(cand[cand >= 0])
-        rows = np.asarray(self._disk_data[uniq], dtype=np.float32)  # one disk gather
         # vectorized remap (np.unique output is sorted); the per-element
         # python loop cost seconds at nq=8k x R=32
         local = np.full_like(cand, -1)
         pos = cand >= 0
-        local[pos] = np.searchsorted(uniq, cand[pos]).astype(cand.dtype)
+        order = np.searchsorted(uniq, cand[pos]).astype(cand.dtype)
+        if self._cache_pos is not None and uniq.size:
+            # partial node cache: hits index straight into the resident cache
+            # slab; only misses are read from disk and uploaded (h2d through
+            # the tunnel is the rerank bottleneck, ~100-200 MB/s)
+            cpos = self._cache_pos[uniq]
+            hit = cpos >= 0
+            miss_ids = uniq[~hit]
+            C = int(self._cache_rows.shape[0])
+            P = self._pow2ceil(max(miss_ids.size, 1))
+            rows_miss = np.zeros((P, self._dim), np.float32)
+            if miss_ids.size:
+                rows_miss[: miss_ids.size] = np.asarray(self._disk_data[miss_ids], np.float32)
+            rows_dev = jnp.concatenate([self._cache_rows, jax.device_put(rows_miss)], axis=0)
+            # local slot for each uniq id: cache slot for hits, C + rank for misses
+            slot = np.where(hit, cpos, C + np.cumsum(~hit) - 1).astype(np.int32)
+            local[pos] = slot[order]
+            id_map = np.concatenate([self._cache_ids, miss_ids])
+            store = RefineStore("raw", rows_dev)
+            dists, loc = refine_topk(jax.device_put(xq), store, local, k, is_l2)
+            ids = np.where(loc >= 0, id_map[np.clip(loc, 0, None)], -1)
+            return dists, ids
+        # no cache: upload the unique candidate rows (pow2-padded so the jitted
+        # refine kernel compiles once per size bucket, not per batch)
+        P = self._pow2ceil(max(uniq.size, 1))
+        rows = np.zeros((P, self._dim), np.float32)
+        if uniq.size:
+            rows[: uniq.size] = np.asarray(self._disk_data[uniq], dtype=np.float32)
+        local[pos] = order
         store = RefineStore("raw", jax.device_put(rows))
         dists, loc = refine_topk(jax.device_put(xq), store, local, k, is_l2)
         ids = np.where(loc >= 0, uniq[np.clip(loc, 0, None)], -1)

@@ -113,6 +113,26 @@ class TestDiskANN:
         ids = res.value().ids.reshape(NQ, K)
         assert (ids[:, 0] == np.arange(NQ)).mean() >= 0.9  # self-recall
 
+    def test_partial_node_cache_exact_match(self, built):
+        """A partial HBM node cache (budget < corpus) must not change results:
+        rerank is exact whether a row comes from the cache slab or disk
+        (reference: PQFlashIndex node cache is a transparent IO cache)."""
+        x, prefix, fm = built
+        queries = kt.GenDataSetFromArray(x[:NQ])
+        cfg = {"metric_type": "L2", "k": K, "search_list_size": 100}
+        base = load(prefix, fm).Search(queries, cfg).value()
+        row_gb = DIM * 4 / 1e9
+        for extra in (
+            {"search_cache_budget_gb": row_gb * (NB // 2)},  # ~50% stride cache
+            {"search_cache_budget_gb": row_gb * (NB // 2), "use_bfs_cache": True},
+        ):
+            idx = load(prefix, fm, extra)
+            node = idx.node
+            assert node._cache_rows is not None and node._cache_rows.shape[0] < NB
+            res = idx.Search(queries, cfg).value()
+            np.testing.assert_array_equal(res.ids, base.ids)
+            np.testing.assert_allclose(res.distance, base.distance, rtol=1e-4, atol=1e-4)
+
     def test_get_vector_by_ids(self, built):
         x, prefix, fm = built
         idx = load(prefix, fm)
