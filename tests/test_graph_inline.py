@@ -1,0 +1,128 @@
+"""Inline-neighborhood graph fast path (ops/graph_inline.py).
+
+Forces KNOWHERE_GRAPH_INLINE=1 so the path builds on small CPU-mesh corpora
+(it auto-enables only at >=100k rows). Coverage: recall parity with the
+general walk, filtered search, serialization roundtrip, SQ variant, and
+eligibility gating — reference behavior model: tests/ut/test_faiss_hnsw.cc.
+"""
+
+import numpy as np
+import pytest
+
+import knowhere_tpu as kt
+from .utils import (
+    KNN_RECALL_THRESHOLD,
+    brute_force_gt,
+    gen_bitset,
+    gen_dataset,
+    knn_recall,
+)
+
+NB, NQ, DIM, K = 2048, 10, 64, 10
+
+
+@pytest.fixture(scope="module")
+def base():
+    return gen_dataset(NB, DIM, seed=71)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return gen_dataset(NQ, DIM, seed=72)
+
+
+@pytest.fixture()
+def force_inline(monkeypatch):
+    monkeypatch.setenv("KNOWHERE_GRAPH_INLINE", "1")
+
+
+def build(name, base, tcfg):
+    idx = kt.IndexFactory.Instance().Create(name).value()
+    st = idx.Build(base, tcfg)
+    assert st == kt.Status.success, st
+    return idx
+
+
+class TestInlinePath:
+    @pytest.mark.parametrize("name,tcfg", [
+        ("HNSW", {"M": 16, "efConstruction": 200}),
+        ("HNSW_SQ", {"M": 16, "efConstruction": 200, "sq_type": "SQ8"}),
+    ])
+    @pytest.mark.parametrize("metric", ["L2", "IP", "COSINE"])
+    def test_recall_and_active(self, force_inline, base, queries, name, tcfg, metric):
+        idx = build(name, base, {"metric_type": metric, **tcfg})
+        assert idx._node._inline is not None, "inline store should build when forced"
+        res = idx.Search(queries, {"metric_type": metric, "k": K, "ef": 64})
+        assert res.has_value(), res.what()
+        gt_ids, _ = brute_force_gt(base, queries, metric, K)
+        rec = knn_recall(gt_ids, res.value().ids, NQ, K)
+        assert rec >= KNN_RECALL_THRESHOLD, f"{name} {metric} inline recall {rec}"
+
+    def test_matches_general_path_quality(self, force_inline, base, queries):
+        """Inline and general walks are both exact-reranked; top-1 self-hit."""
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        assert idx._node._inline is not None
+        xb = np.asarray(base.tensor)
+        res = idx.Search(kt.GenDataSetFromArray(xb[:8]), {"k": 5, "ef": 64})
+        ids = res.value().ids.reshape(8, 5)
+        assert (ids[:, 0] == np.arange(8)).all(), "self row must be top-1 (exact rerank)"
+
+    def test_filtered(self, force_inline, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        assert idx._node._inline is not None
+        gt_ids, _ = brute_force_gt(base, queries, "L2", 1)
+        excluded = set(int(g) for g in gt_ids.reshape(-1))
+        mask = np.zeros(NB, dtype=bool)
+        for e in excluded:
+            mask[e] = True
+        bits = np.packbits(mask, bitorder="little")
+        bitset = kt.BitsetView(bits, NB)
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 64}, bitset)
+        assert res.has_value(), res.what()
+        got = res.value().ids.reshape(NQ, K)
+        assert not (np.isin(got, list(excluded))).any(), "filtered ids must not surface"
+
+    def test_filtered_recall(self, force_inline, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        bitset = gen_bitset(NB, 0.3, seed=9)
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 64}, bitset)
+        gt_ids, _ = brute_force_gt(base, queries, "L2", K, bitset=bitset)
+        rec = knn_recall(gt_ids, res.value().ids, NQ, K)
+        assert rec >= KNN_RECALL_THRESHOLD, f"filtered inline recall {rec}"
+
+    def test_serialize_roundtrip(self, force_inline, base, queries):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        bs = kt.BinarySet()
+        assert idx.Serialize(bs) == kt.Status.success
+        idx2 = kt.IndexFactory.Instance().Create("HNSW").value()
+        assert idx2.Deserialize(bs) == kt.Status.success
+        assert idx2._node._inline is not None, "inline store must rebuild on load"
+        r1 = idx.Search(queries, {"k": K, "ef": 64}).value().ids
+        r2 = idx2.Search(queries, {"k": K, "ef": 64}).value().ids
+        assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+    def test_disabled_by_env(self, monkeypatch, base, queries):
+        monkeypatch.setenv("KNOWHERE_GRAPH_INLINE", "0")
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        assert idx._node._inline is None
+        res = idx.Search(queries, {"k": K, "ef": 64})
+        assert res.has_value()
+
+    def test_auto_gating_small_corpus(self, base):
+        # default mode: small corpora stay on the general path
+        import os
+        assert os.environ.get("KNOWHERE_GRAPH_INLINE", "auto") != "1"
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        assert idx._node._inline is None
+
+    def test_incremental_add_refreshes(self, force_inline, base):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        t0 = idx._node._inline.table
+        xb2 = gen_dataset(64, DIM, seed=99)
+        assert idx.Add(xb2, {"metric_type": "L2"}) == kt.Status.success
+        # search flushes pending rows and rebuilds the inline table
+        res = idx.Search(gen_dataset(4, DIM, seed=98), {"k": 5, "ef": 64})
+        assert res.has_value()
+        assert idx._node._inline is not None
+        assert idx._node._inline.table.shape[0] == NB + 64
+        assert idx._node._inline.table is not t0
