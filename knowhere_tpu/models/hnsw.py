@@ -365,7 +365,7 @@ class HnswIndexNode(IndexNode):
         mode = os.environ.get("KNOWHERE_GRAPH_INLINE", "auto")
         if mode == "0" or self._graph is None or self._is_binary():
             return
-        if self._kind not in ("raw", "sq") or self._entry_cents is None:
+        if self._kind not in ("raw", "sq", "pq", "prq") or self._entry_cents is None:
             return
         if self._internal_metric() not in (M.L2, M.IP):
             return

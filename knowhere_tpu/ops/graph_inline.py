@@ -126,9 +126,25 @@ def beam_search_inline(
         safe = jnp.clip(ids2d, 0)
         if rerank_kind == "raw":
             vv = jnp.take(rerank0, safe, axis=0)  # (nq, C, d) f32
-        else:  # exact SQ8 decode
+        elif rerank_kind == "sq":  # exact SQ8 decode
             cc = jnp.take(rerank0, safe, axis=0).astype(jnp.float32)
             vv = rerank1[None, None, :] + (cc + 0.5) * (rerank2[None, None, :] / 256.0)
+        elif rerank_kind == "pq":  # exact PQ decode: rerank1 = (m, ksub, sub)
+            m, ksub, sub = rerank1.shape
+            cc = jnp.take(rerank0, safe, axis=0).astype(jnp.int32)  # (nq, C, m)
+            flat = rerank1.reshape(m * ksub, sub)
+            idx = cc + (jnp.arange(m, dtype=jnp.int32) * ksub)[None, None, :]
+            vv = jnp.take(flat, idx.reshape(-1), axis=0).reshape(nq, C, m * sub)
+        else:  # "prq": rerank1 = (nrq, m, ksub, sub), codes (nq, C, nrq*m)
+            nrq, m, ksub, sub = rerank1.shape
+            cc = jnp.take(rerank0, safe, axis=0).astype(jnp.int32)
+            vv = None
+            for s in range(nrq):
+                flat = rerank1[s].reshape(m * ksub, sub)
+                cs = cc[:, :, s * m : (s + 1) * m]
+                idx = cs + (jnp.arange(m, dtype=jnp.int32) * ksub)[None, None, :]
+                dec = jnp.take(flat, idx.reshape(-1), axis=0).reshape(nq, C, m * sub)
+                vv = dec if vv is None else vv + dec
         dots = jnp.einsum("qd,qcd->qc", q, vv, preferred_element_type=jnp.float32)
         if is_l2:
             return 2.0 * dots - jnp.sum(vv * vv, axis=2)
@@ -339,4 +355,74 @@ def make_inline_store(
         table = build_inline_table(graph_np, codes_i32, norms)
         codes_i32.delete()
         return InlineGraphStore(table, vmin, vdiff, "sq", codes, vmin, vdiff, deg)
+    if kind in ("pq", "prq"):
+        # walk scores = SQ8 re-quantization of the PQ/PRQ-decoded vectors;
+        # rerank = exact PQ/PRQ decode (the index's stored-value contract).
+        codes = store["codes"]
+        books = store["codebooks"]
+
+        if kind == "pq":
+            m, ksub, sub = books.shape
+            d = m * sub
+
+            @jax.jit
+            def dec(codes, books):
+                flat = books.reshape(m * ksub, sub)
+                idx = codes.astype(jnp.int32) + (jnp.arange(m, dtype=jnp.int32) * ksub)[None, :]
+                return jnp.take(flat, idx.reshape(-1), axis=0).reshape(-1, d)
+        else:
+            nrq, m, ksub, sub = books.shape
+            d = m * sub
+
+            @jax.jit
+            def dec(codes, books):
+                acc = None
+                for s in range(nrq):
+                    flat = books[s].reshape(m * ksub, sub)
+                    cs = codes[:, s * m : (s + 1) * m].astype(jnp.int32)
+                    idx = cs + (jnp.arange(m, dtype=jnp.int32) * ksub)[None, :]
+                    dd = jnp.take(flat, idx.reshape(-1), axis=0).reshape(-1, d)
+                    acc = dd if acc is None else acc + dd
+                return acc
+
+        if d % 4 != 0:
+            return None
+        nb_ = codes.shape[0]
+        ch = 131072
+
+        @jax.jit
+        def minmax(x):
+            return jnp.min(x, axis=0), jnp.max(x, axis=0)
+
+        # pass 1: per-dim min/max of the decoded values (chunked)
+        vmin = vmax = None
+        for s in range(0, nb_, ch):
+            x = dec(codes[s : s + ch], books)
+            lo, hi = minmax(x)
+            vmin = lo if vmin is None else jnp.minimum(vmin, lo)
+            vmax = hi if vmax is None else jnp.maximum(vmax, hi)
+        vdiff = jnp.maximum(vmax - vmin, 1e-20)
+
+        @jax.jit
+        def enc_chunk(codes_ch, books, vmin, vdiff):
+            x = dec(codes_ch, books)
+            q8 = jnp.clip(jnp.floor((x - vmin[None, :]) / vdiff[None, :] * 256.0), 0, 255)
+            packed = jax.lax.bitcast_convert_type(
+                q8.astype(jnp.uint8).reshape(-1, d // 4, 4), jnp.int32
+            ).reshape(-1, d // 4)
+            return packed, jnp.sum(x * x, axis=1)
+
+        packs, nrms = [], []
+        for s in range(0, nb_, ch):
+            p_, n_ = enc_chunk(codes[s : s + ch], books, vmin, vdiff)
+            packs.append(p_)
+            nrms.append(n_)
+        codes_i32 = jnp.concatenate(packs) if len(packs) > 1 else packs[0]
+        norms = jnp.concatenate(nrms) if len(nrms) > 1 else nrms[0]
+        for p_ in packs:
+            if p_ is not codes_i32:
+                p_.delete()
+        table = build_inline_table(graph_np, codes_i32, norms)
+        codes_i32.delete()
+        return InlineGraphStore(table, vmin, vdiff, kind, codes, books, None, deg)
     return None

@@ -47,6 +47,8 @@ class TestInlinePath:
     @pytest.mark.parametrize("name,tcfg", [
         ("HNSW", {"M": 16, "efConstruction": 200}),
         ("HNSW_SQ", {"M": 16, "efConstruction": 200, "sq_type": "SQ8"}),
+        ("HNSW_PQ", {"M": 16, "efConstruction": 200, "m": 16}),
+        ("HNSW_PRQ", {"M": 16, "efConstruction": 200, "m": 8, "nrq": 2}),
     ])
     @pytest.mark.parametrize("metric", ["L2", "IP", "COSINE"])
     def test_recall_and_active(self, force_inline, base, queries, name, tcfg, metric):
