@@ -62,7 +62,10 @@ _UNSET = object()
 class Entry:
     """One declarative config field (reference Entry<CFG_*>, config.h:90-200)."""
 
-    __slots__ = ("name", "type", "default", "range", "stages", "allow_empty", "desc")
+    __slots__ = (
+        "name", "type", "default", "range", "stages", "allow_empty", "desc",
+        "exclusive_hi",
+    )
 
     def __init__(
         self,
@@ -72,11 +75,13 @@ class Entry:
         stages: Union[Stage, List[Stage], None] = None,
         allow_empty: bool = False,  # "optional" in the reference
         desc: str = "",
+        exclusive_hi: bool = False,  # half-open [lo, hi) range (e.g. drop_ratio)
     ):
         self.name: str = ""  # filled by ConfigMeta
         self.type = type_
         self.default = default
         self.range = range
+        self.exclusive_hi = exclusive_hi
         if stages is None:
             st = ALL_STAGES
         elif isinstance(stages, Stage):
@@ -155,11 +160,15 @@ class Entry:
             return Status.success, ""
         lo, hi = self.range
         if isinstance(value, (int, float)) and not isinstance(value, bool):
-            if (lo is not None and value < lo) or (hi is not None and value > hi):
+            too_high = hi is not None and (
+                value >= hi if self.exclusive_hi else value > hi
+            )
+            if (lo is not None and value < lo) or too_high:
                 hi_s = "inf" if hi is None or math.isinf(hi) else hi
+                close = ")" if self.exclusive_hi else "]"
                 return (
                     Status.out_of_range_in_json,
-                    f"Param '{self.name}'({value}) is not in range [{lo}, {hi_s}]",
+                    f"Param '{self.name}'({value}) is not in range [{lo}, {hi_s}{close}",
                 )
         return Status.success, ""
 

@@ -245,9 +245,10 @@ _ALGOS = (
 
 
 class SparseInvertedIndexConfig(BaseConfig):
-    drop_ratio_build = Entry(float, default=0.0, range=(0.0, 1.0), stages=[Stage.TRAIN])
+    # reference sparse_index_config.h: drop ratios are [0, 1) half-open
+    drop_ratio_build = Entry(float, default=0.0, range=(0.0, 1.0), stages=[Stage.TRAIN], exclusive_hi=True)
     drop_ratio_search = Entry(
-        float, default=0.0, range=(0.0, 1.0),
+        float, default=0.0, range=(0.0, 1.0), exclusive_hi=True,
         stages=[Stage.SEARCH, Stage.RANGE_SEARCH, Stage.ITERATOR],
     )
     refine_factor = Entry(int, default=1, range=(1, None), stages=[Stage.SEARCH])
