@@ -245,6 +245,8 @@ class ShardedGraphIndex:
         self._rows = 0
 
     def build(self, xb: np.ndarray, M: int = 16, ef_construction: int = 200) -> None:
+        import os
+
         from ..ops.graph import build_graph, pick_entry_points
 
         xb = np.asarray(xb, dtype=np.float32)
@@ -253,6 +255,7 @@ class ShardedGraphIndex:
         bounds = np.linspace(0, self._rows, n + 1).astype(np.int64)
         deg = max(2 * M, 4)
         self._shards = []
+        inline_mode = os.environ.get("KNOWHERE_GRAPH_INLINE", "auto")
         for di, dev in enumerate(self.devices):
             lo, hi = int(bounds[di]), int(bounds[di + 1])
             x_local = xb[lo:hi]
@@ -264,17 +267,47 @@ class ShardedGraphIndex:
             )
             graph = build_graph(x_local, deg_l, self.metric, intermediate_deg=inter)
             entry = pick_entry_points(x_local, n_entry=min(64, x_local.shape[0]))
-            self._shards.append(
-                {
-                    "device": dev,
-                    "store": {"data": jax.device_put(x_local, dev)},
-                    "graph": jax.device_put(graph, dev),
-                    "entry": jax.device_put(entry.astype(np.int32), dev),
-                    "row0": lo,
-                    "rows": x_local.shape[0],
-                    "deg": deg_l,
-                }
+            sh = {
+                "device": dev,
+                "store": {"data": jax.device_put(x_local, dev)},
+                "graph": jax.device_put(graph, dev),
+                "entry": jax.device_put(entry.astype(np.int32), dev),
+                "row0": lo,
+                "rows": x_local.shape[0],
+                "deg": deg_l,
+            }
+            # per-shard inline fast path (ops/graph_inline.py): same gating as
+            # the single-chip HNSW node, budget applied per device
+            use_inline = inline_mode != "0" and d % 4 == 0 and (
+                inline_mode == "1" or x_local.shape[0] >= 100_000
             )
+            if use_inline:
+                from ..ops.graph_inline import inline_row_words, make_inline_store
+                from ..ops.kmeans import kmeans as _kmeans
+                from ..ops import topk as _T
+                from ..ops import distances as _D
+
+                budget = float(os.environ.get("KNOWHERE_INLINE_BUDGET_GB", "6")) * (1 << 30)
+                tbytes = x_local.shape[0] * inline_row_words(deg_l, d) * 4
+                if inline_mode == "1" or tbytes <= budget:
+                    try:
+                        with jax.default_device(dev):
+                            nc = min(64, max(8, x_local.shape[0] // 32))
+                            cents, _ = _kmeans(x_local, nc, n_iters=6)
+                            aux = _D.base_aux("L2", sh["store"]["data"])
+                            eids, _ = _T.knn_search(
+                                cents, sh["store"]["data"], 1, "L2", aux=aux
+                            )
+                            sh["inline"] = make_inline_store(
+                                graph, "raw", sh["store"], x_host=x_local
+                            )
+                            sh["inline_entry"] = jax.device_put(
+                                eids.reshape(-1).astype(np.int32)
+                            )
+                            sh["inline_cents"] = jax.device_put(cents.astype(np.float32))
+                    except Exception:
+                        sh.pop("inline", None)
+            self._shards.append(sh)
 
     def search(self, xq: np.ndarray, k: int, ef: Optional[int] = None):
         from ..ops.graph import beam_search
@@ -287,11 +320,30 @@ class ShardedGraphIndex:
         for sh in self._shards:
             q_dev = jax.device_put(xq, sh["device"])
             ef_l = min(ef, sh["rows"])
-            s, ids = beam_search(
-                q_dev, sh["store"], sh["graph"], sh["entry"], None,
-                kind="raw", ef=ef_l, k=min(k, sh["rows"]), deg=sh["deg"],
-                max_iters=2 * ef_l + 32, is_l2=is_l2,
-            )
+            if "inline" in sh:
+                from ..ops.graph_inline import beam_search_inline
+
+                inline = sh["inline"]
+                W = max(1, min(8, ef_l // 8))
+                n_seed = int(min(max(8, ef_l // 8), 64, ef_l, sh["inline_entry"].shape[0]))
+                with jax.default_device(sh["device"]):
+                    s, ids = beam_search_inline(
+                        inline.table, q_dev,
+                        inline.rerank0, inline.rerank1, inline.rerank2,
+                        sh["inline_entry"], sh["inline_cents"],
+                        inline.vmin, inline.vdiff, None,
+                        W=W, ef=ef_l, deg=sh["deg"],
+                        n_steps=ef_l // W + 6,
+                        ring_slots=max(1, 256 // (W * sh["deg"])),
+                        n_seed=n_seed, k=min(k, sh["rows"]),
+                        is_l2=is_l2, has_mask=False, rerank_kind="raw",
+                    )
+            else:
+                s, ids = beam_search(
+                    q_dev, sh["store"], sh["graph"], sh["entry"], None,
+                    kind="raw", ef=ef_l, k=min(k, sh["rows"]), deg=sh["deg"],
+                    max_iters=2 * ef_l + 32, is_l2=is_l2,
+                )
             partials.append((s, ids, sh["row0"]))
         # host merge of per-shard top-k (ids -> global row space)
         cat_s = np.concatenate([np.asarray(s) for s, _, _ in partials], axis=1)
