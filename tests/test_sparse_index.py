@@ -138,3 +138,44 @@ class TestSparseIndex:
         idx = kt.IndexFactory.Instance().Create("SPARSE_INVERTED_INDEX", data_type="sparse").value()
         st = idx.Build(base, {"metric_type": "IP", "inverted_index_algo": "NOT_AN_ALGO"})
         assert st == kt.Status.invalid_value_in_json
+
+
+class TestBM25Oracle:
+    def test_hand_computed_scores(self):
+        """Pin the BM25 formula against a hand-written oracle (reference
+        sparse_utils.h BM25 doc-value computer: score = sum_t q_t *
+        tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)), dl = sum of doc tf values)."""
+        k1, b, avgdl = 1.5, 0.6, 4.0
+        docs = [{0: 2.0, 1: 1.0}, {1: 3.0}, {0: 1.0, 2: 5.0}]
+        qs = [{0: 0.7, 1: 0.3}]
+        base = kt.GenSparseDataSet(docs, 3)
+        q = kt.GenSparseDataSet(qs, 3)
+        cfg = {"metric_type": "BM25", "k": 3,
+               "bm25_k1": k1, "bm25_b": b, "bm25_avgdl": avgdl}
+
+        def oracle(qd, dd):
+            dl = sum(dd.values())
+            s = 0.0
+            for t, qv in qd.items():
+                tf = dd.get(t, 0.0)
+                if tf > 0:
+                    s += qv * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            return s
+
+        want = sorted(((oracle(qs[0], d), i) for i, d in enumerate(docs)), reverse=True)
+
+        idx = kt.IndexFactory.Instance().Create(
+            "SPARSE_INVERTED_INDEX", data_type="sparse_u32_f32"
+        ).value()
+        assert idx.Build(base, {"metric_type": "BM25", "bm25_k1": k1, "bm25_b": b,
+                                "bm25_avgdl": avgdl}) == kt.Status.success
+        for api in ("index", "bf"):
+            res = (idx.Search(q, cfg) if api == "index"
+                   else kt.BruteForce.Search(base, q, cfg))
+            assert res.has_value(), res.what()
+            got_ids = res.value().ids.reshape(-1)
+            got_d = res.value().distance.reshape(-1)
+            for rank, (ws, wi) in enumerate(want):
+                assert got_ids[rank] == wi, f"{api}: rank {rank} ids {got_ids} want {want}"
+                np.testing.assert_allclose(got_d[rank], ws, rtol=1e-5,
+                                           err_msg=f"{api} rank {rank}")
