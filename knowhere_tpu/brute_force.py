@@ -130,6 +130,9 @@ class BruteForce:
                 xq, b_dev, cfg.radius, cfg.range_filter, metric,
                 bitset_mask=mask, aux=aux,
             )
+            ids, dists, lims = R.apply_range_search_k(
+                ids, dists, lims, cfg.get("range_search_k", -1), D.larger_is_better(metric)
+            )
             return expected.Ok(GenRangeResultDataSet(query_dataset.rows, ids, dists, lims))
 
         return guarded_expected(impl)

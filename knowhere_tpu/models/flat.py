@@ -162,6 +162,9 @@ class FlatIndexNode(IndexNode):
         ids, dists, lims = R.range_search(
             xq, dev, cfg.radius, cfg.range_filter, metric, bitset_mask=mask, aux=aux
         )
+        ids, dists, lims = R.apply_range_search_k(
+            ids, dists, lims, cfg.get("range_search_k", -1), D.larger_is_better(metric)
+        )
         return expected.Ok(GenRangeResultDataSet(dataset.rows, ids, dists, lims))
 
     def AnnIterator(

@@ -118,3 +118,32 @@ def range_search(
     ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
     dists = np.concatenate(all_dists) if all_dists else np.empty(0, dtype=np.float32)
     return ids.astype(np.int64), dists.astype(np.float32), lims
+
+
+def apply_range_search_k(
+    ids: np.ndarray,
+    dists: np.ndarray,
+    lims: np.ndarray,
+    range_search_k: int,
+    larger_is_closer: bool,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cap each query's range hits to its BEST `range_search_k` (reference
+    BaseConfig range_search_k, default -1 = unlimited)."""
+    if range_search_k is None or range_search_k < 0:
+        return ids, dists, lims
+    nq = len(lims) - 1
+    out_i, out_d = [], []
+    new_lims = np.zeros(nq + 1, dtype=np.int64)
+    for qi in range(nq):
+        sl = slice(int(lims[qi]), int(lims[qi + 1]))
+        di, dd = ids[sl], dists[sl]
+        if len(di) > range_search_k:
+            order = np.argsort(-dd if larger_is_closer else dd, kind="stable")[:range_search_k]
+            order.sort()  # keep original (scan) order among the kept, like the reference
+            di, dd = di[order], dd[order]
+        out_i.append(di)
+        out_d.append(dd)
+        new_lims[qi + 1] = new_lims[qi] + len(di)
+    ids2 = np.concatenate(out_i) if out_i else np.empty(0, ids.dtype)
+    d2 = np.concatenate(out_d) if out_d else np.empty(0, dists.dtype)
+    return ids2, d2, new_lims
