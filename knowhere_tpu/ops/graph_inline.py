@@ -89,8 +89,8 @@ def sq8_pack_words(codes_u8: jax.Array) -> jax.Array:
 def beam_search_inline(
     table: jax.Array,  # (nb, row_words) i32
     q: jax.Array,  # (nq, d) f32 (cosine pre-normalized)
-    rerank0: jax.Array,  # raw (nb,d) f32 | sq codes (nb,d) u8
-    rerank1: Optional[jax.Array],  # sq vmin (d,) | None
+    rerank0: jax.Array,  # raw (nb,d) f32 | sq/pq/prq codes (nb,·) u8
+    rerank1: Optional[jax.Array],  # sq vmin (d,) | pq/prq codebooks | None
     rerank2: Optional[jax.Array],  # sq vdiff (d,) | None
     entry: jax.Array,  # (E,) i32 — per-centroid resident nodes
     cents: jax.Array,  # (E, d) f32 — routing centroids
@@ -107,7 +107,7 @@ def beam_search_inline(
     k: int,
     is_l2: bool,
     has_mask: bool,
-    rerank_kind: str,  # "raw" | "sq"
+    rerank_kind: str,  # "raw" | "sq" | "pq" | "prq"
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (nq,k) larger-is-better EXACT under stored values,
     ids (nq,k) i32, -1 padded)."""
