@@ -60,8 +60,9 @@ def _probe_backend(
                     "error": out.get(
                         "error", f"TPU backend unreachable after {timeout_s:.0f}s"
                     ),
-                }
-            )
+                },
+            ),
+            flush=True,
         )
         os._exit(1)
     return out["devices"]

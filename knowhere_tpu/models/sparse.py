@@ -190,6 +190,11 @@ def brute_force_range_search_sparse(
         lims[i + 1] = lims[i] + len(sel)
     ids = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
     dists = np.concatenate(all_dists) if all_dists else np.empty(0, np.float32)
+    from ..ops.range import apply_range_search_k
+
+    ids, dists, lims = apply_range_search_k(
+        ids, dists, lims, cfg.get("range_search_k", -1), larger_is_closer=True
+    )
     return expected.Ok(GenRangeResultDataSet(nq, ids, dists, lims))
 
 

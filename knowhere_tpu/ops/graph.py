@@ -571,7 +571,6 @@ def beam_search(
     ns0, np0 = jax.lax.sort((-beam_s, beam_p), dimension=1, num_keys=1)
     beam_s, beam_p = -ns0, np0
     beam_ids = beam_p >> 1
-    expanded = (beam_p & 1) == 1
 
     # Recent-window visited ring (see module docstring): each step's scored
     # ids are appended; candidates are deduped with one (nq, G, V) equality-

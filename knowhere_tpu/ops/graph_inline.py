@@ -145,18 +145,35 @@ def beam_search_inline(
                 idx = cs + (jnp.arange(m, dtype=jnp.int32) * ksub)[None, None, :]
                 dec = jnp.take(flat, idx.reshape(-1), axis=0).reshape(nq, C, m * sub)
                 vv = dec if vv is None else vv + dec
-        dots = jnp.einsum("qd,qcd->qc", q, vv, preferred_element_type=jnp.float32)
+        # HIGHEST precision: this is the stored-value EXACTNESS contract —
+        # TPU default single-pass bf16 shifts near-tie orderings (~0.4%
+        # relative; see ops/distances.py precision notes)
+        dots = jnp.einsum(
+            "qd,qcd->qc", q, vv,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
         if is_l2:
             return 2.0 * dots - jnp.sum(vv * vv, axis=2)
         return dots
 
     # --- seed: route each query to its n_seed nearest centroids' nodes ---
-    cs = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
+    cs = jnp.dot(
+        q, cents.T,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
     if is_l2:
         cs = 2.0 * cs - jnp.sum(cents * cents, axis=1)[None, :]
     _, top_c = jax.lax.top_k(cs, n_seed)
     ids0 = jnp.take(entry, top_c, axis=0).astype(jnp.int32)  # (nq, n_seed)
+    # dedup seeds: distinct centroids often share the same nearest resident
+    # node; duplicate ids would occupy beam slots and could survive into the
+    # returned top-k (the in-beam check only blocks LATER re-entry). Exact
+    # triangular compare — a seed is dup iff an EARLIER column holds its id.
+    tri0 = jnp.tril(jnp.ones((n_seed, n_seed), bool), -1)
+    dup0 = jnp.any((ids0[:, :, None] == ids0[:, None, :]) & tri0[None], axis=2)
+    ids0 = jnp.where(dup0, -1, ids0)
     s0 = exact_scores(ids0)
+    s0 = jnp.where(ids0 >= 0, s0, NEG)
     pad = ef - n_seed
     beam_s0 = jnp.concatenate([s0, jnp.full((nq, pad), NEG, jnp.float32)], axis=1)
     beam_p0 = jnp.concatenate([ids0 << 1, jnp.full((nq, pad), -1, jnp.int32)], axis=1)
@@ -259,6 +276,17 @@ def beam_search_inline(
 
     s = exact_scores(out_ids)
     s = jnp.where(out_ids >= 0, s, NEG)
+    # duplicate-id dedup (keep best): duplicate seeds or masked-path
+    # re-appends (a res id evicted from the wrapped ring re-enters) can put
+    # the same id in the candidate set twice — sort by id, kill consecutive
+    # dups, then rank by score (same contract as ops/graph.py's final pass)
+    oi, os_ = jax.lax.sort((out_ids, s), dimension=1, num_keys=1)
+    dupf = jnp.concatenate(
+        [jnp.zeros((nq, 1), bool), (oi[:, 1:] == oi[:, :-1]) & (oi[:, 1:] >= 0)],
+        axis=1,
+    )
+    s = jnp.where(dupf, NEG, os_)
+    out_ids = jnp.where(dupf, -1, oi)
     rs, rp = jax.lax.sort((-s, out_ids), dimension=1, num_keys=1)
     kk = min(k, out_ids.shape[1])
     rs, rp = -rs[:, :kk], rp[:, :kk]

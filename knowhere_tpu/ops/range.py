@@ -128,22 +128,19 @@ def apply_range_search_k(
     larger_is_closer: bool,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cap each query's range hits to its BEST `range_search_k` (reference
-    BaseConfig range_search_k, default -1 = unlimited)."""
+    BaseConfig range_search_k, default -1 = unlimited). `range_search`
+    returns each query's hits sorted best-first, so the cap is a slice."""
+    del larger_is_closer  # hits arrive best-first; kept for signature clarity
     if range_search_k is None or range_search_k < 0:
         return ids, dists, lims
     nq = len(lims) - 1
     out_i, out_d = [], []
     new_lims = np.zeros(nq + 1, dtype=np.int64)
     for qi in range(nq):
-        sl = slice(int(lims[qi]), int(lims[qi + 1]))
-        di, dd = ids[sl], dists[sl]
-        if len(di) > range_search_k:
-            order = np.argsort(-dd if larger_is_closer else dd, kind="stable")[:range_search_k]
-            order.sort()  # keep original (scan) order among the kept, like the reference
-            di, dd = di[order], dd[order]
-        out_i.append(di)
-        out_d.append(dd)
-        new_lims[qi + 1] = new_lims[qi] + len(di)
+        sl = slice(int(lims[qi]), min(int(lims[qi]) + range_search_k, int(lims[qi + 1])))
+        out_i.append(ids[sl])
+        out_d.append(dists[sl])
+        new_lims[qi + 1] = new_lims[qi] + (sl.stop - sl.start)
     ids2 = np.concatenate(out_i) if out_i else np.empty(0, ids.dtype)
     d2 = np.concatenate(out_d) if out_d else np.empty(0, dists.dtype)
     return ids2, d2, new_lims
