@@ -34,6 +34,9 @@ class IndexEnum:
 
     INDEX_DISKANN = "DISKANN"
     INDEX_AISAQ = "AISAQ"
+    # closed-source Cardinal tiered index (reference registers it only under
+    # WITH_CARDINAL; name constant kept for config/check parity)
+    INDEX_CARDINAL_TIERED = "CARDINAL_TIERED"
     INDEX_MINHASH_LSH = "MINHASH_LSH"
 
     INDEX_SVS_FLAT = "SVS_FLAT"
@@ -162,6 +165,23 @@ class indexparam:
     NN_DESCENT_NITER = "nn_descent_niter"
     BUILD_ALGO = "build_algo"
     SEARCH_ALGO = "search_algo"
+    # cuVS tuning knobs (reference index_param.h:157-199; accepted for
+    # config-parity — the TPU engines have no CUDA-block analogs to tune)
+    ADAPTIVE_CENTERS = "adaptive_centers"
+    CODEBOOK_KIND = "codebook_kind"
+    FORCE_RANDOM_ROTATION = "force_random_rotation"
+    CONSERVATIVE_MEMORY_ALLOCATION = "conservative_memory_allocation"
+    LUT_DTYPE = "lut_dtype"
+    INTERNAL_DISTANCE_DTYPE = "internal_distance_dtype"
+    PREFERRED_SHMEM_CARVEOUT = "preferred_shmem_carveout"
+    MAX_QUERIES = "max_queries"
+    TEAM_SIZE = "team_size"
+    NUM_RANDOM_SAMPLINGS = "num_random_samplings"
+    THREAD_BLOCK_SIZE = "thread_block_size"
+    HASHMAP_MODE = "hashmap_mode"
+    HASHMAP_MIN_BITLEN = "hashmap_min_bitlen"
+    HASHMAP_MAX_FILL_RATE = "hashmap_max_fill_rate"
+    ADAPT_FOR_CPU = "adapt_for_cpu"
 
     # HNSW
     EFCONSTRUCTION = "efConstruction"
@@ -173,6 +193,21 @@ class indexparam:
     # DISKANN
     MAX_DEGREE = "max_degree"
     PQ_CODE_BUDGET_GB = "pq_code_budget_gb"
+    # DISKANN AISAQ variant (reference diskann_aisaq.cc)
+    REARRANGE = "rearrange"
+    NUM_ENTRY_POINTS = "num_entry_points"
+    INLINE_PQ = "inline_pq"
+    PQ_CACHE_SIZE = "pq_cache_size"
+    PQ_READ_PAGE_CACHE_SIZE = "pq_read_page_cache_size"
+    VECTORS_BEAMWIDTH = "vectors_beamwidth"
+    # SVS (reference index_param.h:211-219)
+    SVS_GRAPH_MAX_DEGREE = "svs_graph_max_degree"
+    SVS_CONSTRUCTION_WINDOW_SIZE = "svs_construction_window_size"
+    SVS_SEARCH_WINDOW_SIZE = "svs_search_window_size"
+    SVS_SEARCH_BUFFER_CAPACITY = "svs_search_buffer_capacity"
+    SVS_ALPHA = "svs_alpha"
+    SVS_STORAGE_KIND = "svs_storage_kind"
+    SVS_LEANVEC_DIM = "svs_leanvec_dim"
     BUILD_DRAM_BUDGET_GB = "build_dram_budget_gb"
     BEAMWIDTH = "beamwidth"
     SEARCH_CACHE_BUDGET_GB = "search_cache_budget_gb"
