@@ -233,8 +233,49 @@ class Index:
     def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
         return guarded_expected(lambda: self._node.GetVectorByIds(dataset))
 
+    def GetEmbListByIds(self, dataset: DataSet, metric_type: str = "L2") -> "expected[DataSet]":
+        """Per-document vector lists by emb_list ids (reference
+        index.h:176-178 / index_node.h:540; error on non-emb_list indexes)."""
+
+        def impl():
+            target = self._emb if self._emb is not None else self._node
+            fn = getattr(target, "GetEmbListByIds", None)
+            if fn is None:
+                return expected.Err(
+                    Status.not_implemented, "not an emb_list index"
+                )
+            return fn(dataset, metric_type)
+
+        return guarded_expected(impl)
+
+    def CalcDistByIDs(
+        self, query_ds: DataSet, bitset: Optional[BitsetView], ids, rows: int
+    ) -> "expected":
+        """Exact query-to-stored-row distances for explicit ids (reference
+        index.h CalcDistByIDs — emb_list rerank entry point)."""
+        bs = bitset or BitsetView.empty()
+        import numpy as _np
+
+        return guarded_expected(
+            lambda: self._node.CalcDistByIDs(query_ds, bs, _np.asarray(ids), rows)
+        )
+
     def HasRawData(self, metric_type: str = "L2") -> bool:
         return self._node.HasRawData(metric_type)
+
+    def IsAdditionalScalarSupported(self, is_mv_only: bool = False) -> bool:
+        """Whether the index consumes materialized-view filter hints
+        (reference index.h:187 / index_node.h:240)."""
+        fn = getattr(self._node, "IsAdditionalScalarSupported", None)
+        return bool(fn(is_mv_only)) if fn is not None else False
+
+    def IsIndexRefineEnabled(self) -> bool:
+        """Whether a refine (reorder) stage is configured (reference
+        index.h:190 / index_node.h:245)."""
+        fn = getattr(self._node, "IsIndexRefineEnabled", None)
+        if fn is not None:
+            return bool(fn())
+        return getattr(self._node, "_refine_store", None) is not None
 
     def GetIndexMeta(self, json_cfg: Optional[Dict[str, Any]] = None) -> "expected[DataSet]":
         def impl():

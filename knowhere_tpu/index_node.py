@@ -134,6 +134,16 @@ class IndexNode(ABC):
     def HasRawData(metric_type: str) -> bool:
         return False
 
+    def IsAdditionalScalarSupported(self, is_mv_only: bool = False) -> bool:
+        """Whether the node consumes materialized-view filter hints
+        (reference index_node.h:240; default false)."""
+        return False
+
+    def IsIndexRefineEnabled(self) -> bool:
+        """Whether a refine (reorder) stage is configured
+        (reference index_node.h:245)."""
+        return getattr(self, "_refine_store", None) is not None
+
     def GetIndexMeta(self, cfg: Config) -> "expected[DataSet]":
         return expected.Err(Status.not_implemented, "GetIndexMeta not supported")
 

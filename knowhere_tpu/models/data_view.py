@@ -164,6 +164,10 @@ class ScannDvrNode(IndexNode):
     def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
         return expected.Err(Status.not_implemented, "SCANN_DVR does not own raw data")
 
+    def IsAdditionalScalarSupported(self, is_mv_only: bool = False) -> bool:
+        # consumes MV hints (coarse-stage widening) — reference feature::MV
+        return True
+
     def HasRawData(self, metric_type: str = "L2") -> bool:
         return False
 

@@ -405,6 +405,32 @@ class EmbListIndex:
         return expected.Ok(GenResultDataSet(nq, k, out_ids, out_d))
 
     # --- persistence ------------------------------------------------------------------
+    def GetEmbListByIds(self, dataset, metric_type: str = "L2"):
+        """Per-document token vectors for the given emb_list ids (reference
+        index.h:176-178): returns a tensor of concatenated vectors plus a
+        lims array (EMB_LIST_OFFSET) marking per-document boundaries."""
+        from ..dataset import DataSet as _DS
+        from ..status import Status as _St, expected as _exp
+
+        if self._offset is None or self._tokens is None:
+            return _exp.Err(_St.empty_index, "index not built")
+        ids = np.asarray(dataset.ids if dataset.ids is not None else dataset.tensor).reshape(-1).astype(np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= self._offset.num_docs):
+            return _exp.Err(_St.invalid_args, "emb_list id out of range")
+        spans = [self._offset.tokens_of_doc(int(i)) for i in ids]
+        chunks = [self._tokens[a:b] for a, b in spans]
+        out = np.concatenate(chunks) if chunks else np.empty((0, self._tokens.shape[1]), np.float32)
+        lims = np.zeros(len(ids) + 1, np.int64)
+        for j, (a, b) in enumerate(spans):
+            lims[j + 1] = lims[j] + (b - a)
+        ds = _DS(
+            tensor=out,
+            lims=lims,
+            rows=len(ids),
+            dim=out.shape[1] if out.size else self._tokens.shape[1],
+        )
+        return _exp.Ok(ds)
+
     def Serialize(self, binset: BinarySet) -> Status:
         if self._under is None:
             return Status.empty_index

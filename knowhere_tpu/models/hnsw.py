@@ -915,6 +915,11 @@ class HnswIndexNode(IndexNode):
                 return expected.Ok(GenTensorDataSet(bits[ids], len(ids), self._dim))
             return expected.Ok(GenTensorDataSet(self._raw_host[ids], len(ids), self._dim))
 
+    def IsAdditionalScalarSupported(self, is_mv_only: bool = False) -> bool:
+        # this node consumes materialized_view_search_info (earlier BF
+        # fallback on clustered filters) — reference HNSW conditional wrapper
+        return True
+
     def CalcDistByIDs(self, query_ds, bitset, ids, rows) -> "expected[np.ndarray]":
         xq = self._prep_rows(np.asarray(query_ds.tensor))
         sub = self._prep_rows(self._raw_host[np.asarray(ids)]) if self._raw_host is not None else self._decode_all()[np.asarray(ids)]

@@ -125,3 +125,72 @@ class TestSerializeFormat:
         with pytest.raises(kt.KnowhereException) as ei:
             read_sections(b"garbage-data-here")
         assert ei.value.status == Status.invalid_binary_set
+
+
+class TestFacadeParityMethods:
+    """Facade methods added for reference index.h parity:
+    CalcDistByIDs / GetEmbListByIds / IsAdditionalScalarSupported /
+    IsIndexRefineEnabled (reference index.h:176-190)."""
+
+    def test_calc_dist_by_ids(self):
+        import knowhere_tpu as kt
+        import numpy as np
+
+        xb = np.random.default_rng(1).standard_normal((64, 16)).astype(np.float32)
+        idx = kt.IndexFactory.Instance().Create("FLAT").value()
+        assert idx.Build(kt.GenDataSetFromArray(xb), {"metric_type": "L2"}).name == "success"
+        q = kt.GenDataSetFromArray(xb[:2])
+        res = idx.CalcDistByIDs(q, None, np.array([0, 5, 9]), 3)
+        assert res.has_value(), res.what()
+        d = np.asarray(res.value())
+        np.testing.assert_allclose(d[0, 0], 0.0, atol=1e-4)  # self distance
+
+    def test_is_refine_enabled(self):
+        import knowhere_tpu as kt
+        import numpy as np
+
+        xb = np.random.default_rng(2).standard_normal((256, 16)).astype(np.float32)
+        plain = kt.IndexFactory.Instance().Create("HNSW").value()
+        plain.Build(kt.GenDataSetFromArray(xb), {"metric_type": "L2", "M": 8, "efConstruction": 50})
+        assert plain.IsIndexRefineEnabled() is False
+        ref = kt.IndexFactory.Instance().Create("HNSW").value()
+        ref.Build(kt.GenDataSetFromArray(xb), {"metric_type": "L2", "M": 8,
+                                               "efConstruction": 50, "refine": True})
+        assert ref.IsIndexRefineEnabled() is True
+
+    def test_is_additional_scalar_supported(self):
+        import knowhere_tpu as kt
+        import numpy as np
+
+        xb = np.random.default_rng(3).standard_normal((256, 16)).astype(np.float32)
+        h = kt.IndexFactory.Instance().Create("HNSW").value()
+        h.Build(kt.GenDataSetFromArray(xb), {"metric_type": "L2", "M": 8, "efConstruction": 50})
+        assert h.IsAdditionalScalarSupported() is True
+        f = kt.IndexFactory.Instance().Create("FLAT").value()
+        f.Build(kt.GenDataSetFromArray(xb), {"metric_type": "L2"})
+        assert f.IsAdditionalScalarSupported() is False
+
+    def test_get_emb_list_by_ids(self):
+        import knowhere_tpu as kt
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        lims = np.array([0, 3, 5, 9], np.int64)
+        tokens = rng.standard_normal((9, 8)).astype(np.float32)
+        ds = kt.DataSet(tensor=tokens, lims=lims, rows=9, dim=8)
+        idx = kt.IndexFactory.Instance().Create("HNSW").value()
+        st = idx.Build(ds, {"metric_type": "MAX_SIM_IP", "M": 8, "efConstruction": 50,
+                            "emb_list_strategy": "tokenann"})
+        assert st.name == "success", st
+        got = idx.GetEmbListByIds(kt.DataSet(ids=np.array([1, 0])), "MAX_SIM_IP")
+        assert got.has_value(), got.what()
+        v = got.value()
+        out_lims = np.asarray(v.get("lims"))
+        assert out_lims.tolist() == [0, 2, 5]
+        np.testing.assert_allclose(np.asarray(v.tensor)[:2], tokens[3:5], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v.tensor)[2:], tokens[0:3], atol=1e-6)
+        # non-emb_list index -> not_implemented
+        f = kt.IndexFactory.Instance().Create("FLAT").value()
+        f.Build(kt.GenDataSetFromArray(tokens), {"metric_type": "L2"})
+        bad = f.GetEmbListByIds(kt.DataSet(ids=np.array([0])))
+        assert not bad.has_value()
