@@ -60,6 +60,7 @@ class feature:
     FP16 = 1 << 2
     BF16 = 1 << 3
     SPARSE_FLOAT32 = 1 << 4
+    SPARSE_U32_F32 = SPARSE_FLOAT32  # reference alias (feature.h:31)
     INT8 = 1 << 5
     EMB_LIST = 1 << 6
 
@@ -71,6 +72,12 @@ class feature:
     DISK = 1 << 21
     LAZY_LOAD = 1 << 22
     GPU_KNN = GPU | KNN
+
+    # reference composite aliases (feature.h:54-62)
+    NONE = 0
+    NO_TRAIN_INDEX = NO_TRAIN
+    GPU_KNN_FLOAT_INDEX = FLOAT32 | GPU | KNN
+    GPU_ANN_FLOAT_INDEX = FLOAT32 | GPU
 
     ALL_TYPE = BINARY | FLOAT32 | FP16 | BF16 | SPARSE_FLOAT32 | INT8
     ALL_DENSE_TYPE = BINARY | FLOAT32 | FP16 | BF16 | INT8
