@@ -42,6 +42,16 @@ class BinarySet:
     def Contains(self, name: str) -> bool:
         return name in self._map
 
+    def GetByNames(self, names) -> Dict[str, Optional[Binary]]:
+        """reference binaryset.h GetByNames: name -> Binary (None if absent)."""
+        return {n: self._map.get(n) for n in names}
+
+    def Erase(self, name: str) -> bool:
+        return self._map.pop(name, None) is not None
+
+    def clear(self) -> None:  # noqa: N802 (reference casing)
+        self._map.clear()
+
     def Size(self) -> int:
         return sum(b.size for b in self._map.values())
 

@@ -27,7 +27,7 @@ from .index_node import PrecomputedDistanceIterator
 from .ops import distances as D
 from .ops import topk as T
 from .ops import range as R
-from .status import Status, expected, guarded_expected
+from .status import KnowhereException, Status, expected, guarded_call, guarded_expected
 
 
 def _prep(base_ds: DataSet, query_ds: DataSet, metric: str):
@@ -177,6 +177,61 @@ class BruteForce:
         np.copyto(np.asarray(ids_buf).reshape(-1), ds.ids)
         np.copyto(np.asarray(dist_buf).reshape(-1), ds.distance)
         return Status.success
+
+    @staticmethod
+    def SearchOnChunkWithBuf(
+        chunk_datasets: list,
+        query_dataset: DataSet,
+        ids_buf: np.ndarray,
+        dist_buf: np.ndarray,
+        json_cfg: Optional[dict] = None,
+        bitset: Optional[BitsetView] = None,
+    ) -> Status:
+        """Exact top-k over a MULTI-CHUNK base written into caller buffers
+        (reference brute_force.h:38-42 SearchOnChunkWithBuf). Ids are global
+        over the concatenated chunk row space; the bitset indexes that space."""
+
+        def impl() -> Status:
+            cfg = BruteForceConfig()
+            st, msg = Config.load(cfg, json_cfg or {}, Stage.SEARCH)
+            if st != Status.success:
+                return st
+            metric = normalize_metric(cfg.metric_type)
+            k = int(cfg.k)
+            total = sum(ds.rows for ds in chunk_datasets)
+            keep = (
+                bitset.host_mask(total)
+                if bitset and not bitset.empty_view()
+                else None
+            )
+            larger = D.larger_is_better(metric)
+            nq = query_dataset.rows
+            dmats = []
+            for ds in chunk_datasets:
+                err = _check_metric(ds, metric)
+                if err:
+                    raise KnowhereException(err, Status.invalid_metric_type)
+                xq, b_dev, aux = _prep(ds, query_dataset, metric)
+                dmats.append(
+                    np.asarray(D.pairwise_distance(metric, jax.device_put(xq), b_dev, aux))
+                )
+            dmat = np.concatenate(dmats, axis=1)  # (nq, total)
+            if keep is not None:
+                dmat = np.where(keep[None, :], dmat, -np.inf if larger else np.inf)
+            order = np.argsort(-dmat if larger else dmat, axis=1, kind="stable")[:, :k]
+            d_top = np.take_along_axis(dmat, order, axis=1)
+            invalid = ~np.isfinite(d_top)
+            ids = np.where(invalid, -1, order).astype(np.int64)
+            kk = min(k, total)
+            out_i = np.full((nq, k), -1, np.int64)
+            out_d = np.full((nq, k), np.inf if not larger else -np.inf, np.float32)
+            out_i[:, :kk] = ids[:, :kk]
+            out_d[:, :kk] = d_top[:, :kk]
+            np.copyto(np.asarray(ids_buf).reshape(nq, k), out_i)
+            np.copyto(np.asarray(dist_buf).reshape(nq, k), out_d)
+            return Status.success
+
+        return guarded_call(impl)
 
     @staticmethod
     def AnnIteratorOnChunk(

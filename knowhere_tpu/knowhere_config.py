@@ -73,3 +73,65 @@ class KnowhereConfig:
     @classmethod
     def GetClusteringType(cls) -> str:
         return cls._clustering_type
+
+    # --- reference-parity knobs (knowhere_config.h:26-140) -----------------------
+    # These map CPU/GPU runtime tuning onto this architecture where an analog
+    # exists; pure CUDA/aio knobs are accepted and recorded so host code that
+    # calls them keeps working (reference semantics: process-global settings).
+    _blas_threshold = 16384
+    _early_stop_threshold = 0.0
+    _fetch_pool_size = 8
+    _aio_pool_size = 0
+
+    @classmethod
+    def SetBlasThreshold(cls, n: int) -> None:
+        cls._blas_threshold = int(n)
+
+    @classmethod
+    def GetBlasThreshold(cls) -> int:
+        return cls._blas_threshold
+
+    @classmethod
+    def SetEarlyStopThreshold(cls, t: float) -> None:
+        cls._early_stop_threshold = float(t)
+
+    @classmethod
+    def GetEarlyStopThreshold(cls) -> float:
+        return cls._early_stop_threshold
+
+    @classmethod
+    def SetFetchThreadPoolSize(cls, n: int) -> None:
+        cls._fetch_pool_size = int(n)
+
+    @classmethod
+    def GetFetchThreadPoolSize(cls) -> int:
+        return cls._fetch_pool_size
+
+    @classmethod
+    def SetAioContextPool(cls, n: int) -> None:
+        # DiskANN IO on this architecture is mmap/pread via numpy (no libaio);
+        # the pool size is recorded for introspection only
+        cls._aio_pool_size = int(n)
+
+    @staticmethod
+    def InitGPUResource(gpu_id: int = 0, res_num: int = 1) -> None:
+        # TPU residency is managed by the JAX runtime; nothing to pre-allocate
+        return None
+
+    @staticmethod
+    def FreeGPUResource() -> None:
+        return None
+
+    @staticmethod
+    def SetRaftMemPool(init_mb: int = 0, max_mb: int = 0) -> None:
+        return None
+
+    @staticmethod
+    def SettingRaftMemPool(init_mb: int = 0, max_mb: int = 0) -> None:
+        return None
+
+    @staticmethod
+    def ShowVersion() -> str:
+        from .feature import Version
+
+        return f"knowhere_tpu (index binary version {Version.CURRENT_VERSION})"

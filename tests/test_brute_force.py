@@ -234,3 +234,34 @@ def test_ann_iterator_on_chunk():
     for i, it in enumerate(its):
         rid, _ = it.Next()
         assert rid == 100 + i, (i, rid)
+
+
+def test_search_on_chunk_with_buf():
+    """reference brute_force.h:38-42: exact top-k over a chunked base into
+    caller buffers; ids global over the concatenated row space."""
+    import numpy as np
+    import knowhere_tpu as kt
+
+    rng = np.random.default_rng(7)
+    c1 = rng.standard_normal((40, 16)).astype(np.float32)
+    c2 = rng.standard_normal((60, 16)).astype(np.float32)
+    xq = np.concatenate([c1[:2], c2[:2]])
+    k = 5
+    ids = np.empty((4, k), np.int64)
+    dist = np.empty((4, k), np.float32)
+    st = kt.BruteForce.SearchOnChunkWithBuf(
+        [kt.GenDataSetFromArray(c1), kt.GenDataSetFromArray(c2)],
+        kt.GenDataSetFromArray(xq),
+        ids, dist, {"metric_type": "L2", "k": k},
+    )
+    assert st == kt.Status.success, st
+    # self rows: q0->0, q1->1 (chunk1), q2->40, q3->41 (global ids)
+    assert ids[0, 0] == 0 and ids[1, 0] == 1
+    assert ids[2, 0] == 40 and ids[3, 0] == 41
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-4)
+    # parity with single-chunk search over the concatenation
+    full = kt.BruteForce.Search(
+        kt.GenDataSetFromArray(np.concatenate([c1, c2])),
+        kt.GenDataSetFromArray(xq), {"metric_type": "L2", "k": k},
+    )
+    np.testing.assert_array_equal(ids, full.value().ids.reshape(4, k))
