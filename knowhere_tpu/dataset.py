@@ -131,6 +131,48 @@ class DataSet:
     def is_sparse(self, v: bool) -> None:
         self._is_sparse = bool(v)
 
+    # reference dataset.h chunked-mode + metadata accessors (Set/Get pairs
+    # dataset.h:296-317; stored as plain dict keys here)
+    @property
+    def is_chunk(self) -> bool:
+        return bool(self._data.get("is_chunk", False))
+
+    @is_chunk.setter
+    def is_chunk(self, v: bool) -> None:
+        self.set("is_chunk", bool(v))
+
+    @property
+    def num_chunk(self) -> int:
+        return int(self._data.get("num_chunk", 1))
+
+    @num_chunk.setter
+    def num_chunk(self, v: int) -> None:
+        self.set("num_chunk", int(v))
+
+    @property
+    def tensor_begin_id(self) -> int:
+        return int(self._data.get("tensor_begin_id", 0))
+
+    @tensor_begin_id.setter
+    def tensor_begin_id(self, v: int) -> None:
+        self.set("tensor_begin_id", int(v))
+
+    @property
+    def json_info(self) -> Optional[str]:
+        return self._data.get("json_info")
+
+    @json_info.setter
+    def json_info(self, v: str) -> None:
+        self.set("json_info", v)
+
+    @property
+    def json_id_set(self) -> Optional[str]:
+        return self._data.get("json_id_set")
+
+    @json_id_set.setter
+    def json_id_set(self, v: str) -> None:
+        self.set("json_id_set", v)
+
     # --- device transfer --------------------------------------------------
     def tensor_device(self):
         """Return the tensor as a committed jax.Array, cached on this DataSet.

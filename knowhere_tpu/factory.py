@@ -159,6 +159,38 @@ class IndexStaticFaced:
         return expected.Ok({"memory_gb": mem, "disk_gb": disk})
 
     @staticmethod
+    def CreateConfig(name: str, data_type: str = "fp32", version: Optional[int] = None):
+        """Instance-free config construction (reference index_static.h
+        StaticCreateConfig); returns None for unknown index names."""
+        factory = IndexFactory.Instance()
+        key = (name, data_type)
+        if key not in factory._registry:
+            return None
+        ctor, _ = factory._registry[key]
+        node = ctor(version=version or Version.GetCurrentVersion().VersionCode())
+        return node.CreateConfig()
+
+    @staticmethod
+    def HasRawData(name: str, data_type: str, version: int, json_cfg: dict) -> bool:
+        """Instance-free raw-data predicate (reference index_static.h:53-92
+        StaticHasRawData): answers from the index TYPE + build config without
+        constructing/loading the index."""
+        factory = IndexFactory.Instance()
+        key = (name, data_type)
+        if key not in factory._registry:
+            return False
+        ctor, _ = factory._registry[key]
+        node = ctor(version=version)
+        metric = (json_cfg or {}).get("metric_type", "L2")
+        # reference SCANN static check consults with_raw_data from the config
+        try:
+            if hasattr(node, "_refine_cfg") and (json_cfg or {}).get("with_raw_data") is not None:
+                node._refine_cfg = "raw" if json_cfg.get("with_raw_data") else None
+            return bool(node.HasRawData(metric))
+        except Exception:
+            return False
+
+    @staticmethod
     def HasRawData(name: str, data_type: str, version: int, json_cfg: dict) -> bool:
         factory = IndexFactory.Instance()
         key = (name, data_type)
