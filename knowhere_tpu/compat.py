@@ -201,3 +201,118 @@ def SetBuildThreadPool(num_threads: int) -> None:
 
 def SetSearchThreadPool(num_threads: int) -> None:
     KnowhereConfig.SetSearchThreadPoolSize(num_threads)
+
+
+# --- SWIG-surface helpers (reference python/knowhere/knowhere.i) -------------
+
+
+class BitSet:
+    """Mutable bitset builder (reference knowhere.i:306-331): SetBit marks a
+    row filtered-out; GetBitSetView yields the immutable view passed to
+    Search/RangeSearch."""
+
+    def __init__(self, num_bits: int):
+        self._bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
+        self._num_bits = int(num_bits)
+
+    def SetBit(self, idx: int) -> None:
+        self._bits[idx >> 3] |= 1 << (idx & 7)
+
+    def GetBitSetView(self):
+        from .bitset import BitsetView
+
+        return BitsetView(self._bits, self._num_bits)
+
+
+class AnnIteratorWrap:
+    """reference knowhere.i:140-168: HasNext/Next over an index iterator."""
+
+    def __init__(self, it):
+        if it is None:
+            raise RuntimeError("ann iterator must not be nullptr.")
+        self._it = it
+
+    def HasNext(self) -> bool:
+        return self._it.HasNext()
+
+    def Next(self):
+        return self._it.Next()
+
+
+def GetAnnIterator(index: "IndexWrap", dataset: DataSet, json_str: str, bitset=None):
+    """reference knowhere.i:216-230 (IndexWrap::GetAnnIterator)."""
+    res = index._index.AnnIterator(dataset, _json.loads(json_str or "{}"), bitset)
+    if not res.has_value():
+        raise RuntimeError(f"GetAnnIterator failed: {res.what()}")
+    return [AnnIteratorWrap(it) for it in res.value()]
+
+
+def default_json_str() -> str:
+    return "{}"
+
+
+def DataSetTensor2Array(ds: DataSet) -> np.ndarray:
+    return np.asarray(ds.tensor, dtype=np.float32).reshape(ds.rows, ds.dim)
+
+
+def Float16DataSetTensor2Array(ds: DataSet) -> np.ndarray:
+    return np.asarray(ds.tensor).astype(np.float16).reshape(ds.rows, ds.dim)
+
+
+def BFloat16DataSetTensor2Array(ds: DataSet) -> np.ndarray:
+    import ml_dtypes
+
+    return np.asarray(ds.tensor).astype(ml_dtypes.bfloat16).reshape(ds.rows, ds.dim)
+
+
+def Int8DataSetTensor2Array(ds: DataSet) -> np.ndarray:
+    return np.asarray(ds.tensor).astype(np.int8).reshape(ds.rows, ds.dim)
+
+
+def BinaryDataSetTensor2Array(ds: DataSet) -> np.ndarray:
+    t = np.asarray(ds.tensor).view(np.uint8)
+    return t.reshape(ds.rows, -1)
+
+
+def DataSet2Array(ds: DataSet):
+    """kNN result -> (dists (nq,k), ids (nq,k)) float64/int64 arrays."""
+    nq = ds.rows
+    ids = np.asarray(ds.ids, dtype=np.int64).reshape(nq, -1)
+    dis = np.asarray(ds.distance, dtype=np.float32).reshape(nq, -1)
+    return dis, ids
+
+
+def DataSet_Rows(ds: DataSet) -> int:
+    return ds.rows
+
+
+def DataSet_Dim(ds: DataSet) -> int:
+    return ds.dim
+
+
+def DumpRangeResultIds(ds: DataSet) -> np.ndarray:
+    return np.asarray(ds.ids, dtype=np.int64).reshape(-1)
+
+
+def DumpRangeResultDis(ds: DataSet) -> np.ndarray:
+    return np.asarray(ds.distance, dtype=np.float32).reshape(-1)
+
+
+def DumpRangeResultLimits(ds: DataSet) -> np.ndarray:
+    return np.asarray(ds.get("lims"), dtype=np.int64).reshape(-1)
+
+
+def setOffsets(ds: DataSet, offsets) -> None:
+    """Attach per-document emb_list offsets (reference knowhere.i:332-339,
+    meta::EMB_LIST_OFFSET = 'lims')."""
+    ds.set("lims", np.asarray(offsets, dtype=np.int64))
+
+
+def WriteIndexToDisk(binset: BinarySet, index_name: str, file_name: str) -> None:
+    """Persist one named blob from a BinarySet to disk (reference knowhere.i
+    WriteIndexToDisk); pairs with Index.DeserializeFromFile."""
+    b = binset.GetByName(index_name)
+    if b is None:
+        raise KeyError(index_name)
+    with open(file_name, "wb") as f:
+        f.write(bytes(b.tobytes()))

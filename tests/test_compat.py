@@ -134,3 +134,50 @@ class TestFeder:
         traces = json.loads(visit.value().get("json_id_set"))
         assert len(traces) == 3 and len(traces[0]) == 4
         assert all("list_id" in t and "size" in t for t in traces[0])
+
+
+def test_swig_surface_helpers():
+    """SWIG-parity helpers (reference knowhere.i:124-394): BitSet/SetBit,
+    AnnIteratorWrap, converters, range-result dumpers, WriteIndexToDisk."""
+    import numpy as np
+    import tempfile, os
+    from knowhere_tpu import compat as C
+
+    rng = np.random.default_rng(9)
+    xb = rng.standard_normal((128, 16)).astype(np.float32)
+    idx = C.CreateIndex("FLAT")
+    assert idx.Build(C.ArrayToDataSet(xb), '{"metric_type":"L2"}').name == "success"
+
+    # BitSet: filter out row 0 -> its own query can't return it
+    bs = C.BitSet(128)
+    bs.SetBit(0)
+    ds, st = idx.Search(C.ArrayToDataSet(xb[:1]), '{"metric_type":"L2","k":3}', bs.GetBitSetView())
+    assert st.name == "success"
+    dis, ids = C.DataSet2Array(ds)
+    assert 0 not in ids[0].tolist()
+
+    # iterator wrap
+    its = C.GetAnnIterator(idx, C.ArrayToDataSet(xb[:1]), '{"metric_type":"L2"}')
+    assert its[0].HasNext()
+    i0, d0 = its[0].Next()
+    assert i0 == 0 and abs(d0) < 1e-4
+
+    # converters + dumpers
+    t = C.DataSetTensor2Array(C.ArrayToDataSet(xb))
+    assert t.shape == (128, 16)
+    rr, st = idx.RangeSearch(C.ArrayToDataSet(xb[:2]), '{"metric_type":"L2","radius":1.0}')
+    assert st.name == "success"
+    lims = C.DumpRangeResultLimits(rr)
+    assert lims[0] == 0 and len(C.DumpRangeResultIds(rr)) == lims[-1]
+    assert len(C.DumpRangeResultDis(rr)) == lims[-1]
+
+    # WriteIndexToDisk roundtrip via DeserializeFromFile-compatible blob
+    from knowhere_tpu import BinarySet
+    bset = BinarySet()
+    assert idx.Serialize(bset).name == "success"
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "flat.bin")
+        C.WriteIndexToDisk(bset, idx.Type(), path)
+        assert os.path.getsize(path) > 0
+
+    assert C.default_json_str() == "{}"
