@@ -95,6 +95,23 @@ class Cluster:
     def Assign(self, dataset: DataSet) -> "expected[DataSet]":
         return guarded_expected(lambda: self._node.Assign(dataset))
 
+    def GetCentroids(self) -> "expected[DataSet]":
+        """Trained centroids without re-running Train (reference
+        cluster.h GetCentroids)."""
+
+        def impl():
+            c = getattr(self._node, "_centroids", None)
+            if c is None:
+                return expected.Err(Status.empty_index, "cluster not trained")
+            import numpy as np
+
+            from .dataset import GenTensorDataSet
+
+            c = np.asarray(c)
+            return expected.Ok(GenTensorDataSet(c, c.shape[0], c.shape[1]))
+
+        return guarded_expected(impl)
+
     def Type(self) -> str:
         return self._node.Type()
 

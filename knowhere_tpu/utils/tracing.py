@@ -94,3 +94,64 @@ class TimeRecorder:
 
     def elapsed(self) -> float:
         return time.perf_counter() - self.start
+
+
+# --- reference-cased helpers (tracer.h:36-80) ---------------------------------
+
+_root_span = None
+
+
+def initTelemetry(cfg: TraceConfig) -> bool:  # noqa: N802 (reference casing)
+    return init_telemetry(cfg)
+
+
+def SetRootSpan(span_obj) -> None:  # noqa: N802
+    """Install a process-root span context (reference tracer.h SetRootSpan —
+    Milvus sets one span per request and knowhere parents API spans on it)."""
+    global _root_span
+    _root_span = span_obj
+
+
+def CloseRootSpan() -> None:  # noqa: N802
+    global _root_span
+    if _root_span is not None and hasattr(_root_span, "end"):
+        try:
+            _root_span.end()
+        except Exception:
+            pass
+    _root_span = None
+
+
+def AddEvent(event_info: str) -> None:  # noqa: N802
+    """Attach an event to the root span (reference tracer.h AddEvent)."""
+    if _root_span is not None and hasattr(_root_span, "add_event"):
+        try:
+            _root_span.add_event(event_info)
+            return
+        except Exception:
+            pass
+    with _span_log_lock:
+        _span_log.append({"event": event_info, "ts": time.time()})
+        del _span_log[:-_SPAN_LOG_LIMIT]
+
+
+EMPTY_TRACE_ID = bytes(16)
+EMPTY_SPAN_ID = bytes(8)
+
+
+def EmptyTraceID(ctx) -> bool:  # noqa: N802
+    tid = getattr(ctx, "traceID", None) or (ctx.get("trace_id") if isinstance(ctx, dict) else None)
+    return not tid or bytes(tid) == EMPTY_TRACE_ID
+
+
+def EmptySpanID(ctx) -> bool:  # noqa: N802
+    sid = getattr(ctx, "spanID", None) or (ctx.get("span_id") if isinstance(ctx, dict) else None)
+    return not sid or bytes(sid) == EMPTY_SPAN_ID
+
+
+def BytesToHexStr(data: bytes) -> str:  # noqa: N802
+    return bytes(data).hex()
+
+
+def GetIDFromHexStr(hex_str: str) -> bytes:  # noqa: N802
+    return bytes.fromhex(hex_str)
