@@ -100,6 +100,42 @@ class BitsetView:
         self._out_ids = np.asarray(out_ids, dtype=np.int64)
         self._dev_cache = None
 
+    def has_out_ids(self) -> bool:
+        return self._out_ids is not None
+
+    # --- reference predicates (bitsetview.h) ----------------------------------
+    def all_bits_set(self) -> bool:
+        """True iff every row is filtered out (bitsetview.h all_bits_set)."""
+        return not self.empty_view() and self.count() >= self._num_bits
+
+    def get_filtered_out_num_(self) -> int:
+        """Raw filtered-out count (reference keeps the trailing underscore)."""
+        return self.count() if not self.empty_view() else 0
+
+    def get_first_valid_index(self) -> int:
+        """Index of the first surviving row; num_bits when none survive."""
+        if self.empty_view():
+            return 0
+        bits = np.unpackbits(self._bits, bitorder="little")[: self._num_bits]
+        surv = np.nonzero(~bits.astype(bool))[0]
+        return int(surv[0]) if surv.size else self._num_bits
+
+    def range_all_filtered(self, start: int, end: int) -> bool:
+        """True iff every row in [start, end) is filtered out."""
+        if self.empty_view() or end <= start:
+            return False
+        bits = np.unpackbits(self._bits, bitorder="little")[: self._num_bits]
+        s, e = max(0, int(start)), min(self._num_bits, int(end))
+        return bool(bits[s:e].all()) if e > s else False
+
+    def to_string(self, start: int = 0, end: Optional[int] = None) -> str:
+        """'01' string of the filter bits in [start, end) (debugging aid)."""
+        if self.empty_view():
+            return ""
+        bits = np.unpackbits(self._bits, bitorder="little")[: self._num_bits]
+        e = self._num_bits if end is None else min(int(end), self._num_bits)
+        return "".join("1" if b else "0" for b in bits[int(start) : e])
+
     # --- TPU-side materialization -------------------------------------------
     def host_mask(self, n: int) -> np.ndarray:
         """Boolean keep-mask of length n: True == candidate survives the filter."""
