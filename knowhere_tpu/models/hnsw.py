@@ -372,9 +372,13 @@ class HnswIndexNode(IndexNode):
         nb, deg = self._graph.shape
         if self._dim % 4 != 0 or nb >= (1 << 30):
             return
+        import os as _os2
+
         from ..ops.graph_inline import inline_row_words, make_inline_store
 
-        table_bytes = nb * inline_row_words(deg, self._dim) * 4
+        bits = int(_os2.environ.get("KNOWHERE_INLINE_BITS", "8"))
+        bits = bits if bits in (4, 8) else 8
+        table_bytes = nb * inline_row_words(deg, self._dim, bits) * 4
         budget = float(os.environ.get("KNOWHERE_INLINE_BUDGET_GB", "6")) * (1 << 30)
         if mode != "1" and (table_bytes > budget or nb < 100_000):
             return
@@ -382,6 +386,7 @@ class HnswIndexNode(IndexNode):
             self._inline = make_inline_store(
                 self._graph, self._kind, self._store,
                 x_host=self._payload.get("data") if self._kind == "raw" else None,
+                bits=bits,
             )
         except Exception:  # any backend limitation -> stay on the general path
             self._inline = None
@@ -756,7 +761,7 @@ class HnswIndexNode(IndexNode):
                 keep,
                 W=W, ef=ef, deg=deg, n_steps=n_steps, ring_slots=ring_slots,
                 n_seed=n_seed, k=k_out, is_l2=is_l2, has_mask=keep is not None,
-                rerank_kind=inline.rerank_kind,
+                rerank_kind=inline.rerank_kind, bits=inline.bits,
             )
             outs_s.append(rs)
             outs_i.append(ri)  # async across chunks; one sync below

@@ -288,7 +288,9 @@ class ShardedGraphIndex:
                 from ..ops import distances as _D
 
                 budget = float(os.environ.get("KNOWHERE_INLINE_BUDGET_GB", "6")) * (1 << 30)
-                tbytes = x_local.shape[0] * inline_row_words(deg_l, d) * 4
+                bits = int(os.environ.get("KNOWHERE_INLINE_BITS", "8"))
+                bits = bits if bits in (4, 8) else 8
+                tbytes = x_local.shape[0] * inline_row_words(deg_l, d, bits) * 4
                 if inline_mode == "1" or tbytes <= budget:
                     try:
                         with jax.default_device(dev):
@@ -299,7 +301,7 @@ class ShardedGraphIndex:
                                 cents, sh["store"]["data"], 1, "L2", aux=aux
                             )
                             sh["inline"] = make_inline_store(
-                                graph, "raw", sh["store"], x_host=x_local
+                                graph, "raw", sh["store"], x_host=x_local, bits=bits
                             )
                             sh["inline_entry"] = jax.device_put(
                                 eids.reshape(-1).astype(np.int32)
@@ -337,6 +339,7 @@ class ShardedGraphIndex:
                         ring_slots=max(1, 256 // (W * sh["deg"])),
                         n_seed=n_seed, k=min(k, sh["rows"]),
                         is_l2=is_l2, has_mask=False, rerank_kind="raw",
+                        bits=inline.bits,
                     )
             else:
                 s, ids = beam_search(

@@ -128,3 +128,44 @@ class TestInlinePath:
         assert idx._node._inline is not None
         assert idx._node._inline.table.shape[0] == NB + 64
         assert idx._node._inline.table is not t0
+
+
+class TestInline4Bit:
+    """4-bit nibble-plane walk codes (KNOWHERE_INLINE_BITS=4): half the table,
+    measured recall-neutral with the exact rerank."""
+
+    @pytest.fixture()
+    def force4(self, monkeypatch):
+        monkeypatch.setenv("KNOWHERE_GRAPH_INLINE", "1")
+        monkeypatch.setenv("KNOWHERE_INLINE_BITS", "4")
+
+    @pytest.mark.parametrize("name,tcfg", [
+        ("HNSW", {"M": 16, "efConstruction": 200}),
+        ("HNSW_SQ", {"M": 16, "efConstruction": 200, "sq_type": "SQ8"}),
+    ])
+    def test_recall(self, force4, base, queries, name, tcfg):
+        idx = build(name, base, {"metric_type": "L2", **tcfg})
+        inline = idx._node._inline
+        assert inline is not None and inline.bits == 4
+        # 4-bit rows are half the 8-bit width
+        from knowhere_tpu.ops.graph_inline import inline_row_words
+        assert inline.table.shape[1] == inline_row_words(inline.deg, DIM, 4)
+        res = idx.Search(queries, {"metric_type": "L2", "k": K, "ef": 64})
+        gt_ids, _ = brute_force_gt(base, queries, "L2", K)
+        rec = knn_recall(gt_ids, res.value().ids, NQ, K)
+        assert rec >= KNN_RECALL_THRESHOLD, f"{name} 4-bit recall {rec}"
+
+    def test_self_top1_exact(self, force4, base):
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16, "efConstruction": 200})
+        xb = np.asarray(base.tensor)
+        res = idx.Search(kt.GenDataSetFromArray(xb[:8]), {"k": 5, "ef": 64})
+        ids = res.value().ids.reshape(8, 5)
+        assert (ids[:, 0] == np.arange(8)).all()
+
+    def test_dim_not_multiple_of_8_falls_back(self, force4, monkeypatch):
+        xb = gen_dataset(2048, 36, seed=73)  # 36 % 8 != 0, 36 % 4 == 0
+        idx = build("HNSW", xb, {"metric_type": "L2", "M": 8, "efConstruction": 80})
+        inline = idx._node._inline
+        assert inline is not None and inline.bits == 8  # byte-code fallback
+        res = idx.Search(gen_dataset(4, 36, seed=74), {"k": 5, "ef": 32})
+        assert res.has_value()
