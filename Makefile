@@ -8,7 +8,7 @@ PY ?= python
 all: native test
 
 native:
-	g++ -O3 -march=native -shared -fPIC native/knowhere_native.cpp -o native/libknowhere_native.so
+	g++ -O3 -march=native -shared -fPIC -pthread native/knowhere_native.cpp -o native/libknowhere_native.so
 
 test:
 	$(PY) -m pytest tests/ -q

@@ -17,6 +17,9 @@
 #include <cstring>
 #include <cstdio>
 
+#include <thread>
+#include <vector>
+
 #include <fcntl.h>
 #include <unistd.h>
 
@@ -163,6 +166,48 @@ int kn_gather_rows(const char* path, int64_t base_offset, int64_t row_bytes,
     }
     ::close(fd);
     return rc;
+}
+
+// Multi-threaded row gather (the reference's libaio cached_beam_search reader
+// analog): N worker threads each pread a contiguous slice of the requested
+// row list through their own fd. On page-cached files this is a parallel
+// memcpy (memmap fancy-indexing is single-threaded, measured 2.3 GiB/s);
+// on cold files the parallel preads overlap IO latency like io-depth>1 aio.
+int kn_gather_rows_mt(const char* path, int64_t base_offset, int64_t row_bytes,
+                      const int64_t* row_ids, int64_t n_rows, uint8_t* out,
+                      int n_threads) {
+    if (n_threads <= 1 || n_rows < 1024) {
+        return kn_gather_rows(path, base_offset, row_bytes, row_ids, n_rows, out);
+    }
+    if (n_threads > 64) n_threads = 64;
+    std::vector<int> rcs((size_t)n_threads, 0);
+    std::vector<std::thread> workers;
+    workers.reserve((size_t)n_threads);
+    int64_t per = (n_rows + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t s0 = (int64_t)t * per;
+        int64_t e0 = s0 + per < n_rows ? s0 + per : n_rows;
+        if (s0 >= e0) break;
+        workers.emplace_back([=, &rcs]() {
+            int fd = ::open(path, O_RDONLY);
+            if (fd < 0) { rcs[(size_t)t] = -1; return; }
+            for (int64_t i = s0; i < e0; ++i) {
+                int64_t off = base_offset + row_ids[i] * row_bytes;
+                int64_t done = 0;
+                while (done < row_bytes) {
+                    ssize_t r = ::pread(fd, out + i * row_bytes + done,
+                                        row_bytes - done, off + done);
+                    if (r <= 0) { rcs[(size_t)t] = -1; break; }
+                    done += r;
+                }
+                if (rcs[(size_t)t]) break;
+            }
+            ::close(fd);
+        });
+    }
+    for (auto& w : workers) w.join();
+    for (int rc : rcs) if (rc) return rc;
+    return 0;
 }
 
 }  // extern "C"

@@ -48,3 +48,19 @@ class TestNativeCodecs:
         ids = np.array([3, 499, 0, 77])
         rows = native.gather_rows(path, 4, 64, ids)
         np.testing.assert_array_equal(rows.view(np.float32).reshape(4, 16), data[ids])
+
+
+def test_gather_rows_mt_matches_single():
+    import numpy as np
+    import tempfile, os
+    from knowhere_tpu.native import gather_rows, gather_rows_mt
+
+    rows = np.random.default_rng(3).integers(0, 256, size=(512, 64)).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "rows.bin")
+        rows.tofile(path)
+        ids = np.array([5, 0, 511, 42, 42], np.int64)
+        a = gather_rows(path, 0, 64, ids)
+        b = gather_rows_mt(path, 0, 64, ids, n_threads=4)
+        if b is not None:  # native lib present
+            assert np.array_equal(a, b)
