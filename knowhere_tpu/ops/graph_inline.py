@@ -201,7 +201,9 @@ def beam_search_inline(
     s0 = jnp.where(ids0 >= 0, s0, NEG)
     pad = ef - n_seed
     beam_s0 = jnp.concatenate([s0, jnp.full((nq, pad), NEG, jnp.float32)], axis=1)
-    beam_p0 = jnp.concatenate([ids0 << 1, jnp.full((nq, pad), -1, jnp.int32)], axis=1)
+    # dup'd seeds are -1: pack as -1 (all ones == born expanded), not -1<<1
+    packed0 = jnp.where(ids0 >= 0, ids0 << 1, -1)
+    beam_p0 = jnp.concatenate([packed0, jnp.full((nq, pad), -1, jnp.int32)], axis=1)
     ns0, np0 = jax.lax.sort((-beam_s0, beam_p0), dimension=1, num_keys=1)
     beam_s, beam_p = -ns0, np0
     visited = jnp.concatenate([ids0, jnp.full((nq, ring_slots * G), -1, jnp.int32)], axis=1)
