@@ -201,3 +201,20 @@ class TestShardedGraph:
         np.testing.assert_allclose(
             dists[0, 0], ((xq[0] - xb[row]) ** 2).sum(), rtol=1e-3, atol=1e-3
         )
+
+    def test_inline_4bit_fast_path(self, mesh, monkeypatch):
+        from knowhere_tpu.parallel.sharding import ShardedGraphIndex
+        from .utils import knn_recall
+
+        monkeypatch.setenv("KNOWHERE_GRAPH_INLINE", "1")
+        monkeypatch.setenv("KNOWHERE_INLINE_BITS", "4")
+        rng = np.random.default_rng(83)
+        xb = rng.standard_normal((2000, 32)).astype(np.float32)
+        xq = rng.standard_normal((16, 32)).astype(np.float32)
+        idx = ShardedGraphIndex(devices=jax.devices()[:4], metric="L2")
+        idx.build(xb, M=16, ef_construction=100)
+        assert all(sh.get("inline") is not None and sh["inline"].bits == 4 for sh in idx._shards)
+        _, ids = idx.search(xq, k=10, ef=64)
+        d = ((xq[:, None, :].astype(np.float64) - xb[None]) ** 2).sum(-1)
+        gt = np.argsort(d, 1, kind="stable")[:, :10]
+        assert knn_recall(gt, ids, 16, 10) >= 0.8
