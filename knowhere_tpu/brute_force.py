@@ -206,23 +206,38 @@ class BruteForce:
             )
             larger = D.larger_is_better(metric)
             nq = query_dataset.rows
-            dmats = []
+            # per-chunk tiled top-k + host merge — never materializes the
+            # (nq, total_rows) distance matrix (a 10M-row chunked base would
+            # need gigabytes host-side; each chunk contributes only (nq, k))
+            part_ids, part_d = [], []
+            row0 = 0
             for ds in chunk_datasets:
                 err = _check_metric(ds, metric)
                 if err:
                     raise KnowhereException(err, Status.invalid_metric_type)
                 xq, b_dev, aux = _prep(ds, query_dataset, metric)
-                dmats.append(
-                    np.asarray(D.pairwise_distance(metric, jax.device_put(xq), b_dev, aux))
+                mask_c = (
+                    jax.device_put(keep[row0 : row0 + ds.rows])
+                    if keep is not None
+                    else None
                 )
-            dmat = np.concatenate(dmats, axis=1)  # (nq, total)
-            if keep is not None:
-                dmat = np.where(keep[None, :], dmat, -np.inf if larger else np.inf)
-            order = np.argsort(-dmat if larger else dmat, axis=1, kind="stable")[:, :k]
-            d_top = np.take_along_axis(dmat, order, axis=1)
+                ids_c, d_c = T.knn_search(
+                    xq, b_dev, min(k, ds.rows), metric, bitset_mask=mask_c, aux=aux
+                )
+                ids_c = np.asarray(ids_c, dtype=np.int64)
+                part_ids.append(np.where(ids_c >= 0, ids_c + row0, -1))
+                part_d.append(np.asarray(d_c, dtype=np.float32))
+                row0 += ds.rows
+            cat_i = np.concatenate(part_ids, axis=1)
+            cat_d = np.concatenate(part_d, axis=1)
+            bad = cat_i < 0
+            key = np.where(bad, -np.inf if larger else np.inf, cat_d)
+            order = np.argsort(-key if larger else key, axis=1, kind="stable")[:, :k]
+            d_top = np.take_along_axis(key, order, axis=1)
+            ids = np.take_along_axis(cat_i, order, axis=1)
             invalid = ~np.isfinite(d_top)
-            ids = np.where(invalid, -1, order).astype(np.int64)
-            kk = min(k, total)
+            ids = np.where(invalid, -1, ids)
+            kk = min(k, cat_i.shape[1])
             out_i = np.full((nq, k), -1, np.int64)
             out_d = np.full((nq, k), np.inf if not larger else -np.inf, np.float32)
             out_i[:, :kk] = ids[:, :kk]

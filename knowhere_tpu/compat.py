@@ -208,20 +208,28 @@ def SetSearchThreadPool(num_threads: int) -> None:
 
 class BitSet:
     """Mutable bitset builder (reference knowhere.i:306-331): SetBit marks a
-    row filtered-out; GetBitSetView yields the immutable view passed to
-    Search/RangeSearch."""
+    row filtered-out; GetBitSetView yields the view passed to Search. The
+    reference view reads live C++ memory, so mutations after a view is taken
+    must stay visible — our BitsetView caches its popcount and device mask,
+    so SetBit invalidates every issued view's caches."""
 
     def __init__(self, num_bits: int):
         self._bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
         self._num_bits = int(num_bits)
+        self._views = []
 
     def SetBit(self, idx: int) -> None:
         self._bits[idx >> 3] |= 1 << (idx & 7)
+        for v in self._views:
+            v._filtered_cnt = None
+            v._dev_cache = None
 
     def GetBitSetView(self):
         from .bitset import BitsetView
 
-        return BitsetView(self._bits, self._num_bits)
+        v = BitsetView(self._bits, self._num_bits)
+        self._views.append(v)
+        return v
 
 
 class AnnIteratorWrap:

@@ -181,21 +181,15 @@ class IndexStaticFaced:
             return False
         ctor, _ = factory._registry[key]
         node = ctor(version=version)
-        metric = (json_cfg or {}).get("metric_type", "L2")
-        # reference SCANN static check consults with_raw_data from the config
+        cfg = json_cfg or {}
+        metric = cfg.get("metric_type", "L2")
         try:
-            if hasattr(node, "_refine_cfg") and (json_cfg or {}).get("with_raw_data") is not None:
-                node._refine_cfg = "raw" if json_cfg.get("with_raw_data") else None
+            if hasattr(node, "StaticHasRawData"):
+                return bool(node.StaticHasRawData(cfg))
+            # reference SCANN static check consults with_raw_data from the config
+            if hasattr(node, "_refine_cfg") and cfg.get("with_raw_data") is not None:
+                node._refine_cfg = "raw" if cfg.get("with_raw_data") else None
             return bool(node.HasRawData(metric))
         except Exception:
             return False
 
-    @staticmethod
-    def HasRawData(name: str, data_type: str, version: int, json_cfg: dict) -> bool:
-        factory = IndexFactory.Instance()
-        key = (name, data_type)
-        if key not in factory._registry:
-            return False
-        ctor, _ = factory._registry[key]
-        node_cls = ctor(version=version)
-        return node_cls.StaticHasRawData(json_cfg) if hasattr(node_cls, "StaticHasRawData") else node_cls.HasRawData(json_cfg.get("metric_type", "L2"))

@@ -272,10 +272,7 @@ class Index:
     def IsIndexRefineEnabled(self) -> bool:
         """Whether a refine (reorder) stage is configured (reference
         index.h:190 / index_node.h:245)."""
-        fn = getattr(self._node, "IsIndexRefineEnabled", None)
-        if fn is not None:
-            return bool(fn())
-        return getattr(self._node, "_refine_store", None) is not None
+        return bool(self._node.IsIndexRefineEnabled())
 
     def GetIndexMeta(self, json_cfg: Optional[Dict[str, Any]] = None) -> "expected[DataSet]":
         def impl():

@@ -372,12 +372,12 @@ class HnswIndexNode(IndexNode):
         nb, deg = self._graph.shape
         if self._dim % 4 != 0 or nb >= (1 << 30):
             return
-        import os as _os2
-
         from ..ops.graph_inline import inline_row_words, make_inline_store
 
-        bits = int(_os2.environ.get("KNOWHERE_INLINE_BITS", "8"))
+        bits = int(os.environ.get("KNOWHERE_INLINE_BITS", "8"))
         bits = bits if bits in (4, 8) else 8
+        if self._dim % (32 // bits) != 0:
+            bits = 8  # make_inline_store falls back too; budget must match
         table_bytes = nb * inline_row_words(deg, self._dim, bits) * 4
         budget = float(os.environ.get("KNOWHERE_INLINE_BUDGET_GB", "6")) * (1 << 30)
         if mode != "1" and (table_bytes > budget or nb < 100_000):

@@ -290,6 +290,8 @@ class ShardedGraphIndex:
                 budget = float(os.environ.get("KNOWHERE_INLINE_BUDGET_GB", "6")) * (1 << 30)
                 bits = int(os.environ.get("KNOWHERE_INLINE_BITS", "8"))
                 bits = bits if bits in (4, 8) else 8
+                if d % (32 // bits) != 0:
+                    bits = 8  # make_inline_store falls back too; budget must match
                 tbytes = x_local.shape[0] * inline_row_words(deg_l, d, bits) * 4
                 if inline_mode == "1" or tbytes <= budget:
                     try:
