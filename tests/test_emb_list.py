@@ -193,3 +193,43 @@ class TestScannDvr:
         res = idx.Search(q, {"metric_type": "L2", "k": 5, "nprobe": 8, "reorder_k": 50})
         ids = res.value().ids.reshape(8, 5)
         assert (ids[:, 0] == np.arange(8)).mean() >= 0.8
+
+
+class TestAggregateOracles:
+    """Hand-computed MaxSim/DTW aggregate pins (non-circular): tiny corpora
+    where the best document is known analytically (reference
+    emb_list_strategy MaxSim/DTW aggregation semantics)."""
+
+    def test_max_sim_hand_case(self):
+        import numpy as np
+        # doc0 tokens aligned with both query tokens; doc1 matches only one
+        lims = np.array([0, 2, 4], np.int64)
+        tokens = np.array([[1, 0], [0, 1],      # doc0: e1, e2
+                           [1, 0], [1, 0]],     # doc1: e1, e1
+                          np.float32)
+        q = np.array([[1, 0], [0, 1]], np.float32)  # query: e1 + e2
+        ds = kt.DataSet(tensor=tokens, lims=lims, rows=4, dim=2)
+        idx = kt.IndexFactory.Instance().Create("FLAT").value()
+        st = idx.Build(ds, {"metric_type": "MAX_SIM_IP"})
+        assert st == kt.Status.success, st
+        qds = kt.DataSet(tensor=q, lims=np.array([0, 2], np.int64), rows=2, dim=2)
+        res = idx.Search(qds, {"metric_type": "MAX_SIM_IP", "k": 2})
+        assert res.has_value(), res.what()
+        ids = res.value().ids.reshape(1, 2)
+        d = res.value().distance.reshape(1, 2)
+        # MaxSim(doc0) = 1 + 1 = 2; MaxSim(doc1) = 1 + 0 = 1
+        assert ids[0, 0] == 0 and ids[0, 1] == 1, ids
+        np.testing.assert_allclose(d[0], [2.0, 1.0], atol=1e-5)
+
+    def test_dtw_monotone_alignment(self):
+        import numpy as np
+        from knowhere_tpu.models.emb_list import dtw_score
+        # sim grid where the monotone path must skip the off-path maximum
+        sim = np.array([[1.0, 0.0],
+                        [0.0, 1.0]], np.float32)
+        assert dtw_score(sim) == 2.0  # diagonal path
+        sim2 = np.array([[0.0, 1.0],
+                         [1.0, 0.0]], np.float32)
+        # monotone path cannot take BOTH 1.0s (they are anti-diagonal):
+        # best = 1.0 + 0.0 via (0,1)->(1,1) or (0,0)->(1,0) etc.
+        assert dtw_score(sim2) == 1.0
