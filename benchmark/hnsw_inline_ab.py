@@ -5,9 +5,9 @@
   (c) general (narrow-gather) walk with the variadic-sort merge
 
 One build; the inline table is derived data so (b)/(c) only re-derive it.
-Methodology matches benchmark/suite.py (binary-search smallest ef reaching
-the recall target, then QPS on 8192 warm queries).
-Reference protocol: benchmark/hdf5/benchmark_float_qps.cpp:80-119.
+Methodology matches benchmark/suite.py (linear sweep over the reference ef
+ladder, first value reaching the recall target, then QPS on 8192 warm
+queries). Reference protocol: benchmark/hdf5/benchmark_float_qps.cpp:80-119.
 """
 import json
 import os
@@ -38,11 +38,18 @@ def sweep(idx, xq, gt, tag):
         chosen, achieved = ef, rec
         if rec >= TARGET:
             break
+    if chosen is None:
+        print(json.dumps({"tag": tag, "error": "all ef values in sweep failed"}),
+              flush=True)
+        return
     q_t = kt.GenDataSetFromArray(xq)
     idx.Search(q_t, {"metric_type": "L2", "k": K, "ef": chosen})  # warm
     t0 = time.perf_counter()
     r = idx.Search(q_t, {"metric_type": "L2", "k": K, "ef": chosen})
     dt = time.perf_counter() - t0
+    if not r.has_value():
+        print(json.dumps({"tag": tag, "ef": chosen, "error": r.what()}), flush=True)
+        return
     print(json.dumps({
         "tag": tag, "ef": chosen, "recall": round(achieved, 4),
         "qps": round(NQ / dt, 1),
@@ -66,14 +73,32 @@ def main():
     print(json.dumps({"build_s": round(time.perf_counter() - t0, 1), "status": st.name}), flush=True)
     node = idx.node if hasattr(idx, "node") else idx._node
 
+    def expect_inline(bits):
+        # hnsw.py:_refresh_inline swallows make_inline_store failures and
+        # silently falls back to the general walk; a mislabeled row would
+        # corrupt the 4-bit decision this A/B exists to settle.
+        if bits is None:
+            assert node._inline is None, "expected general walk, inline store active"
+        else:
+            assert node._inline is not None, (
+                f"inline store failed to build (wanted {bits}-bit); "
+                "row would silently measure the general walk"
+            )
+            assert node._inline.bits == bits, (
+                f"inline store has bits={node._inline.bits}, wanted {bits}"
+            )
+
+    expect_inline(8)
     sweep(idx, xq, gt, "inline8")
 
     os.environ["KNOWHERE_INLINE_BITS"] = "4"
     node._refresh_inline()
+    expect_inline(4)
     sweep(idx, xq, gt, "inline4")
 
     os.environ["KNOWHERE_GRAPH_INLINE"] = "0"
     node._refresh_inline()
+    expect_inline(None)
     sweep(idx, xq, gt, "general")
 
 
