@@ -45,6 +45,7 @@ _setup_compile_cache()
 
 from .binaryset import Binary, BinarySet  # noqa: F401
 from .bitset import BitsetView  # noqa: F401
+from .comp import OpContext  # noqa: F401
 from .brute_force import BruteForce  # noqa: F401
 from .cluster import Cluster, ClusterFactory  # noqa: F401
 from .config import BaseConfig, Config, Entry, Stage, load_config  # noqa: F401

@@ -53,6 +53,36 @@ def check_cancellation(op_context: Optional[OpContext]) -> None:
         raise KnowhereException("operation cancelled", Status.timeout)
 
 
+# --- mid-operation cancellation ---------------------------------------------
+# The reference checks the token INSIDE every per-query task (ivf.cc:962).
+# Searches here are batched device dispatches, so the equivalent check points
+# sit between chunk dispatches / expansion rounds. The facade installs the
+# op's context in a thread-local scope; hot loops call
+# check_current_cancellation() at their chunk boundaries.
+_op_ctx_tls = threading.local()
+
+
+class op_context_scope:
+    """Install `ctx` as the current thread's operation context."""
+
+    def __init__(self, ctx: Optional[OpContext]):
+        self._ctx = ctx
+
+    def __enter__(self):
+        self._prev = getattr(_op_ctx_tls, "ctx", None)
+        _op_ctx_tls.ctx = self._ctx
+        return self._ctx
+
+    def __exit__(self, *exc):
+        _op_ctx_tls.ctx = self._prev
+        return False
+
+
+def check_current_cancellation() -> None:
+    """Cancellation check for hot-loop chunk boundaries (ivf.cc:962 analog)."""
+    check_cancellation(getattr(_op_ctx_tls, "ctx", None))
+
+
 class BloomFilter:
     """Double-hashed Bloom filter (reference comp/bloomfilter.h)."""
 

@@ -150,7 +150,7 @@ class Index:
         op_context=None,
     ) -> "expected[DataSet]":
         def impl() -> "expected[DataSet]":
-            from .comp import check_cancellation
+            from .comp import check_cancellation, op_context_scope
 
             check_cancellation(op_context)
             cfg, st, msg = self._load_cfg(json_cfg, Stage.SEARCH)
@@ -167,7 +167,9 @@ class Index:
                 k=cfg.get("k"),
                 nq=dataset.rows,
                 index=self._node.Type(),
-            ):
+            ), op_context_scope(op_context):
+                # the scope arms mid-search checks at chunk boundaries
+                # (reference checks inside per-query tasks, ivf.cc:962)
                 t0 = time.perf_counter()
                 if self._emb is not None:
                     res = self._emb.Search(dataset, cfg, bs)
@@ -185,8 +187,12 @@ class Index:
         dataset: DataSet,
         json_cfg: Optional[Dict[str, Any]] = None,
         bitset: Optional[BitsetView] = None,
+        op_context=None,
     ) -> "expected[DataSet]":
         def impl() -> "expected[DataSet]":
+            from .comp import check_cancellation, op_context_scope
+
+            check_cancellation(op_context)
             cfg, st, msg = self._load_cfg(json_cfg, Stage.RANGE_SEARCH)
             if st != Status.success:
                 return expected.Err(st, msg)
@@ -201,7 +207,7 @@ class Index:
                 radius=cfg.get("radius"),
                 nq=dataset.rows,
                 index=self._node.Type(),
-            ):
+            ), op_context_scope(op_context):
                 t0 = time.perf_counter()
                 res = self._node.RangeSearch(dataset, cfg, bs)
                 if res.has_value():

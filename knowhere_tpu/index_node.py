@@ -252,7 +252,12 @@ class IndexIterator:
 
 class PrecomputedDistanceIterator(IndexIterator):
     """Iterator over fully precomputed per-query distances with lazy batched
-    partial sort (reference index_node.h:815-937; sort chunks >=50k rows)."""
+    partial sort (reference index_node.h:815-937; sort chunks >=50k rows).
+
+    Construction is O(n_valid); sorting happens lazily, one argpartition'd
+    chunk at a time, so shallow consumption of a 10M-row result never pays
+    a full argsort.
+    """
 
     SORT_CHUNK = 50_000
 
@@ -264,18 +269,108 @@ class PrecomputedDistanceIterator(IndexIterator):
             self._valid_ids = np.nonzero(valid_mask)[0]
         else:
             self._valid_ids = np.arange(n)
-        vals = self._dists[self._valid_ids]
-        self._order = np.argsort(-vals if larger_is_closer else vals, kind="stable")
+        # lazy state: `_sorted` = fully-ordered prefix (positions into
+        # _valid_ids); `_rest` = still-unsorted positions (None until first
+        # use so callers may still swap _valid_ids right after construction)
+        self._sorted = np.empty(0, np.int64)
+        self._rest: Optional[np.ndarray] = None
         self._pos = 0
 
+    def _keys_at(self, positions: np.ndarray) -> np.ndarray:
+        vals = self._dists[self._valid_ids[positions]]
+        return -vals if self.larger_is_closer else vals
+
+    def _sort_more(self) -> bool:
+        """Partial-sort the next SORT_CHUNK candidates; False when none left."""
+        if self._rest is None:
+            self._rest = np.arange(self._valid_ids.size, dtype=np.int64)
+        if self._rest.size == 0:
+            return False
+        chunk = min(self.SORT_CHUNK, self._rest.size)
+        keys = self._keys_at(self._rest)
+        if chunk < self._rest.size:
+            part = np.argpartition(keys, chunk - 1)
+            head, keys_head = self._rest[part[:chunk]], keys[part[:chunk]]
+            self._rest = self._rest[part[chunk:]]
+        else:
+            head, keys_head = self._rest, keys
+            self._rest = np.empty(0, np.int64)
+        self._sorted = np.concatenate([self._sorted, head[np.argsort(keys_head, kind="stable")]])
+        return True
+
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
-        if self._pos >= self._order.size:
-            return np.empty(0, np.int64), np.empty(0, np.float32)
-        end = min(self._pos + 1024, self._order.size)
-        sel = self._order[self._pos : end]
+        while self._pos >= self._sorted.size:
+            if not self._sort_more():
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+        end = min(self._pos + 1024, self._sorted.size)
+        sel = self._sorted[self._pos : end]
         self._pos = end
         ids = self._valid_ids[sel].astype(np.int64)
-        return ids, self._dists[self._valid_ids[sel]]
+        return ids, self._dists[ids]
+
+
+class ExpandingIteratorGroup:
+    """Batched resume-state shared by the per-query iterators of one
+    AnnIterator call.
+
+    The reference iterator RESUMES its underlying walk/scan indefinitely
+    (index_node.h:672-808; faiss_hnsw.cc:843-940 graph-walk resume;
+    ivf.cc:1538-1607 workspace iterator) — it never exhausts before the
+    whole corpus is surfaced. TPU searches are batched across the query
+    axis, so resumption here is batched too: when any per-query iterator
+    drains its buffered candidates, the group re-runs the family's search
+    with widened knobs via ``round_fn(r)`` and each iterator keeps only ids
+    it has not yet buffered. ``round_fn`` returns ``(ids (nq,k), dists
+    (nq,k))`` with -1 padding, or None once coverage is complete (the last
+    non-None round must cover every reachable row, e.g. a full exact scan).
+    """
+
+    def __init__(self, nq: int, count: int, round_fn):
+        self._round_fn = round_fn
+        self._round = 0
+        self._done = False
+        self._nq = nq
+        self._count = count
+        self._seen: List[Optional[np.ndarray]] = [None] * nq
+        self._queues: List[List[Tuple[np.ndarray, np.ndarray]]] = [[] for _ in range(nq)]
+
+    def _expand(self) -> None:
+        if self._done:
+            return
+        out = self._round_fn(self._round)
+        self._round += 1
+        if out is None:
+            self._done = True
+            return
+        ids, dists = out
+        for qi in range(self._nq):
+            row_ids = np.asarray(ids[qi])
+            valid = row_ids >= 0
+            row_ids = row_ids[valid].astype(np.int64)
+            row_d = np.asarray(dists[qi])[valid].astype(np.float32)
+            seen = self._seen[qi]
+            if seen is None:
+                seen = self._seen[qi] = np.zeros(self._count, dtype=bool)
+            fresh = ~seen[row_ids]
+            if fresh.any():
+                seen[row_ids[fresh]] = True
+                self._queues[qi].append((row_ids[fresh], row_d[fresh]))
+
+    def make_iterator(self, qi: int, larger_is_closer: bool) -> "BatchedDistanceIterator":
+        def batch_fn():
+            q = self._queues[qi]
+            while not q and not self._done:
+                self._expand()
+            if not q:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            return q.pop(0)
+
+        return BatchedDistanceIterator(batch_fn, larger_is_closer=larger_is_closer)
+
+
+#: device top-k rounds stop growing past this k; the covering final round
+#: switches to a host full-sort (avoids giant on-device top-k buffers)
+DEVICE_K_MAX = 65_536
 
 
 class BatchedDistanceIterator(IndexIterator):

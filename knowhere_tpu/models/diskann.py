@@ -460,7 +460,10 @@ class DiskANNIndexNode(IndexNode):
         best_d = np.full((xq.shape[0], k), np.inf if is_l2 else -np.inf, np.float32)
         best_i = np.full((xq.shape[0], k), -1, np.int64)
         keep_all = bitset.host_mask(self._count) if not bitset.empty_view() else None
+        from ..comp import check_current_cancellation
+
         for s in range(0, self._count, chunk):
+            check_current_cancellation()  # per-chunk (ivf.cc:962 analog)
             e = min(s + chunk, self._count)
             block = jax.device_put(np.asarray(self._disk_data[s:e], dtype=np.float32))
             mask = jax.device_put(keep_all[s:e]) if keep_all is not None else None
@@ -539,37 +542,45 @@ class DiskANNIndexNode(IndexNode):
         with self._lock:
             if not self._loaded:
                 return expected.Err(Status.empty_index, "diskann index not loaded")
-            k_iter = min(self._count, 4096)
+        nq = dataset.rows
+        larger = self._metric != M.L2
+        count = self._count
+        n_valid = count - (bitset.count() if not bitset.empty_view() else 0)
+        from ..index_node import DEVICE_K_MAX, ExpandingIteratorGroup
+
+        k0 = min(count, 4096)
+
+        # Resumable beam rounds (reference IteratorWorkspace over PQFlashIndex,
+        # diskann.cc:228-256, 830-871): widen k/search_list x4 per round; the
+        # covering final round is the chunked exact memmap scan.
+        covered = {"done": False}
+
+        def round_fn(r: int):
+            if covered["done"]:
+                return None
+            k_r = min(n_valid, k0 << (2 * r))
+            if k_r >= n_valid or k_r > DEVICE_K_MAX:
+                covered["done"] = True
+                with self._lock:
+                    xq = self._prep_q(dataset)
+                    d_f, i_f = self._brute_force_disk(xq, max(n_valid, 1), bitset)
+                return i_f, d_f
             scfg = self.CreateConfig()
             Config.load(
                 scfg,
-                {"metric_type": self._metric, "k": k_iter, "search_list_size": max(k_iter // 2, 100)},
+                {"metric_type": self._metric, "k": k_r, "search_list_size": max(k_r // 2, 100)},
                 Stage.SEARCH,
             )
             res = self.Search(dataset, scfg, bitset)
             if not res.has_value():
-                return res
+                raise KnowhereException(res.what(), res.error())
             ds = res.value()
-            nq = dataset.rows
-            dists = ds.distance.reshape(nq, k_iter)
-            ids = ds.ids.reshape(nq, k_iter)
-            larger = self._metric != M.L2
-            its = []
-            for i in range(nq):
-                valid = ids[i] >= 0
-                ids_i, d_i = ids[i][valid], dists[i][valid]
-                state = {"pos": 0}
+            return ds.ids.reshape(nq, k_r), ds.distance.reshape(nq, k_r)
 
-                def batch_fn(ids_i=ids_i, d_i=d_i, state=state):
-                    if state["pos"] >= len(ids_i):
-                        return np.empty(0, np.int64), np.empty(0, np.float32)
-                    s = state["pos"]
-                    e = min(s + 256, len(ids_i))
-                    state["pos"] = e
-                    return ids_i[s:e], d_i[s:e]
-
-                its.append(BatchedDistanceIterator(batch_fn, larger_is_closer=larger))
-            return expected.Ok(its)
+        group = ExpandingIteratorGroup(nq, count, round_fn)
+        return expected.Ok(
+            [group.make_iterator(i, larger_is_closer=larger) for i in range(nq)]
+        )
 
     # --- vectors / meta --------------------------------------------------------------
     def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":

@@ -137,6 +137,11 @@ class HnswIndexNode(IndexNode):
     def _is_l2_like(self) -> bool:
         return self._internal_metric() in (M.L2, M.HAMMING)
 
+    def _larger_is_closer(self) -> bool:
+        # native distances: L2/HAMMING squared-L2-like and JACCARD = 1-sim are
+        # smaller-closer; only IP/COSINE surface similarities
+        return self._internal_metric() == M.IP
+
     def _prep_rows(self, x: np.ndarray) -> np.ndarray:
         if self._is_binary():
             return D.unpack_bits_host(np.asarray(x).view(np.uint8), self._dim).astype(np.float32)
@@ -230,8 +235,21 @@ class HnswIndexNode(IndexNode):
             self._raw_host = np.asarray(x_in)
         # payload per variant
         if self.VARIANT == "flat":
-            self._payload = {"data": x}
-            if not self._is_binary():
+            # Native typed storage (reference distances_typed.cpp): fp16/bf16/
+            # int8 corpora keep their width — non-cosine payload IS the raw
+            # rows (no fp32 copy); cosine keeps the normalized copy in bf16.
+            # The walk's decode casts gathered rows (ops/graph.py:495), so
+            # persistent HBM stays native width.
+            typed = self.data_type in ("fp16", "bf16", "int8")
+            if typed and self._metric != M.COSINE:
+                self._payload = {"data": self._raw_host}
+            elif typed:
+                import ml_dtypes
+
+                self._payload = {"data": x.astype(ml_dtypes.bfloat16)}
+            else:
+                self._payload = {"data": x}
+            if not self._is_binary() and not typed:
                 self._data_dev_prebuilt = x_dev_shared
             if self._is_binary():
                 self._payload["bits_raw"] = np.asarray(x_in)
@@ -313,7 +331,14 @@ class HnswIndexNode(IndexNode):
             if pre is not None and pre.shape == self._payload["data"].shape:
                 self._store = {"data": pre}  # corpus already resident (build)
             else:
-                self._store = {"data": jax.device_put(self._payload["data"])}
+                data = self._payload["data"]
+                if data.dtype == np.float16:
+                    # bf16 device width (fp16 is not an MXU input type);
+                    # int8/bf16 upload as-is — decode casts per gather
+                    import ml_dtypes
+
+                    data = data.astype(ml_dtypes.bfloat16)
+                self._store = {"data": jax.device_put(data)}
             self._data_dev_prebuilt = None
             self._kind = "raw"
         elif self.VARIANT == "sq":
@@ -527,7 +552,9 @@ class HnswIndexNode(IndexNode):
         # Add encodes with the codebooks from Train)
         self._raw_host = np.concatenate([self._raw_host, np.asarray(x_new_in)])
         if self.VARIANT == "flat":
-            self._payload["data"] = np.concatenate([self._payload["data"], x_new])
+            self._payload["data"] = np.concatenate(
+                [self._payload["data"], x_new.astype(self._payload["data"].dtype)]
+            )
         elif self.VARIANT == "sq":
             self._payload["codes"] = np.concatenate(
                 [self._payload["codes"], Q.sq_encode(self._sq, x_new)]
@@ -662,8 +689,11 @@ class HnswIndexNode(IndexNode):
         # ef so high-recall searches cast a wider net
         n_seed = 0 if self._entry_cents_dev is None else int(min(max(8, ef // 8), 64))
         prec = matmul_precision_name()
+        from ..comp import check_current_cancellation
+
         scores_l, ids_l = [], []
         for s0 in range(0, nq, chunk):
+            check_current_cancellation()  # per-chunk (ivf.cc:962 analog)
             xc = xq[s0 : s0 + chunk]
             xq_pad = (
                 self._pad_q(xc)
@@ -805,7 +835,7 @@ class HnswIndexNode(IndexNode):
 
     def _decode_all(self) -> np.ndarray:
         if self.VARIANT == "flat":
-            return self._payload["data"]
+            return np.asarray(self._payload["data"], dtype=np.float32)
         if "refine" in self._payload and self._refine_cfg == "raw":
             return self._payload["refine"]
         if self.VARIANT == "sq":
@@ -823,6 +853,44 @@ class HnswIndexNode(IndexNode):
             )
         raise KnowhereException("cannot decode", Status.internal_error)
 
+    # --- full-coverage tail scan (iterator / range-search completion) -----------
+    def _full_sorted(self, xq: np.ndarray, bitset: BitsetView):
+        """Covering exact-over-stored-rows scan: (dists, ids) each (nq, n_valid)
+        sorted best-first in the native convention. Graph walks can never
+        guarantee full coverage (disconnected nodes); the reference iterator
+        contract requires it (index_node.h:672-808), so the final round scans
+        the decoded store directly."""
+        data = self._decode_all().astype(np.float64)
+        nq = xq.shape[0]
+        is_l2 = self._is_l2_like()
+        internal = self._internal_metric()
+        larger = self._larger_is_closer()
+        keep = bitset.host_mask(self.Count()) if not bitset.empty_view() else None
+        worst = np.float32(-np.inf if larger else np.inf)
+        nb = data.shape[0]
+        dists = np.empty((nq, nb), np.float32)
+        q64 = xq.astype(np.float64)
+        for s in range(0, nb, 65536):
+            e = min(s + 65536, nb)
+            blk = data[s:e]
+            dots = q64 @ blk.T
+            if internal == M.JACCARD:
+                qa = q64.sum(1)[:, None]
+                ba = blk.sum(1)[None, :]
+                d = 1.0 - dots / np.maximum(qa + ba - dots, 1e-12)
+            elif is_l2:
+                d = (q64**2).sum(1)[:, None] - 2 * dots + (blk**2).sum(1)[None, :]
+            else:
+                d = dots
+            dists[:, s:e] = d.astype(np.float32)
+        if keep is not None:
+            dists[:, ~keep[:nb]] = worst
+            n_valid = int(keep[:nb].sum())
+        else:
+            n_valid = nb
+        order = np.argsort(-dists if larger else dists, axis=1, kind="stable")[:, :n_valid]
+        return np.take_along_axis(dists, order, 1), order.astype(np.int64)
+
     # --- range search / iterator ------------------------------------------------
     def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         # expanding-ef graph walk, then radius filter (reference uses the
@@ -836,10 +904,13 @@ class HnswIndexNode(IndexNode):
             radius = cfg.get("radius", 0.0)
             range_filter = cfg.get("range_filter", float("inf"))
             two_sided = np.isfinite(range_filter)
-            larger = not self._is_l2_like()
+            larger = self._larger_is_closer()
             ef = self._effective_ef(cfg, 64)
-            cap = min(self.Count(), 8192)
-            k_cur = min(max(ef, 64), cap)
+            from ..index_node import DEVICE_K_MAX
+
+            n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
+            cap = min(n_valid, DEVICE_K_MAX)
+            k_cur = min(max(ef, 64), max(cap, 1))
             while True:
                 dists, ids = self._graph_search(xq, k_cur, max(k_cur, ef), bitset)
                 if k_cur >= cap:
@@ -850,6 +921,25 @@ class HnswIndexNode(IndexNode):
                 if not still.any():
                     break
                 k_cur = min(cap, k_cur * 4)
+            # queries whose results may still be growing (frontier in range,
+            # or the walk ran dry before surfacing every valid row): complete
+            # them with the covering full scan — a graph walk alone cannot
+            # guarantee coverage (disconnected nodes)
+            returned = (ids >= 0).sum(axis=1)
+            frontier = dists[:, -1]
+            frontier_in = (frontier > radius) if larger else (frontier < radius)
+            needy = (returned < n_valid) & (frontier_in | (ids[:, -1] < 0))
+            if needy.any():
+                act = np.nonzero(needy)[0]
+                pad = n_valid - dists.shape[1]
+                if pad > 0:
+                    dists = np.pad(dists, ((0, 0), (0, pad)),
+                                   constant_values=np.float32(-np.inf if larger else np.inf))
+                    ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+                for s in range(0, len(act), 64):  # bound host memory
+                    sub = act[s : s + 64]
+                    d_f, i_f = self._full_sorted(xq[sub], bitset)
+                    dists[sub], ids[sub] = d_f, i_f
             import numpy as _np
 
             lims = _np.zeros(nq + 1, dtype=_np.int64)
@@ -885,26 +975,37 @@ class HnswIndexNode(IndexNode):
             if self._graph is None:
                 return expected.Err(Status.empty_index, "index not built")
             xq = self._prep_rows(np.asarray(dataset.tensor))
+            nq = xq.shape[0]
             seed_ef = int(cfg.get("seed_ef") or cfg.get("ef") or 64)
-            k_iter = min(self.Count(), max(seed_ef * 4, 1024))
-            dists, ids = self._graph_search(xq, k_iter, max(k_iter, seed_ef), bitset)
-            larger = not self._is_l2_like()
-            iterators = []
-            for i in range(xq.shape[0]):
-                valid = ids[i] >= 0
-                ids_i, d_i = ids[i][valid], dists[i][valid]
-                state = {"pos": 0}
+            larger = self._larger_is_closer()
+            count = self.Count()
+            from ..index_node import DEVICE_K_MAX, ExpandingIteratorGroup
 
-                def batch_fn(ids_i=ids_i, d_i=d_i, state=state):
-                    if state["pos"] >= len(ids_i):
-                        return np.empty(0, np.int64), np.empty(0, np.float32)
-                    s = state["pos"]
-                    e = min(s + 256, len(ids_i))
-                    state["pos"] = e
-                    return ids_i[s:e], d_i[s:e]
+            k0 = min(count, max(seed_ef * 4, 1024))
 
-                iterators.append(BatchedDistanceIterator(batch_fn, larger_is_closer=larger))
-            return expected.Ok(iterators)
+            # Resumable walk rounds (reference FaissHnswIterator resumes the
+            # graph walk, faiss_hnsw.cc:843-940): widen ef/k x4 per round; the
+            # covering final round is an exact scan of the decoded store
+            # (graph reachability alone cannot guarantee full drain).
+            covered = {"done": False}
+
+            def round_fn(r: int):
+                if covered["done"]:
+                    return None
+                k_r = min(count, k0 << (2 * r))
+                if k_r >= count or k_r > DEVICE_K_MAX:
+                    covered["done"] = True
+                    with self._lock:
+                        d_f, i_f = self._full_sorted(xq, bitset)
+                    return i_f, d_f
+                with self._lock:
+                    dists, ids = self._graph_search(xq, k_r, max(k_r, seed_ef), bitset)
+                return ids, dists
+
+            group = ExpandingIteratorGroup(nq, count, round_fn)
+            return expected.Ok(
+                [group.make_iterator(i, larger_is_closer=larger) for i in range(nq)]
+            )
 
     # --- vectors / meta --------------------------------------------------------
     def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
@@ -984,7 +1085,10 @@ class HnswIndexNode(IndexNode):
             arrays = {"graph": self._graph, "entry": self._entry}
             if self._entry_cents is not None:
                 arrays["entry_cents"] = self._entry_cents
+            payload_is_raw = self._payload.get("data") is self._raw_host
             for k_, v in self._payload.items():
+                if payload_is_raw and k_ == "data":
+                    continue  # typed flat: payload IS the raw rows — write once
                 arrays["payload_" + k_] = np.asarray(v)
             if self._raw_host is not None:
                 arrays["raw"] = np.asarray(self._raw_host)
@@ -995,6 +1099,7 @@ class HnswIndexNode(IndexNode):
                 "M": self._M,
                 "data_type": self.data_type,
                 "refine_cfg": self._refine_cfg,
+                "payload_is_raw": payload_is_raw,
             }
             if self._sq is not None:
                 meta["sq_type"] = self._sq.sq_type
@@ -1033,6 +1138,8 @@ class HnswIndexNode(IndexNode):
                 for k_, v in arrays.items()
                 if k_.startswith("payload_")
             }
+            if meta.get("payload_is_raw") and self._raw_host is not None:
+                self._payload["data"] = self._raw_host
             if "sq_type" in meta:
                 self._sq = Q.SQCodec(
                     meta["sq_type"], np.asarray(arrays["sq_vmin"]), np.asarray(arrays["sq_vdiff"]), dim=self._dim

@@ -170,6 +170,19 @@ _CONFIGS = {
 }
 
 
+def _np_dtype_of(data_type: str):
+    """knowhere data_type string -> numpy dtype (reference operands.h:48-120)."""
+    if data_type == "fp16":
+        return np.float16
+    if data_type == "bf16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    if data_type == "int8":
+        return np.int8
+    return np.float32
+
+
 class IvfIndexNode(IndexNode):
     VARIANT = "flat"
 
@@ -252,6 +265,19 @@ class IvfIndexNode(IndexNode):
         x = self._prep_rows(x_in)
 
         self._nlist = match_nlist(rows, int(cfg.nlist))
+        if cfg.get("use_elkan") is False:
+            # ivf_config.h:33 use_elkan toggles Elkan's accelerated kmeans in
+            # faiss. Elkan is an EXACT acceleration (identical assignments to
+            # Lloyd); the TPU formulation is dense-matmul Lloyd, which is the
+            # faster shape on the MXU, so both knob values run the same
+            # (equivalent-result) algorithm. Logged so the choice is visible.
+            from ..utils.logging import log_info
+
+            log_info(
+                "use_elkan=false requested: TPU kmeans always runs dense-matmul "
+                "Lloyd (Elkan-equivalent fixed point; Elkan's distance-skip "
+                "bookkeeping would not help the MXU)"
+            )
         centroids, assign_full = kmeans(x, self._nlist, n_iters=12, seed=1234)
         if self._is_binary():
             # binary IVF: centroids snap to {0,1} bit planes (majority vote)
@@ -317,10 +343,9 @@ class IvfIndexNode(IndexNode):
         x_in = np.asarray(dataset.tensor)
         with self._lock:
             if self._row_ids is not None:
-                # post-build Add: only CC variants allow it (reference CC
-                # semantics, ivf.cc:605-631); plain IVF keeps Build=Train+Add.
-                if not self._is_cc():
-                    return Status.index_already_trained
+                # post-build Add appends (reference plain-IVF accepts repeated
+                # Add, ivf.cc:806-842; CC variants additionally allow it
+                # concurrent with Search, ivf.cc:605-631).
                 self._pending_rows.append(x_in)
                 self._pending_count += x_in.shape[0]
                 if self._pending_count > max(4096, len(self._row_ids) // 4):
@@ -389,16 +414,28 @@ class IvfIndexNode(IndexNode):
                     "bits": place(np.packbits(x_sorted.astype(np.uint8), axis=1, bitorder="little"))
                 }
             else:
-                raw_sorted = (
-                    np.asarray(x_in, dtype=np.float32)[order]
-                    if self._metric != M.COSINE
-                    else x_sorted
-                )
-                self._sorted_payload = {"data": place(raw_sorted)}
-                if self._metric == M.COSINE:
+                # Native typed storage (reference distances_typed.cpp,
+                # operands.h:48-120): fp16/bf16/int8 corpora keep their input
+                # width end-to-end — host payload, serialization, and the
+                # device store (scans cast per sliced block, so persistent
+                # HBM stays native width). Cosine stores the normalized copy
+                # in bf16 for typed inputs (normalization leaves int8/fp16
+                # grids anyway).
+                typed = self.data_type in ("fp16", "bf16", "int8")
+                if self._metric != M.COSINE:
+                    arr = np.asarray(x_in)
+                    raw_sorted = arr[order] if typed else arr.astype(np.float32)[order]
+                else:
+                    if typed:
+                        import ml_dtypes
+
+                        raw_sorted = x_sorted.astype(ml_dtypes.bfloat16)
+                    else:
+                        raw_sorted = x_sorted
                     self._norms_raw = np.linalg.norm(
                         np.asarray(x_in, dtype=np.float32), axis=1
                     ).astype(np.float32)
+                self._sorted_payload = {"data": place(raw_sorted)}
             self._xb_raw = None  # reconstruct from sorted payload
         elif self.VARIANT in ("pq", "scann"):
             codes = Q.pq_encode(self._pq, x - self._centroids[assign])
@@ -442,12 +479,25 @@ class IvfIndexNode(IndexNode):
         self._build_storage(merged)
 
     def _reconstruct_all(self) -> np.ndarray:
-        """Original-order raw rows (flat variants store them sorted)."""
-        data = self._sorted_payload["data"]
-        out = data[self._pos_of_row]
-        if self._metric == M.COSINE and self._norms_raw is not None:
-            out = out * self._norms_raw[:, None]
-        return out
+        """Original-order rows for re-merge: raw where stored, decoded codes
+        otherwise (matches faiss reconstruct-based re-add semantics)."""
+        if self._is_binary():
+            return self._sorted_payload["bits"][self._pos_of_row]
+        data = self._sorted_payload.get("data")
+        if data is not None:
+            out = data[self._pos_of_row]
+            if self._metric == M.COSINE and self._norms_raw is not None:
+                out = out * self._norms_raw[:, None]
+            return out
+        nb_pad = len(self._row_ids)
+        dec = np.concatenate(
+            [
+                self._decode_sorted_block(s, min(s + 65536, nb_pad))
+                for s in range(0, nb_pad, 65536)
+            ],
+            axis=0,
+        )
+        return dec[self._pos_of_row]
 
     def _upload(self) -> None:
         """Host payloads -> device store (pads B rows of slack at the end so
@@ -461,13 +511,18 @@ class IvfIndexNode(IndexNode):
 
         if self.VARIANT in ("flat", "flat_cc", "bin"):
             if self._is_binary():
-                bits = D.unpack_bits_host(self._sorted_payload["bits"], self._dim).astype(np.float32)
-                data = bits
+                data = D.unpack_bits_host(self._sorted_payload["bits"], self._dim).astype(np.float32)
             else:
-                data = self._sorted_payload["data"].astype(np.float32)
-                if self._metric == M.COSINE:
-                    pass  # already normalized
-            norms = np.sum(data.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                data = self._sorted_payload["data"]
+                if data.dtype == np.float16:
+                    # device store in bf16 (MXU-native 2-byte width; fp16 is
+                    # not an MXU input type). int8/bf16 upload as-is — the
+                    # scan casts each sliced block (ivf_scan.py:230), so
+                    # persistent HBM stays at native width.
+                    import ml_dtypes
+
+                    data = data.astype(ml_dtypes.bfloat16)
+            norms = np.sum(np.asarray(data, dtype=np.float64) ** 2, axis=1).astype(np.float32)
             self._store = {"data": pad(data), "norms": pad(norms), "centroids": cents}
             self._kind = "raw"
         elif self.VARIANT in ("pq", "scann"):
@@ -597,6 +652,9 @@ class IvfIndexNode(IndexNode):
         q_pad_dev: Optional[jax.Array] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (dists (nq,k) native convention, ids (nq,k) original rows)."""
+        from ..comp import check_current_cancellation
+
+        check_current_cancellation()  # per-dispatch (ivf.cc:962 analog)
         nq = xq.shape[0]
         is_l2 = self._is_l2_like()
         internal = self._internal_metric()
@@ -724,8 +782,11 @@ class IvfIndexNode(IndexNode):
         # ensure_topk_full: widen nprobe for unfilled queries only (rare path;
         # its extra syncs only happen when the first pass under-filled)
         if ensure_topk_full and nprobe_cur < self._nlist:
+            from ..comp import check_current_cancellation
+
             want = min(best_p.shape[1], n_valid)
             while True:
+                check_current_cancellation()  # ivf.cc:962 analog
                 unfilled = (best_p >= 0).sum(axis=1) < want
                 if not unfilled.any() or nprobe_cur >= self._nlist:
                     break
@@ -806,6 +867,90 @@ class IvfIndexNode(IndexNode):
         keep_sorted = np.concatenate([keep_sorted, np.zeros(B_slack, bool)])
         return jax.device_put(keep_sorted)
 
+    # --- full-coverage tail scan (iterator / range-search completion) ---------
+    def _decode_sorted_block(self, s: int, e: int) -> np.ndarray:
+        """fp32 rows for sorted/padded positions [s, e) — the same values the
+        scan kernels score against (quantized kinds decode their codes)."""
+        if self._refine_cfg == "raw" and "refine" in self._sorted_payload:
+            return np.asarray(self._sorted_payload["refine"][s:e], dtype=np.float32)
+        if self._kind == "raw":
+            if self._is_binary():
+                return D.unpack_bits_host(
+                    self._sorted_payload["bits"][s:e], self._dim
+                ).astype(np.float32)
+            return np.asarray(self._sorted_payload["data"][s:e], dtype=np.float32)
+        if self._kind == "pq":
+            codes = self._sorted_payload["codes"][s:e]
+            books = self._pq.codebooks
+            dec = np.concatenate(
+                [books[j][codes[:, j]] for j in range(books.shape[0])], axis=1
+            )
+            lists = np.searchsorted(self._offsets, np.arange(s, e), side="right") - 1
+            return dec + self._centroids[np.clip(lists, 0, self._nlist - 1)]
+        if self._kind == "sq":
+            codec = self._sq
+            codes = self._sorted_payload["codes"][s:e]
+            if codec.sq_type in ("FP16", "BF16"):
+                return codes.astype(np.float32)
+            if codec.sq_type == "SQ4":
+                lo = (codes & 0xF).astype(np.float32)
+                hi = (codes >> 4).astype(np.float32)
+                q = np.stack([lo, hi], axis=-1).reshape(codes.shape[0], -1)[:, : codec.dim]
+            else:
+                q = codes.astype(np.float32)
+            return codec.vmin + (q + 0.5) / codec.levels * codec.vdiff
+        if self._kind == "rabitq":
+            signs01 = D.unpack_bits_host(self._sorted_payload["signs_packed"][s:e], self._dim)
+            signs = signs01.astype(np.float32) * 2.0 - 1.0
+            r = self._sorted_payload["r_norm"][s:e].astype(np.float32)
+            lists = np.searchsorted(self._offsets, np.arange(s, e), side="right") - 1
+            cent = self._centroids[np.clip(lists, 0, self._nlist - 1)]
+            # rotated residual ~ sign/sqrt(d) * r_norm; un-rotate to data space
+            return cent + ((signs / np.sqrt(self._dim)) * r[:, None]) @ self._rbq.rotation
+        raise KnowhereException("cannot decode stored rows", Status.internal_error)
+
+    def _larger_is_closer(self) -> bool:
+        # native distances: L2/HAMMING squared-L2-like, JACCARD = 1-sim
+        # (all smaller-closer); only IP/COSINE surface similarities
+        return self._internal_metric() == M.IP
+
+    def _full_sorted(self, xq: np.ndarray, bitset: BitsetView):
+        """Covering exact-over-stored-rows scan: (dists, ids) each (nq, n_valid),
+        fully sorted best-first in the native distance convention. This is the
+        final iterator round / range-search tail — complete by construction
+        (reference iterators likewise end up visiting everything,
+        index_node.h:672-808)."""
+        nb_pad = len(self._row_ids)
+        nq = xq.shape[0]
+        is_l2 = self._is_l2_like()
+        internal = self._internal_metric()
+        larger = self._larger_is_closer()
+        keep = bitset.host_mask(self.Count()) if not bitset.empty_view() else None
+        worst = np.float32(-np.inf if larger else np.inf)
+        dists = np.full((nq, nb_pad), worst, np.float32)
+        q64 = xq.astype(np.float64)
+        for s in range(0, nb_pad, 65536):
+            e = min(s + 65536, nb_pad)
+            blk = self._decode_sorted_block(s, e).astype(np.float64)
+            dots = q64 @ blk.T
+            if internal == M.JACCARD:
+                qa = q64.sum(1)[:, None]
+                ba = blk.sum(1)[None, :]
+                d = 1.0 - dots / np.maximum(qa + ba - dots, 1e-12)
+            elif is_l2:
+                d = (q64**2).sum(1)[:, None] - 2 * dots + (blk**2).sum(1)[None, :]
+            else:
+                d = dots
+            dists[:, s:e] = d.astype(np.float32)
+        rid = self._row_ids
+        invalid = rid < 0
+        if keep is not None:
+            invalid = invalid | ~keep[np.clip(rid, 0, None)]
+        dists[:, invalid] = worst
+        n_valid = int((~invalid).sum())
+        order = np.argsort(-dists if larger else dists, axis=1, kind="stable")[:, :n_valid]
+        return np.take_along_axis(dists, order, 1), rid[order]
+
     def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         with self._lock:
             if self._row_ids is None:
@@ -858,7 +1003,7 @@ class IvfIndexNode(IndexNode):
         p_d, p_i = np.asarray(p_d), np.asarray(p_i, dtype=np.int64)
         p_i = np.where(p_i >= 0, p_i + base_count, -1)
         # host merge of two sorted top-k sets
-        larger = not self._is_l2_like()
+        larger = self._larger_is_closer()
         cat_d = np.concatenate([dists, p_d], axis=1)
         cat_i = np.concatenate([ids, p_i], axis=1)
         cat_d_for_sort = np.where(cat_i >= 0, cat_d, -np.inf if larger else np.inf)
@@ -870,31 +1015,73 @@ class IvfIndexNode(IndexNode):
         with self._lock:
             if self._row_ids is None:
                 return expected.Err(Status.empty_index, "index not built")
+            self._merge_pending()
             xq = self._prep_queries(dataset)
             nq = xq.shape[0]
             radius = cfg.get("radius", 0.0)
             range_filter = cfg.get("range_filter", float("inf"))
             two_sided = np.isfinite(range_filter)
-            larger = not self._is_l2_like()
+            larger = self._larger_is_closer()
             keep_sorted = self._keep_sorted_mask(bitset)
             n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
             nprobe = min(max(int(cfg.get("nprobe", 8) or 8), 8), self._nlist)
+            max_empty = int(cfg.get("max_empty_result_buckets", 2) or 2)
 
-            # expanding-k scan over probed lists until the frontier leaves range
+            # expanding-k scan over probed lists until the frontier leaves
+            # range. The device rounds stop at DEVICE_K_MAX; queries whose
+            # frontier is STILL in range then fall back to a covering host
+            # full scan, so a huge radius returns every valid row (reference
+            # range search is complete, index_node.h:200-213).
+            from ..index_node import DEVICE_K_MAX
+
+            from ..comp import check_current_cancellation
+
             k_cur = min(256, max(1, n_valid))
-            cap = min(n_valid, 65536)
+            cap = min(n_valid, DEVICE_K_MAX)
+            empty_rounds = 0
             while True:
+                check_current_cancellation()  # ivf.cc:962 analog
                 dists, ids = self._search_batch(
                     xq, k_cur, nprobe, keep_sorted, n_valid, ensure_topk_full=False
                 )
+                filled = ids[:, -1] >= 0
+                # an underfilled frontier means the PROBE SET ran dry, not
+                # that the radius ran out — widen nprobe before concluding
+                if (~filled).any() and nprobe < self._nlist:
+                    nprobe = min(self._nlist, nprobe * 4)
+                    continue
                 if k_cur >= cap:
                     break
                 frontier = dists[:, -1]
                 still_in = (frontier > radius) if larger else (frontier < radius)
-                still_in &= ids[:, -1] >= 0
+                still_in &= filled
                 if not still_in.any():
-                    break
+                    # ivf_config.h:55-59 max_empty_result_buckets: tolerate a
+                    # few expansion rounds that add nothing before stopping
+                    empty_rounds += 1
+                    if empty_rounds > max_empty:
+                        break
+                else:
+                    empty_rounds = 0
                 k_cur = min(cap, k_cur * 4)
+
+            if cap < n_valid:
+                # queries whose results are still growing at the device cap:
+                # complete them with the covering host full scan
+                returned = (ids >= 0).sum(axis=1)
+                frontier = dists[:, -1]
+                frontier_in = (frontier > radius) if larger else (frontier < radius)
+                needy = (returned < n_valid) & (frontier_in | (ids[:, -1] < 0))
+                if needy.any():
+                    act = np.nonzero(needy)[0]
+                    pad = n_valid - dists.shape[1]
+                    dists = np.pad(dists, ((0, 0), (0, pad)),
+                                   constant_values=np.float32(-np.inf if larger else np.inf))
+                    ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+                    for s in range(0, len(act), 64):  # bound host memory
+                        sub = act[s : s + 64]
+                        d_f, i_f = self._full_sorted(xq[sub], bitset)
+                        dists[sub], ids[sub] = d_f, i_f
 
             lims = np.zeros(nq + 1, dtype=np.int64)
             out_ids, out_d = [], []
@@ -926,32 +1113,45 @@ class IvfIndexNode(IndexNode):
         with self._lock:
             if self._row_ids is None:
                 return expected.Err(Status.empty_index, "index not built")
+            self._merge_pending()
             xq = self._prep_queries(dataset)
             nq = xq.shape[0]
             keep_sorted = self._keep_sorted_mask(bitset)
             n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
-            nprobe = min(max(int(cfg.get("nprobe", 8) or 8), 16), self._nlist)
-            k_iter = int(min(max(n_valid, 1), 8192))
-            dists, ids = self._search_batch(
-                xq, k_iter, nprobe, keep_sorted, n_valid, ensure_topk_full=True
+            nprobe0 = min(max(int(cfg.get("nprobe", 8) or 8), 16), self._nlist)
+            larger = self._larger_is_closer()
+            from ..index_node import DEVICE_K_MAX, ExpandingIteratorGroup
+
+            k0 = int(min(max(n_valid, 1), 8192))
+            nlist = self._nlist
+
+            # Resumable rounds (reference workspace iterator, ivf.cc:1538-1607):
+            # widen nprobe x4 and k x4 per round on device, then one covering
+            # host full scan once k outgrows DEVICE_K_MAX.
+            covered = {"done": False}
+
+            def round_fn(r: int):
+                if covered["done"]:
+                    return None  # an earlier round already covered everything
+                k_r = max(1, min(n_valid, k0 << (2 * r)))
+                nprobe_r = min(nlist, nprobe0 << (2 * r))
+                if k_r >= n_valid and nprobe_r >= nlist and k_r <= DEVICE_K_MAX:
+                    covered["done"] = True  # this round covers everything
+                if k_r > DEVICE_K_MAX:
+                    covered["done"] = True
+                    with self._lock:
+                        d_f, i_f = self._full_sorted(xq, bitset)
+                    return i_f, d_f
+                with self._lock:
+                    dists, ids = self._search_batch(
+                        xq, k_r, nprobe_r, keep_sorted, n_valid, ensure_topk_full=True
+                    )
+                return ids, dists
+
+            group = ExpandingIteratorGroup(nq, self.Count(), round_fn)
+            return expected.Ok(
+                [group.make_iterator(i, larger_is_closer=larger) for i in range(nq)]
             )
-            larger = not self._is_l2_like()
-            iterators = []
-            for i in range(nq):
-                valid = ids[i] >= 0
-                ids_i, d_i = ids[i][valid], dists[i][valid]
-                state = {"pos": 0}
-
-                def batch_fn(ids_i=ids_i, d_i=d_i, state=state):
-                    if state["pos"] >= len(ids_i):
-                        return np.empty(0, np.int64), np.empty(0, np.float32)
-                    s = state["pos"]
-                    e = min(s + 512, len(ids_i))
-                    state["pos"] = e
-                    return ids_i[s:e], d_i[s:e]
-
-                iterators.append(BatchedDistanceIterator(batch_fn, larger_is_closer=larger))
-            return expected.Ok(iterators)
 
     # --- vectors ---------------------------------------------------------------------
     def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
@@ -973,6 +1173,7 @@ class IvfIndexNode(IndexNode):
                 out = data[self._pos_of_row[ids]]
                 if self._metric == M.COSINE and self._norms_raw is not None:
                     out = out * self._norms_raw[ids][:, None]
+                    out = out.astype(_np_dtype_of(self.data_type))
             return expected.Ok(GenTensorDataSet(out, len(ids), self._dim))
 
     def CalcDistByIDs(self, query_ds, bitset, ids, rows) -> "expected[np.ndarray]":

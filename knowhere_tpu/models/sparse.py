@@ -378,29 +378,47 @@ class SparseInvertedIndexNode(IndexNode):
         scores = np.where(ids >= 0, scores, 0.0)
         return expected.Ok(GenResultDataSet(dataset.rows, k, ids, scores))
 
+    def _full_scores(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> np.ndarray:
+        """Exact scores for every doc: (nq, nb) f32, -inf = no overlap/filtered.
+        Complete by construction (reference BF-scores iterator,
+        sparse_index_node.cc:254)."""
+        with self._lock:
+            self._merge_pending()
+            if self._postings is None:
+                raise KnowhereException("index not built", Status.empty_index)
+            q_rows = list(dataset.tensor)
+            mask = None
+            if not bitset.empty_view():
+                mask = _jax.device_put(bitset.host_mask(self._postings.nb))
+            from ..ops.sparse_ops import sparse_full_scores
+
+            return sparse_full_scores(
+                self._postings, self._vals_for(cfg), self._doc_ids_dev, q_rows,
+                drop_ratio_search=float(cfg.get("drop_ratio_search", 0.0) or 0.0),
+                mask=mask,
+            )
+
     def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         radius = cfg.get("radius", 0.0)
         range_filter = cfg.get("range_filter", float("inf"))
         two_sided = np.isfinite(range_filter)
-        cap = min(self.Count(), 16384)
-        k_cur = min(512, max(cap, 1))
-        while True:
-            scores, ids = self._search_scores(dataset, cfg, bitset, k_cur)
-            if k_cur >= cap:
-                break
-            frontier_in = (scores[:, -1] > radius) & (ids[:, -1] >= 0)
-            if not frontier_in.any():
-                break
-            k_cur = min(cap, k_cur * 4)
-        nq = len(list(dataset.tensor))
+        # complete: exact full scores, then radius filter (a huge radius
+        # returns every overlapping row)
+        scores = self._full_scores(dataset, cfg, bitset)
+        nq = scores.shape[0]
         lims = np.zeros(nq + 1, np.int64)
         out_i, out_d = [], []
+        rsk = cfg.get("range_search_k", -1)
         for i in range(nq):
-            keep_i = (ids[i] >= 0) & (scores[i] > radius)
+            keep_i = scores[i] > radius
             if two_sided:
                 keep_i &= scores[i] <= range_filter
             sel = np.nonzero(keep_i)[0]
-            out_i.append(ids[i, sel])
+            order = np.argsort(-scores[i, sel], kind="stable")
+            sel = sel[order]
+            if rsk is not None and rsk >= 0:
+                sel = sel[:rsk]
+            out_i.append(sel.astype(np.int64))
             out_d.append(scores[i, sel])
             lims[i + 1] = lims[i] + len(sel)
         ids_cat = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
@@ -408,18 +426,17 @@ class SparseInvertedIndexNode(IndexNode):
         return expected.Ok(GenRangeResultDataSet(nq, ids_cat, d_cat, lims))
 
     def AnnIterator(self, dataset: DataSet, cfg: Config, bitset: BitsetView, use_knowhere_search_pool=True):
-        k_iter = min(self.Count(), 8192)
-        scores, ids = self._search_scores(dataset, cfg, bitset, k_iter)
+        # full exact scores + lazy chunked partial sort: streams best-first
+        # down to the LAST overlapping doc (reference iterator contract,
+        # index_node.h:815-937) without a full upfront argsort
+        scores = self._full_scores(dataset, cfg, bitset)
         its = []
         for i in range(scores.shape[0]):
-            valid = ids[i] >= 0
             its.append(
                 PrecomputedDistanceIterator(
-                    np.where(valid, scores[i], -np.inf), None, larger_is_closer=True
+                    scores[i], np.isfinite(scores[i]), larger_is_closer=True
                 )
             )
-            # remap iterator positions to doc ids
-            its[-1]._valid_ids = ids[i]
         return expected.Ok(its)
 
     # --- vectors / lifecycle ---------------------------------------------------

@@ -430,7 +430,11 @@ def ivf_scan_search(
             return_device, keep_sorted=keep_sorted,
         )
 
-    if B is None and pallas_scan_available(
+    # typed (bf16/int8) raw stores take the XLA scan: it casts each sliced
+    # block (line ~230), keeping persistent HBM at native width; the Pallas
+    # raw kernel's block DMA assumes f32 rows
+    raw_is_f32 = kind != "raw" or store["data"].dtype == jnp.float32
+    if B is None and raw_is_f32 and pallas_scan_available(
         kind, q_dev.shape[1], k, nq, list_offsets,
         keep_sorted is not None, is_jaccard, prec,
     ):

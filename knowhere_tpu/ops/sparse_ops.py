@@ -98,6 +98,106 @@ def _score_and_topk(
     return jnp.concatenate([jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
 
 
+@partial(jax.jit, static_argnames=("nqc", "nb"))
+def _score_full(
+    doc_ids: jax.Array,
+    vals: jax.Array,
+    entry_idx: jax.Array,
+    qid: jax.Array,
+    w: jax.Array,
+    mask: Optional[jax.Array],
+    *,
+    nqc: int,
+    nb: int,
+) -> jax.Array:
+    """Full (nqc, nb) score matrix — no top-k (iterator / range completion)."""
+    docs = jnp.take(doc_ids, entry_idx)
+    contrib = w * jnp.take(vals, entry_idx)
+    scores = jnp.zeros((nqc, nb), dtype=jnp.float32)
+    scores = scores.at[qid, docs].add(contrib)
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    return jnp.where(scores > 0, scores, -jnp.inf)
+
+
+def _gather_query_entries(postings, q_rows, s0, e0, drop_ratio_search):
+    """Host-side assembly of the chunk's (entry_idx, qid, weight) task arrays."""
+    entry_list, qid_list, w_list = [], [], []
+    for qi in range(s0, e0):
+        row = q_rows[qi]
+        items = list(row.items()) if isinstance(row, dict) else list(zip(*row))
+        if drop_ratio_search > 0 and items:
+            absvals = np.abs(np.asarray([v for _, v in items], np.float32))
+            thresh = np.quantile(absvals, drop_ratio_search)
+            items = [(d, v) for d, v in items if abs(v) >= thresh]
+        for d, v in items:
+            slot = postings.dim_start.get(int(d))
+            if slot is None:
+                continue
+            st, en = slot
+            entry_list.append(np.arange(st, en, dtype=np.int32))
+            n = en - st
+            qid_list.append(np.full(n, qi - s0, np.int32))
+            w_list.append(np.full(n, v, np.float32))
+    if not entry_list:
+        return None
+    entry_idx = np.concatenate(entry_list)
+    qids = np.concatenate(qid_list)
+    ws = np.concatenate(w_list)
+    # pad U to a pow2 ladder to bound recompiles (dead entries score qid 0
+    # with weight 0 — harmless)
+    U = entry_idx.size
+    P = 1024
+    while P < U:
+        P *= 2
+    if P != U:
+        entry_idx = np.concatenate([entry_idx, np.zeros(P - U, np.int32)])
+        qids = np.concatenate([qids, np.zeros(P - U, np.int32)])
+        ws = np.concatenate([ws, np.zeros(P - U, np.float32)])
+    return entry_idx, qids, ws, P
+
+
+def sparse_full_scores(
+    postings: SparsePostings,
+    vals_dev: jax.Array,
+    doc_ids_dev: jax.Array,
+    q_rows: List[Dict[int, float]],
+    drop_ratio_search: float = 0.0,
+    mask: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Exact scores for EVERY document: (nq, nb) f32, -inf where no overlap.
+    Complete by construction — feeds iterators and range search (the
+    reference's PrecomputedDistanceIterator over BF scores,
+    sparse_index_node.cc:254)."""
+    nq = len(q_rows)
+    nb = postings.nb
+    out = np.full((nq, nb), -np.inf, np.float32)
+    q_chunk = min(1024, max(16, (256 << 20) // max(nb * 4, 1)))
+    from .. import comp as _comp
+
+    for s0 in range(0, nq, q_chunk):
+        _comp.check_current_cancellation()  # per-chunk (ivf.cc:962 analog)
+        e0 = min(s0 + q_chunk, nq)
+        task = _gather_query_entries(postings, q_rows, s0, e0, drop_ratio_search)
+        if task is None:
+            continue
+        entry_idx, qids, ws, P = task
+        packed_h = np.concatenate([entry_idx, qids, ws.view(np.int32)])
+        packed_dev = jax.device_put(packed_h)
+        scores = _score_full(
+            doc_ids_dev,
+            vals_dev,
+            packed_dev[:P],
+            packed_dev[P : 2 * P],
+            jax.lax.bitcast_convert_type(packed_dev[2 * P :], jnp.float32),
+            mask,
+            nqc=e0 - s0,
+            nb=nb,
+        )
+        out[s0:e0] = np.asarray(scores)
+    return out
+
+
 def sparse_search(
     postings: SparsePostings,
     vals_dev: jax.Array,  # device copy of (possibly BM25-transformed) vals
@@ -118,41 +218,16 @@ def sparse_search(
     # fewer chunks means fewer ~30ms device syncs
     q_chunk = max(q_chunk, min(1024, max(64, (256 << 20) // max(nb * 4, 1))))
 
+    from ..comp import check_current_cancellation
+
     for s0 in range(0, nq, q_chunk):
+        check_current_cancellation()  # per-chunk (ivf.cc:962 analog)
         e0 = min(s0 + q_chunk, nq)
         nqc = e0 - s0
-        entry_list, qid_list, w_list = [], [], []
-        for qi in range(s0, e0):
-            row = q_rows[qi]
-            items = list(row.items()) if isinstance(row, dict) else list(zip(*row))
-            if drop_ratio_search > 0 and items:
-                absvals = np.abs(np.asarray([v for _, v in items], np.float32))
-                thresh = np.quantile(absvals, drop_ratio_search)
-                items = [(d, v) for d, v in items if abs(v) >= thresh]
-            for d, v in items:
-                slot = postings.dim_start.get(int(d))
-                if slot is None:
-                    continue
-                st, en = slot
-                entry_list.append(np.arange(st, en, dtype=np.int32))
-                n = en - st
-                qid_list.append(np.full(n, qi - s0, np.int32))
-                w_list.append(np.full(n, v, np.float32))
-        if not entry_list:
+        task = _gather_query_entries(postings, q_rows, s0, e0, drop_ratio_search)
+        if task is None:
             continue
-        entry_idx = np.concatenate(entry_list)
-        qids = np.concatenate(qid_list)
-        ws = np.concatenate(w_list)
-        # pad U to a pow2 ladder to bound recompiles (dead entries score qid 0
-        # with weight 0 — harmless)
-        U = entry_idx.size
-        P = 1024
-        while P < U:
-            P *= 2
-        if P != U:
-            entry_idx = np.concatenate([entry_idx, np.zeros(P - U, np.int32)])
-            qids = np.concatenate([qids, np.zeros(P - U, np.int32)])
-            ws = np.concatenate([ws, np.zeros(P - U, np.float32)])
+        entry_idx, qids, ws, P = task
         # ONE h2d for the chunk's task arrays (weights bitcast into the
         # same i32 buffer), sliced on device
         packed_h = np.concatenate([entry_idx, qids, ws.view(np.int32)])

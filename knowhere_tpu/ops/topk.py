@@ -227,7 +227,10 @@ def knn_search(
     out_ids = np.empty((nq, k), dtype=np.int64)
     out_dist = np.empty((nq, k), dtype=np.float32)
 
+    from .. import comp as _comp
+
     for s in range(0, nq, query_chunk):
+        _comp.check_current_cancellation()  # per-chunk (ivf.cc:962 analog)
         e = min(s + query_chunk, nq)
         q_dev = jax.device_put(q_all[s:e])
         dists, ids = knn_device(

@@ -179,6 +179,53 @@ class TestCancellationAndAsync:
         )
         assert res.has_value()
 
+    @pytest.mark.parametrize("name,cfg", [
+        ("FLAT", {"metric_type": "L2"}),
+        ("IVF_FLAT", {"metric_type": "L2", "nlist": 8}),
+        ("HNSW", {"metric_type": "L2", "M": 8, "efConstruction": 40}),
+    ])
+    def test_mid_search_cancellation_aborts(self, name, cfg):
+        """A cancel arriving AFTER dispatch must abort the search at the next
+        chunk boundary (reference checks inside per-query tasks, ivf.cc:962).
+        The flip-token passes the facade's entry check, then reports cancelled
+        at every later chunk-boundary check."""
+
+        class _FlipToken:
+            def __init__(self):
+                self.calls = 0
+
+            def is_cancellation_requested(self):
+                self.calls += 1
+                return self.calls > 1
+
+        idx = kt.IndexFactory.Instance().Create(name).value()
+        assert idx.Build(gen_dataset(3000, 16), cfg) == kt.Status.success
+        ctx = OpContext()
+        ctx.cancellation_token = _FlipToken()
+        res = idx.Search(gen_dataset(8, 16), {"metric_type": "L2", "k": 3}, op_context=ctx)
+        assert not res.has_value()
+        assert res.error() == kt.Status.timeout
+        assert ctx.cancellation_token.calls >= 2  # a mid-search check fired
+
+    def test_mid_range_search_cancellation_aborts(self):
+        class _FlipToken:
+            def __init__(self):
+                self.calls = 0
+
+            def is_cancellation_requested(self):
+                self.calls += 1
+                return self.calls > 1
+
+        idx = kt.IndexFactory.Instance().Create("IVF_FLAT").value()
+        assert idx.Build(gen_dataset(3000, 16), {"metric_type": "L2", "nlist": 8}) == kt.Status.success
+        ctx = OpContext()
+        ctx.cancellation_token = _FlipToken()
+        res = idx.RangeSearch(
+            gen_dataset(4, 16), {"metric_type": "L2", "radius": 1e9}, op_context=ctx
+        )
+        assert not res.has_value()
+        assert res.error() == kt.Status.timeout
+
     def test_build_async_interrupt(self):
         idx = kt.IndexFactory.Instance().Create("IVF_FLAT").value()
         interrupt = idx.BuildAsync(gen_dataset(500, 16), {"metric_type": "L2", "nlist": 8})

@@ -268,10 +268,18 @@ class TestIvfCC:
         assert not errors
         assert idx.Count() == 2000
 
-    def test_plain_ivf_rejects_add_after_build(self, base):
+    def test_plain_ivf_accepts_add_after_build(self, base):
+        # reference plain IVF accepts repeated Add (ivf.cc:806-842)
         idx = build("IVF_FLAT", base, {"metric_type": "L2", "nlist": 16})
-        st = idx.Add(gen_dataset(10, DIM, seed=53), {"metric_type": "L2"})
-        assert st == kt.Status.index_already_trained
+        extra = gen_dataset(10, DIM, seed=53)
+        st = idx.Add(extra, {"metric_type": "L2"})
+        assert st == kt.Status.success
+        assert idx.Count() == NB + 10
+        # the appended rows are immediately searchable: query the new rows
+        r = idx.Search(extra, {"metric_type": "L2", "k": 1, "nprobe": 16})
+        assert r.has_value()
+        ids = r.value().ids.reshape(10)
+        assert (ids >= NB).mean() >= 0.9  # each new row finds itself
 
 
 class TestAlignedLayout:
