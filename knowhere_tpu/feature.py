@@ -122,6 +122,15 @@ for _n in (
 ):
     LEGAL_INDEX_DATATYPE |= _pairs(_n, _DENSE_FLOAT_INT8)
 
+for _n in (
+    IndexEnum.INDEX_SHARDED_FLAT,
+    IndexEnum.INDEX_SHARDED_IVFFLAT,
+    IndexEnum.INDEX_SHARDED_IVFSQ8,
+    IndexEnum.INDEX_SHARDED_IVFPQ,
+    IndexEnum.INDEX_SHARDED_HNSW,
+):
+    LEGAL_INDEX_DATATYPE |= _pairs(_n, ("fp32",))
+
 LEGAL_INDEX_DATATYPE |= _pairs(IndexEnum.INDEX_FAISS_BIN_IDMAP, ("bin1",))
 LEGAL_INDEX_DATATYPE |= _pairs(IndexEnum.INDEX_FAISS_BIN_IVFFLAT, ("bin1",))
 LEGAL_INDEX_DATATYPE |= _pairs(IndexEnum.INDEX_HNSW, ("bin1",))

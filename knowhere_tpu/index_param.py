@@ -58,6 +58,15 @@ class IndexEnum:
     INDEX_TPU_IVFPQ = "TPU_IVF_PQ"
     INDEX_TPU_CAGRA = "TPU_CAGRA"
 
+    # Multi-chip sharded indexes (SURVEY.md §5.8): one LOGICAL index sharded
+    # across every visible device; replaces the reference's Milvus-side
+    # per-segment factory creation + CPU top-k merge (index_factory.cc:48).
+    INDEX_SHARDED_FLAT = "SHARDED_FLAT"
+    INDEX_SHARDED_IVFFLAT = "SHARDED_IVF_FLAT"
+    INDEX_SHARDED_IVFSQ8 = "SHARDED_IVF_SQ8"
+    INDEX_SHARDED_IVFPQ = "SHARDED_IVF_PQ"
+    INDEX_SHARDED_HNSW = "SHARDED_HNSW"
+
     # GPU_CUVS_* names from the reference are accepted as aliases as well so
     # Milvus-style callers keep working (served by the TPU equivalents).
     INDEX_CUVS_BRUTEFORCE = "GPU_CUVS_BRUTE_FORCE"

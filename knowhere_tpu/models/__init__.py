@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     hnsw,
     ivf,
     minhash,
+    sharded,
     sparse,
     svs,
 )

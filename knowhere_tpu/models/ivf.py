@@ -191,6 +191,8 @@ class IvfIndexNode(IndexNode):
         self.index_type = IndexEnum.INDEX_FAISS_IVFFLAT
         self.data_type = "fp32"
         self._lock = threading.RLock()
+        # single-writer lock (epoch merges): always acquired BEFORE self._lock
+        self._writer_lock = threading.Lock()
         self._trained = False
         self._metric = M.L2
         self._dim = 0
@@ -341,17 +343,21 @@ class IvfIndexNode(IndexNode):
         if not self._trained:
             return Status.index_not_trained
         x_in = np.asarray(dataset.tensor)
-        with self._lock:
+        with self._writer_lock:
             if self._row_ids is not None:
                 # post-build Add appends (reference plain-IVF accepts repeated
                 # Add, ivf.cc:806-842; CC variants additionally allow it
-                # concurrent with Search, ivf.cc:605-631).
-                self._pending_rows.append(x_in)
-                self._pending_count += x_in.shape[0]
-                if self._pending_count > max(4096, len(self._row_ids) // 4):
-                    self._merge_pending()
+                # concurrent with Search, ivf.cc:605-631). The pending list is
+                # copy-on-write: in-flight search snapshots keep their epoch.
+                with self._lock:
+                    self._pending_rows = self._pending_rows + [x_in]
+                    self._pending_count += x_in.shape[0]
+                    need_merge = self._pending_count > max(4096, len(self._row_ids) // 4)
+                if need_merge:
+                    self._merge_pending_offlock()
                 return Status.success
-            self._build_storage(x_in)
+            with self._lock:
+                self._build_storage(x_in)
         return Status.success
 
     def _build_storage(self, x_in: np.ndarray) -> None:
@@ -467,16 +473,42 @@ class IvfIndexNode(IndexNode):
         self._upload()
 
     def _merge_pending(self) -> None:
-        """Fold the pending CC segment into the sorted storage (epoch merge)."""
+        """Fold the pending CC segment into the sorted storage (epoch merge).
+        Caller must hold BOTH self._writer_lock and self._lock."""
         if not self._pending_rows:
             return
-        all_rows = [self._reconstruct_all()] if self.Count() else []
+        all_rows = [self._reconstruct_all()] if self._count else []
         all_rows.extend(self._pending_rows)
         merged = np.concatenate(all_rows, axis=0)
         self._pending_rows = []
         self._pending_count = 0
         self._row_ids = None
         self._build_storage(merged)
+
+    def _merge_pending_offlock(self) -> None:
+        """Epoch merge OFF the read lock: build the next storage epoch on a
+        shadow node, then swap every field in one short locked pass. Searches
+        snapshot under self._lock and keep scanning the OLD epoch throughout
+        the rebuild — Add never blocks Search (reference CC add-during-search
+        contract, ivf.cc:605-631, ConcurrentDirectMap). Caller must hold
+        self._writer_lock (single writer); must NOT hold self._lock."""
+        if not self._pending_rows:
+            return
+        all_rows = [self._reconstruct_all()] if self._count else []
+        all_rows.extend(self._pending_rows)
+        merged = np.concatenate(all_rows, axis=0)
+        shadow = object.__new__(type(self))
+        shadow.__dict__.update(self.__dict__)
+        shadow._pending_rows = []
+        shadow._pending_count = 0
+        shadow._row_ids = None
+        shadow._build_storage(merged)
+        new_state = {
+            k: v for k, v in shadow.__dict__.items()
+            if k not in ("_lock", "_writer_lock")
+        }
+        with self._lock:
+            self.__dict__.update(new_state)
 
     def _reconstruct_all(self) -> np.ndarray:
         """Original-order rows for re-merge: raw where stored, decoded codes
@@ -951,6 +983,15 @@ class IvfIndexNode(IndexNode):
         order = np.argsort(-dists if larger else dists, axis=1, kind="stable")[:, :n_valid]
         return np.take_along_axis(dists, order, 1), rid[order]
 
+    def _epoch_snapshot(self) -> "IvfIndexNode":
+        """Point-in-time view for a lock-free search. Every mutator rebinds
+        whole fields under self._lock (epoch swap), so a shallow __dict__ copy
+        taken under the same lock is a consistent epoch: the snapshot keeps
+        references to the old arrays while Add/merge installs new ones."""
+        snap = object.__new__(type(self))
+        snap.__dict__.update(self.__dict__)
+        return snap
+
     def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         with self._lock:
             if self._row_ids is None:
@@ -961,29 +1002,33 @@ class IvfIndexNode(IndexNode):
                     Status.invalid_metric_type,
                     f"index built with {self._metric}, searched with {metric}",
                 )
-            xq = self._prep_queries(dataset)
-            k = cfg.k
-            keep_sorted = self._keep_sorted_mask(bitset)
-            n_valid = self.Count() - (bitset.count() if not bitset.empty_view() else 0)
-            q_pad_dev = dataset.cached_device(
-                f"ivf_qpad:{self._metric}:{self.data_type}",
-                lambda: jax.device_put(_pad_q_rows(xq)),
-            )
-            dists, ids = self._search_batch(
-                xq,
-                k,
-                int(cfg.get("nprobe", 8)),
-                keep_sorted,
-                n_valid,
-                bool(cfg.get("ensure_topk_full", True)),
-                refine_k=int(cfg.get("refine_k", 1) or 1),
-                reorder_k=cfg.get("reorder_k"),
-                q_pad_dev=q_pad_dev,
-            )
-            # pending CC segment: exact scan + merge
-            if self._pending_count:
-                dists, ids = self._merge_with_pending(xq, k, dists, ids, bitset)
-            return expected.Ok(GenResultDataSet(dataset.rows, k, ids, dists))
+            snap = self._epoch_snapshot()
+        # the scan runs OUTSIDE the lock on the snapshot epoch: a concurrent
+        # CC Add (ivf.cc:605-631) never blocks behind it, and its epoch swap
+        # never changes state under it
+        xq = snap._prep_queries(dataset)
+        k = cfg.k
+        keep_sorted = snap._keep_sorted_mask(bitset)
+        n_valid = snap.Count() - (bitset.count() if not bitset.empty_view() else 0)
+        q_pad_dev = dataset.cached_device(
+            f"ivf_qpad:{snap._metric}:{snap.data_type}",
+            lambda: jax.device_put(_pad_q_rows(xq)),
+        )
+        dists, ids = snap._search_batch(
+            xq,
+            k,
+            int(cfg.get("nprobe", 8)),
+            keep_sorted,
+            n_valid,
+            bool(cfg.get("ensure_topk_full", True)),
+            refine_k=int(cfg.get("refine_k", 1) or 1),
+            reorder_k=cfg.get("reorder_k"),
+            q_pad_dev=q_pad_dev,
+        )
+        # pending CC segment: exact scan + merge
+        if snap._pending_count:
+            dists, ids = snap._merge_with_pending(xq, k, dists, ids, bitset)
+        return expected.Ok(GenResultDataSet(dataset.rows, k, ids, dists))
 
     def _merge_with_pending(self, xq, k, dists, ids, bitset: BitsetView):
         pend = self._prep_rows(np.concatenate(self._pending_rows, axis=0))
@@ -1012,7 +1057,7 @@ class IvfIndexNode(IndexNode):
 
     # --- Range search -------------------------------------------------------------
     def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
-        with self._lock:
+        with self._writer_lock, self._lock:
             if self._row_ids is None:
                 return expected.Err(Status.empty_index, "index not built")
             self._merge_pending()
@@ -1110,7 +1155,7 @@ class IvfIndexNode(IndexNode):
     def AnnIterator(
         self, dataset: DataSet, cfg: Config, bitset: BitsetView, use_knowhere_search_pool=True
     ) -> "expected[List]":
-        with self._lock:
+        with self._writer_lock, self._lock:
             if self._row_ids is None:
                 return expected.Err(Status.empty_index, "index not built")
             self._merge_pending()
@@ -1243,7 +1288,7 @@ class IvfIndexNode(IndexNode):
 
     # --- serialization ------------------------------------------------------------------
     def Serialize(self, binset: BinarySet) -> Status:
-        with self._lock:
+        with self._writer_lock, self._lock:
             if self._row_ids is None:
                 return Status.empty_index
             if self._pending_count:

@@ -283,6 +283,8 @@ class SparseInvertedIndexNode(IndexNode):
         self.index_type = IndexEnum.INDEX_SPARSE_INVERTED_INDEX
         self.data_type = "sparse"
         self._lock = _threading.RLock()
+        # single-writer lock (epoch merges): always acquired BEFORE self._lock
+        self._writer_lock = _threading.Lock()
         self._metric = M.IP
         self._dim = 0
         self._rows: List[Dict[int, float]] = []
@@ -306,30 +308,57 @@ class SparseInvertedIndexNode(IndexNode):
 
     def Add(self, dataset: DataSet, cfg: Config) -> Status:
         rows = list(dataset.tensor)
-        with self._lock:
+        with self._writer_lock:
             if self._postings is None and not self._rows:
-                self._rows = rows
-                self._rebuild()
+                with self._lock:
+                    self._rows = rows
+                    self._rebuild()
             else:
                 # growable semantics (CC variants); plain nodes also accept
-                # appends, matching the reference's growable base behavior
-                self._pending.extend(rows)
-                if len(self._pending) > max(1024, len(self._rows) // 4):
-                    self._merge_pending()
+                # appends, matching the reference's growable base behavior.
+                # Copy-on-write so in-flight search snapshots keep their epoch.
+                with self._lock:
+                    self._pending = self._pending + rows
+                    need_merge = len(self._pending) > max(1024, len(self._rows) // 4)
+                if need_merge:
+                    self._merge_pending_offlock()
         return Status.success
 
     def _merge_pending(self) -> None:
+        """Caller must hold BOTH self._writer_lock and self._lock."""
         if not self._pending:
             return
         self._rows = self._rows + self._pending
         self._pending = []
         self._rebuild()
 
+    def _merge_pending_offlock(self) -> None:
+        """Epoch merge OFF the read lock: rebuild postings from a stable view,
+        then swap the fields in one short locked pass — Search snapshots keep
+        scanning the old epoch throughout (reference growable CC contract,
+        sparse_index_node.cc:928-939, FairRWLock reader path). Caller must
+        hold self._writer_lock; must NOT hold self._lock."""
+        with self._lock:
+            pending = self._pending
+        if not pending:
+            return
+        rows = self._rows + pending
+        postings = build_postings(rows, self._drop_ratio_build)
+        doc_ids_dev = _jax.device_put(postings.doc_ids)
+        vals_dev = _jax.device_put(postings.vals)
+        with self._lock:
+            self._rows = rows
+            self._pending = []
+            self._postings = postings
+            self._doc_ids_dev = doc_ids_dev
+            self._vals_dev = vals_dev
+            self._bm25_cache = {}
+
     def _rebuild(self) -> None:
         self._postings = build_postings(self._rows, self._drop_ratio_build)
         self._doc_ids_dev = _jax.device_put(self._postings.doc_ids)
         self._vals_dev = _jax.device_put(self._postings.vals)
-        self._bm25_cache.clear()
+        self._bm25_cache = {}
 
     def _vals_for(self, cfg: Config):
         if self._metric != M.BM25:
@@ -349,22 +378,84 @@ class SparseInvertedIndexNode(IndexNode):
         return self._bm25_cache[key]
 
     # --- search ------------------------------------------------------------
+    def _epoch_snapshot(self) -> "SparseInvertedIndexNode":
+        """Point-in-time view for a lock-free search (see IvfIndexNode
+        _epoch_snapshot): mutators rebind whole fields under self._lock, so a
+        shallow __dict__ copy under the same lock is a consistent epoch."""
+        snap = object.__new__(type(self))
+        snap.__dict__.update(self.__dict__)
+        return snap
+
+    def _pending_scores(
+        self, q_rows, cfg: Config, bitset: BitsetView
+    ) -> Optional[np.ndarray]:
+        """Exact host scores of the queries vs the un-merged pending segment
+        (nq, npend); None when there is no pending. Pending is bounded by the
+        merge threshold, so the host double loop stays small."""
+        pending = self._pending
+        if not pending:
+            return None
+        base_nb = self._postings.nb if self._postings is not None else 0
+        npend = len(pending)
+        keep = None
+        if not bitset.empty_view():
+            keep = bitset.host_mask(base_nb + npend)[base_nb:]
+        if self._metric == M.BM25:
+            k1 = float(cfg.get("bm25_k1"))
+            b = float(cfg.get("bm25_b"))
+            avgdl = max(float(cfg.get("bm25_avgdl")), 1e-9)
+            dls = [sum(r.values()) for r in pending]
+        out = np.zeros((len(q_rows), npend), np.float32)
+        for j, row in enumerate(pending):
+            if keep is not None and not keep[j]:
+                out[:, j] = -np.inf
+                continue
+            for qi, q in enumerate(q_rows):
+                items = q.items() if isinstance(q, dict) else zip(*q)
+                s = 0.0
+                for t, w in items:
+                    tf = row.get(int(t))
+                    if tf is None:
+                        continue
+                    if self._metric == M.BM25:
+                        s += w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[j] / avgdl))
+                    else:
+                        s += w * tf
+                out[qi, j] = s
+        return out
+
     def _search_scores(self, dataset: DataSet, cfg: Config, bitset: BitsetView, k: int):
         with self._lock:
-            self._merge_pending()
             if self._postings is None:
                 raise KnowhereException("index not built", Status.empty_index)
-            q_rows = list(dataset.tensor)
-            mask = None
-            if not bitset.empty_view():
-                keep = bitset.host_mask(self._postings.nb)
-                mask = _jax.device_put(keep)
-            vals = self._vals_for(cfg)
-            drop = float(cfg.get("drop_ratio_search", 0.0) or 0.0)
-            return sparse_search(
-                self._postings, vals, self._doc_ids_dev, q_rows, k,
-                drop_ratio_search=drop, mask=mask,
-            )
+            snap = self._epoch_snapshot()
+        # the scan runs OUTSIDE the lock on the snapshot epoch; a concurrent
+        # CC Add never blocks behind it (sparse_index_node.cc:928-939)
+        q_rows = list(dataset.tensor)
+        mask = None
+        if not bitset.empty_view():
+            keep = bitset.host_mask(snap._postings.nb)
+            mask = _jax.device_put(keep)
+        vals = snap._vals_for(cfg)
+        drop = float(cfg.get("drop_ratio_search", 0.0) or 0.0)
+        scores, ids = sparse_search(
+            snap._postings, vals, snap._doc_ids_dev, q_rows, k,
+            drop_ratio_search=drop, mask=mask,
+        )
+        pend = snap._pending_scores(q_rows, cfg, bitset)
+        if pend is not None:
+            base_nb = snap._postings.nb
+            kp = min(k, pend.shape[1])
+            ordp = np.argsort(-pend, axis=1, kind="stable")[:, :kp]
+            sp = np.take_along_axis(pend, ordp, 1)
+            ip = np.where(np.isfinite(sp), ordp.astype(np.int64) + base_nb, -1)
+            cat_s = np.concatenate([scores, sp], axis=1)
+            cat_i = np.concatenate([ids, ip], axis=1)
+            sort_key = np.where(cat_i >= 0, cat_s, -np.inf)
+            order = np.argsort(-sort_key, axis=1, kind="stable")[:, :k]
+            scores = np.take_along_axis(cat_s, order, 1)
+            ids = np.take_along_axis(cat_i, order, 1)
+        return scores, ids
 
     def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         metric = normalize_metric(cfg.metric_type)
@@ -382,7 +473,7 @@ class SparseInvertedIndexNode(IndexNode):
         """Exact scores for every doc: (nq, nb) f32, -inf = no overlap/filtered.
         Complete by construction (reference BF-scores iterator,
         sparse_index_node.cc:254)."""
-        with self._lock:
+        with self._writer_lock, self._lock:
             self._merge_pending()
             if self._postings is None:
                 raise KnowhereException("index not built", Status.empty_index)
@@ -441,7 +532,7 @@ class SparseInvertedIndexNode(IndexNode):
 
     # --- vectors / lifecycle ---------------------------------------------------
     def GetVectorByIds(self, dataset: DataSet) -> "expected[DataSet]":
-        with self._lock:
+        with self._writer_lock, self._lock:
             self._merge_pending()
             ids = np.asarray(dataset.ids, dtype=np.int64)
             if len(self._rows) == 0:
@@ -461,7 +552,7 @@ class SparseInvertedIndexNode(IndexNode):
         return self._drop_ratio_build == 0.0 and normalize_metric(metric_type) == M.IP
 
     def Serialize(self, binset: BinarySet) -> Status:
-        with self._lock:
+        with self._writer_lock, self._lock:
             self._merge_pending()
             if self._postings is None:
                 return Status.empty_index

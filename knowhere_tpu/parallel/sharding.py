@@ -243,21 +243,21 @@ class ShardedGraphIndex:
         self.metric = metric.upper()
         self._shards = []  # per device: dict(store, graph, entry, cents, row0, rows)
         self._rows = 0
+        self._xb = None  # host copy (serialization + GetVectorByIds)
+        self._host_graphs = []  # per shard: dict(graph, entry, row0, rows, deg)
 
     def build(self, xb: np.ndarray, M: int = 16, ef_construction: int = 200) -> None:
-        import os
-
         from ..ops.graph import build_graph, pick_entry_points
 
         xb = np.asarray(xb, dtype=np.float32)
         self._rows, d = xb.shape
+        self._xb = xb
         n = len(self.devices)
         bounds = np.linspace(0, self._rows, n + 1).astype(np.int64)
         deg = max(2 * M, 4)
-        self._shards = []
-        inline_mode = os.environ.get("KNOWHERE_GRAPH_INLINE", "auto")
-        for di, dev in enumerate(self.devices):
-            lo, hi = int(bounds[di]), int(bounds[di + 1])
+        self._host_graphs = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            lo, hi = int(lo), int(hi)
             x_local = xb[lo:hi]
             if x_local.shape[0] == 0:
                 continue
@@ -267,11 +267,34 @@ class ShardedGraphIndex:
             )
             graph = build_graph(x_local, deg_l, self.metric, intermediate_deg=inter)
             entry = pick_entry_points(x_local, n_entry=min(64, x_local.shape[0]))
+            self._host_graphs.append(
+                {"graph": graph, "entry": entry.astype(np.int32), "row0": lo,
+                 "rows": x_local.shape[0], "deg": deg_l}
+            )
+        self._distribute()
+
+    def _distribute(self) -> None:
+        """Place per-shard graphs onto the current device set (round-robin —
+        the shard count is fixed at build; a load onto fewer devices stacks
+        several shards per device, onto more leaves some idle). Runs at build
+        AND after deserialize."""
+        import os
+
+        xb = self._xb
+        d = xb.shape[1]
+        self._shards = []
+        inline_mode = os.environ.get("KNOWHERE_GRAPH_INLINE", "auto")
+        for si, hg in enumerate(self._host_graphs):
+            dev = self.devices[si % len(self.devices)]
+            lo = hg["row0"]
+            x_local = xb[lo : lo + hg["rows"]]
+            graph = hg["graph"]
+            deg_l = hg["deg"]
             sh = {
                 "device": dev,
                 "store": {"data": jax.device_put(x_local, dev)},
                 "graph": jax.device_put(graph, dev),
-                "entry": jax.device_put(entry.astype(np.int32), dev),
+                "entry": jax.device_put(hg["entry"], dev),
                 "row0": lo,
                 "rows": x_local.shape[0],
                 "deg": deg_l,
@@ -313,7 +336,13 @@ class ShardedGraphIndex:
                         sh.pop("inline", None)
             self._shards.append(sh)
 
-    def search(self, xq: np.ndarray, k: int, ef: Optional[int] = None):
+    def search(
+        self,
+        xq: np.ndarray,
+        k: int,
+        ef: Optional[int] = None,
+        bitset_keep: Optional[np.ndarray] = None,
+    ):
         from ..ops.graph import beam_search
 
         xq = np.asarray(xq, dtype=np.float32)
@@ -324,6 +353,12 @@ class ShardedGraphIndex:
         for sh in self._shards:
             q_dev = jax.device_put(xq, sh["device"])
             ef_l = min(ef, sh["rows"])
+            keep_l = None
+            if bitset_keep is not None:
+                keep_l = jax.device_put(
+                    np.asarray(bitset_keep[sh["row0"] : sh["row0"] + sh["rows"]]),
+                    sh["device"],
+                )
             if "inline" in sh:
                 from ..ops.graph_inline import beam_search_inline
 
@@ -335,19 +370,20 @@ class ShardedGraphIndex:
                         inline.table, q_dev,
                         inline.rerank0, inline.rerank1, inline.rerank2,
                         sh["inline_entry"], sh["inline_cents"],
-                        inline.vmin, inline.vdiff, None,
+                        inline.vmin, inline.vdiff, keep_l,
                         W=W, ef=ef_l, deg=sh["deg"],
                         n_steps=ef_l // W + 6,
                         ring_slots=max(1, 256 // (W * sh["deg"])),
                         n_seed=n_seed, k=min(k, sh["rows"]),
-                        is_l2=is_l2, has_mask=False, rerank_kind="raw",
+                        is_l2=is_l2, has_mask=keep_l is not None, rerank_kind="raw",
                         bits=inline.bits,
                     )
             else:
                 s, ids = beam_search(
-                    q_dev, sh["store"], sh["graph"], sh["entry"], None,
+                    q_dev, sh["store"], sh["graph"], sh["entry"], keep_l,
                     kind="raw", ef=ef_l, k=min(k, sh["rows"]), deg=sh["deg"],
                     max_iters=2 * ef_l + 32, is_l2=is_l2,
+                    has_mask=keep_l is not None,
                 )
             partials.append((s, ids, sh["row0"]))
         # host merge of per-shard top-k (ids -> global row space)
@@ -397,6 +433,9 @@ class ShardedIVFIndex:
         self._rows = 0
         self._kind = "raw"
         self._sq_levels = 0
+        self._variant = "flat"
+        self._assign = None  # (rows,) int32 — global list assignment (host)
+        self._payload = None  # (rows, ·) raw f32 / sq u8 / pq codes (host)
 
     def build(
         self,
@@ -407,7 +446,7 @@ class ShardedIVFIndex:
         m: int = 16,
         nbits: int = 8,
     ) -> None:
-        from ..ops.kmeans import assign_rows, kmeans
+        from ..ops.kmeans import kmeans
         from ..ops import quant as Q
 
         xb = np.asarray(xb, dtype=np.float32)
@@ -416,18 +455,34 @@ class ShardedIVFIndex:
         centroids, assign = kmeans(xb, self._nlist, n_iters=n_iters)
         self._centroids = centroids
         # codec training is GLOBAL (one codebook for the logical index) so a
-        # query's ADC tables work identically on every shard
+        # query's ADC tables work identically on every shard; payload is
+        # encoded once in global row order so it can be serialized and
+        # re-distributed onto a different device set at load time
         self._variant = variant
         if variant == "pq":
             self._pq = Q.pq_train(xb - centroids[assign], m, nbits)
             self._kind = "pq"
+            payload = Q.pq_encode(self._pq, xb - centroids[assign])
         elif variant == "sq8":
             self._sq = Q.sq_train(xb, "SQ8")
             self._kind = "sq"
             self._sq_levels = self._sq.levels
+            payload = Q.sq_encode(self._sq, xb)
         else:
             self._kind = "raw"
+            payload = xb
+        self._assign = assign.astype(np.int32)
+        self._payload = payload
+        self._distribute()
 
+    def _distribute(self) -> None:
+        """Place the logical index (global payload + list assignment) onto the
+        current device set: biggest-list-first onto the lightest device. Runs
+        at build AND after deserialize, so a serialized index re-shards onto
+        whatever mesh the loading process has."""
+        assign = self._assign
+        payload = self._payload
+        d = self._payload.shape[1] if self._kind == "raw" else None
         # balance lists over devices: biggest-list-first onto lightest device
         counts = np.bincount(assign, minlength=self._nlist)
         order = np.argsort(-counts)
@@ -449,33 +504,26 @@ class ShardedIVFIndex:
             a_remap = np.fromiter((lmap[int(a)] for a in a_local), dtype=np.int64, count=len(a_local))
             ordr = np.argsort(a_remap, kind="stable")
             rows_sorted = rows_idx[ordr]
-            x_sorted = xb[rows_sorted]
             offsets = np.zeros(len(local_lists) + 1, np.int64)
             np.cumsum(np.bincount(a_remap, minlength=len(local_lists)), out=offsets[1:])
             cents_local = self._centroids[local_lists]  # local list id -> centroid
             store = {"centroids": jax.device_put(cents_local, dev)}
+            codes = payload[rows_sorted]
             if self._kind == "pq":
-                from ..ops import quant as Q
-
-                resid = x_sorted - self._centroids[assign[rows_sorted]]
-                codes = Q.pq_encode(self._pq, resid)
                 pad = np.zeros((2048, codes.shape[1]), codes.dtype)
                 store["codes"] = jax.device_put(np.concatenate([codes, pad]), dev)
                 store["codebooks"] = jax.device_put(self._pq.codebooks, dev)
             elif self._kind == "sq":
-                from ..ops import quant as Q
-
-                codes = Q.sq_encode(self._sq, x_sorted)
                 pad = np.zeros((2048, codes.shape[1]), codes.dtype)
                 store["codes"] = jax.device_put(np.concatenate([codes, pad]), dev)
                 store["vmin"] = jax.device_put(self._sq.vmin, dev)
                 store["vdiff"] = jax.device_put(self._sq.vdiff, dev)
             else:
                 pad = np.zeros((2048, d), np.float32)
-                store["data"] = jax.device_put(np.concatenate([x_sorted, pad]), dev)
+                store["data"] = jax.device_put(np.concatenate([codes, pad]), dev)
                 store["norms"] = jax.device_put(
                     np.concatenate(
-                        [np.sum(x_sorted.astype(np.float64) ** 2, 1).astype(np.float32), np.zeros(2048, np.float32)]
+                        [np.sum(codes.astype(np.float64) ** 2, 1).astype(np.float32), np.zeros(2048, np.float32)]
                     ),
                     dev,
                 )
@@ -490,7 +538,13 @@ class ShardedIVFIndex:
             )
             self._shards[-1]["global_to_local"][local_lists] = np.arange(len(local_lists), dtype=np.int32)
 
-    def search(self, xq: np.ndarray, k: int, nprobe: int = 8):
+    def search(
+        self,
+        xq: np.ndarray,
+        k: int,
+        nprobe: int = 8,
+        bitset_keep: Optional[np.ndarray] = None,
+    ):
         from ..ops.ivf_scan import coarse_probe_host, ivf_scan_search
 
         xq = np.asarray(xq, dtype=np.float32)
@@ -505,9 +559,18 @@ class ShardedIVFIndex:
             if (local < 0).all():
                 continue
             q_dev = jax.device_put(xq, sh["device"])
+            keep_sorted = None
+            if bitset_keep is not None:
+                # bitset is in global row order; the scan reads rows in this
+                # shard's list-sorted order (+2048 pad rows, masked out)
+                ks = bitset_keep[sh["row_ids"]]
+                keep_sorted = jax.device_put(
+                    np.concatenate([ks, np.zeros(2048, bool)]), sh["device"]
+                )
             s, p = ivf_scan_search(
                 q_dev, sh["store"], self._kind, local, sh["offsets"],
                 min(k, max(len(sh["row_ids"]), 1)), is_l2,
+                keep_sorted=keep_sorted,
                 sq_levels=self._sq_levels,
             )
             ids = np.where(p >= 0, sh["row_ids"][np.clip(p, 0, max(len(sh["row_ids"]) - 1, 0))], -1)
