@@ -294,6 +294,13 @@ class SparseInvertedIndexNode(IndexNode):
         self._vals_dev = None
         self._bm25_cache: Dict[tuple, object] = {}
         self._pending: List[Dict[int, float]] = []
+        self._build_algo = "DAAT_MAXSCORE"
+        # derived-data cache tied to the current postings epoch (window-max
+        # block structures, row-major CSR); rebound fresh on every rebuild so
+        # snapshots keep a consistent epoch. Lazy fills write into the shared
+        # dict — a racing duplicate fill computes the same value.
+        self._caches: Dict[tuple, object] = {}
+        self._last_search_stats: Dict[str, int] = {}
 
     # --- build ----------------------------------------------------------
     def Train(self, dataset: DataSet, cfg: Config) -> Status:
@@ -303,6 +310,7 @@ class SparseInvertedIndexNode(IndexNode):
                 f"sparse index supports IP/BM25, got {self._metric}", Status.invalid_metric_type
             )
         self._drop_ratio_build = float(cfg.get("drop_ratio_build", 0.0) or 0.0)
+        self._build_algo = (cfg.get("inverted_index_algo") or "DAAT_MAXSCORE").upper()
         self._dim = dataset.dim
         return Status.success
 
@@ -353,12 +361,14 @@ class SparseInvertedIndexNode(IndexNode):
             self._doc_ids_dev = doc_ids_dev
             self._vals_dev = vals_dev
             self._bm25_cache = {}
+            self._caches = {}
 
     def _rebuild(self) -> None:
         self._postings = build_postings(self._rows, self._drop_ratio_build)
         self._doc_ids_dev = _jax.device_put(self._postings.doc_ids)
         self._vals_dev = _jax.device_put(self._postings.vals)
         self._bm25_cache = {}
+        self._caches = {}
 
     def _vals_for(self, cfg: Config):
         if self._metric != M.BM25:
@@ -372,10 +382,21 @@ class SparseInvertedIndexNode(IndexNode):
             )
         key = (round(k1, 6), round(b, 6), round(avgdl, 6))
         if key not in self._bm25_cache:
-            self._bm25_cache[key] = _jax.device_put(
-                bm25_transform(self._postings, k1, b, avgdl)
-            )
-        return self._bm25_cache[key]
+            host = bm25_transform(self._postings, k1, b, avgdl)
+            self._bm25_cache[key] = (host, _jax.device_put(host))
+        return self._bm25_cache[key][1]
+
+    def _vals_host_for(self, cfg: Config) -> tuple:
+        """(host metric-transformed posting vals, cache key) — feeds the
+        window-max block structure for the pruned search path."""
+        if self._metric != M.BM25:
+            return self._postings.vals, ("ip",)
+        self._vals_for(cfg)  # fill the cache
+        k1 = float(cfg.get("bm25_k1"))
+        b = float(cfg.get("bm25_b"))
+        avgdl = float(cfg.get("bm25_avgdl"))
+        key = (round(k1, 6), round(b, 6), round(avgdl, 6))
+        return self._bm25_cache[key][0], key
 
     # --- search ------------------------------------------------------------
     def _epoch_snapshot(self) -> "SparseInvertedIndexNode":
@@ -438,10 +459,20 @@ class SparseInvertedIndexNode(IndexNode):
             mask = _jax.device_put(keep)
         vals = snap._vals_for(cfg)
         drop = float(cfg.get("drop_ratio_search", 0.0) or 0.0)
-        scores, ids = sparse_search(
-            snap._postings, vals, snap._doc_ids_dev, q_rows, k,
-            drop_ratio_search=drop, mask=mask,
-        )
+        algo = (cfg.get("search_algo") or "INHERIT").upper()
+        if algo == "INHERIT":
+            # INHERIT resolves to the build-time algorithm
+            # (sparse_index_config.h:127-130); WAND-named nodes default to
+            # the pruning searcher
+            algo = snap._build_algo or ("DAAT_WAND" if snap.IS_WAND else "DAAT_MAXSCORE")
+        rf = int(cfg.get("refine_factor", 1) or 1)
+        if algo != "TAAT_NAIVE":
+            scores, ids = snap._search_pruned(q_rows, cfg, k, drop, rf, mask, self)
+        else:
+            scores, ids = sparse_search(
+                snap._postings, vals, snap._doc_ids_dev, q_rows, k,
+                drop_ratio_search=drop, mask=mask,
+            )
         pend = snap._pending_scores(q_rows, cfg, bitset)
         if pend is not None:
             base_nb = snap._postings.nb
@@ -455,6 +486,43 @@ class SparseInvertedIndexNode(IndexNode):
             order = np.argsort(-sort_key, axis=1, kind="stable")[:, :k]
             scores = np.take_along_axis(cat_s, order, 1)
             ids = np.take_along_axis(cat_i, order, 1)
+        return scores, ids
+
+    def _search_pruned(self, q_rows, cfg: Config, k: int, drop: float, rf: int, mask, live):
+        """Window-pruned search (ops/sparse_ops.sparse_search_pruned): the
+        DAAT WAND/MaxScore/BlockMax/SINDI analog. Runs on an epoch snapshot;
+        derived structures (window maxima, CSR for refine) cache into the
+        epoch's shared dict. `live` receives the scan stats."""
+        from ..ops.sparse_ops import build_window_max, sparse_search_pruned
+
+        wsize = int(cfg.get("sindi_window_size", 65535) or 65535)
+        ratio = float(cfg.get("dim_max_score_ratio", 1.05) or 1.05)
+        vals_host, vkey = self._vals_host_for(cfg)
+        wkey = ("wmax", wsize, vkey)
+        wmax = self._caches.get(wkey)
+        if wmax is None:
+            wmax = build_window_max(self._postings, vals_host, wsize)
+            self._caches[wkey] = wmax
+        csr = None
+        if rf > 1 and drop > 0:
+            csr = self._caches.get("csr")
+            if csr is None:
+                indptr = np.zeros(len(self._rows) + 1, np.int64)
+                idx_l, val_l = [], []
+                for i, row in enumerate(self._rows):
+                    items = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
+                    idx_l.extend(d for d, _ in items)
+                    val_l.extend(v for _, v in items)
+                    indptr[i + 1] = len(idx_l)
+                csr = (indptr, np.asarray(idx_l, np.int64), np.asarray(val_l, np.float32))
+                self._caches["csr"] = csr
+        stats: Dict[str, int] = {}
+        scores, ids = sparse_search_pruned(
+            self._postings, self._vals_for(cfg), self._doc_ids_dev, q_rows, k,
+            wmax=wmax, refine_factor=rf, dim_max_score_ratio=ratio,
+            drop_ratio_search=drop, mask=mask, csr=csr, stats=stats,
+        )
+        live._last_search_stats = stats
         return scores, ids
 
     def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
@@ -580,6 +648,7 @@ class SparseInvertedIndexNode(IndexNode):
                 "dim": self._dim,
                 "rows": len(self._rows),
                 "drop_ratio_build": self._drop_ratio_build,
+                "build_algo": self._build_algo,
                 "index_type": self.Type(),
                 "indices_codec": "delta_varint",
             }
@@ -595,6 +664,7 @@ class SparseInvertedIndexNode(IndexNode):
             self._metric = meta["metric"]
             self._dim = int(meta["dim"])
             self._drop_ratio_build = float(meta.get("drop_ratio_build", 0.0))
+            self._build_algo = meta.get("build_algo", "DAAT_MAXSCORE")
             from .. import native as _native
 
             indptr = np.asarray(arrays["indptr"])

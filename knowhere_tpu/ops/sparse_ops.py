@@ -247,3 +247,258 @@ def sparse_search(
         out_s[s0:e0, :kk] = np.ascontiguousarray(packed_np[:nqc, :kk]).view(np.float32)
         out_i[s0:e0, :kk] = packed_np[:nqc, kk:].astype(np.int64)
     return out_s, out_i
+
+
+# ---------------------------------------------------------------------------
+# Windowed pruned search — the DAAT WAND/MaxScore/BlockMax/SINDI analog.
+#
+# The reference prunes doc-at-a-time with per-dim max scores
+# (searcher/daat_wand.h, block_max_wand.h) or processes fixed windows of docs
+# (sindi_inverted_index.h, window_size_). The TPU formulation: partition the
+# doc axis into windows of `sindi_window_size` docs, precompute per-dim
+# per-window posting maxima (the block-max structure, block_max_data.h), and
+# per query scan only windows whose score upper bound
+#     U[w] = dim_max_score_ratio * sum_t q_t * window_max[t][w]
+# can reach the running top-k threshold. Scanned windows are scored EXACTLY
+# by the same batched scatter-add kernel, so with dim_max_score_ratio >= 1
+# and drop_ratio_search == 0 the result equals the exhaustive scan; ratio < 1
+# prunes more aggressively (faster, possible recall loss) exactly as the
+# reference documents (sparse_index_config.h:97-126).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WindowMaxData:
+    """Per-dim per-window posting maxima + entry spans (block-max data)."""
+
+    W: int  # docs per window (clamped [1024, 65535], sparse_index_config.h:158-162)
+    n_windows: int
+    # dim -> (window ids asc, window max val, entry start, entry end)
+    per_dim: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
+
+
+def build_window_max(
+    postings: SparsePostings, vals_host: np.ndarray, window_size: int
+) -> WindowMaxData:
+    W = int(np.clip(window_size, 1024, 65535))
+    n_windows = max(1, -(-postings.nb // W))
+    per_dim: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+    for d, (s, e) in postings.dim_start.items():
+        wins = postings.doc_ids[s:e].astype(np.int64) // W  # docs ascend within a dim
+        uwin, starts = np.unique(wins, return_index=True)
+        ends = np.append(starts[1:], e - s)
+        v = vals_host[s:e]
+        wmax = np.maximum.reduceat(v, starts).astype(np.float32) if v.size else np.empty(0, np.float32)
+        per_dim[int(d)] = (
+            uwin.astype(np.int64), wmax,
+            (starts + s).astype(np.int64), (ends + s).astype(np.int64),
+        )
+    return WindowMaxData(W, n_windows, per_dim)
+
+
+def _concat_ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenated [starts[i], ends[i]) ranges as one int32 index array."""
+    lens = (ends - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int32)
+    ex = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return (np.repeat(starts - ex, lens) + np.arange(total, dtype=np.int64)).astype(np.int32)
+
+
+def _drop_items(row, drop_ratio_search: float):
+    items = list(row.items()) if isinstance(row, dict) else list(zip(*row))
+    if drop_ratio_search > 0 and items:
+        absvals = np.abs(np.asarray([v for _, v in items], np.float32))
+        thresh = np.quantile(absvals, drop_ratio_search)
+        items = [(d, v) for d, v in items if abs(v) >= thresh]
+    return items
+
+
+def _entries_for_windows(wm: WindowMaxData, items, wsel: np.ndarray):
+    """Entry index array for a query's terms restricted to selected windows."""
+    parts, wparts = [], []
+    for d, v in items:
+        slot = wm.per_dim.get(int(d))
+        if slot is None:
+            continue
+        uwin, _, st, en = slot
+        pick = wsel[uwin]
+        if pick.any():
+            idx = _concat_ranges(st[pick], en[pick])
+            parts.append(idx)
+            wparts.append(np.full(idx.size, v, np.float32))
+    if not parts:
+        return None
+    return np.concatenate(parts), np.concatenate(wparts)
+
+
+def _device_topk(doc_ids_dev, vals_dev, entry_idx, qids, ws, mask, nqc, nb, k):
+    """One packed scatter-add + top-k device call (pads U to a pow2 ladder)."""
+    U = entry_idx.size
+    P = 1024
+    while P < U:
+        P *= 2
+    if P != U:
+        entry_idx = np.concatenate([entry_idx, np.zeros(P - U, np.int32)])
+        qids = np.concatenate([qids, np.zeros(P - U, np.int32)])
+        ws = np.concatenate([ws, np.zeros(P - U, np.float32)])
+    packed_h = np.concatenate([entry_idx, qids, ws.view(np.int32)])
+    packed_dev = jax.device_put(packed_h)
+    packed = _score_and_topk(
+        doc_ids_dev, vals_dev,
+        packed_dev[:P], packed_dev[P : 2 * P],
+        jax.lax.bitcast_convert_type(packed_dev[2 * P :], jnp.float32),
+        mask, nqc=nqc, nb=nb, k=k,
+    )
+    packed_np = np.asarray(packed)
+    s = np.ascontiguousarray(packed_np[:, :k]).view(np.float32)
+    i = packed_np[:, k:].astype(np.int64)
+    return s, i
+
+
+def sparse_search_pruned(
+    postings: SparsePostings,
+    vals_dev: jax.Array,
+    doc_ids_dev: jax.Array,
+    q_rows: List[Dict[int, float]],
+    k: int,
+    *,
+    wmax: WindowMaxData,
+    refine_factor: int = 1,
+    dim_max_score_ratio: float = 1.05,
+    drop_ratio_search: float = 0.0,
+    mask: Optional[jax.Array] = None,
+    csr: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+    stats: Optional[dict] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Window-pruned scoring: per query, scan only windows whose upper bound
+    reaches the running threshold; refine_factor widens the first pass and
+    (with drop_ratio_search > 0) triggers an exact full-query rescore of the
+    top refine_factor*k candidates against the row-major CSR."""
+    nq = len(q_rows)
+    nb = postings.nb
+    nw = wmax.n_windows
+    rf = max(int(refine_factor), 1)
+    ratio = float(dim_max_score_ratio)
+    k_out = min(max(k * rf, k), nb)
+    out_s = np.full((nq, k), -np.inf, np.float32)
+    out_i = np.full((nq, k), -1, np.int64)
+    q_chunk = min(256, max(16, (128 << 20) // max(nb * 4, 1)))
+    n_scanned_a = n_scanned_b = 0
+    from ..comp import check_current_cancellation
+
+    for s0 in range(0, nq, q_chunk):
+        check_current_cancellation()
+        e0 = min(s0 + q_chunk, nq)
+        nqc = e0 - s0
+        chunk_items = [_drop_items(q_rows[qi], drop_ratio_search) for qi in range(s0, e0)]
+        bounds = np.zeros((nqc, nw), np.float32)
+        for ci, items in enumerate(chunk_items):
+            for d, v in items:
+                slot = wmax.per_dim.get(int(d))
+                if slot is not None:
+                    bounds[ci, slot[0]] += v * slot[1]
+        bounds *= ratio
+
+        # phase A: top-bound windows with capacity for the refine pool
+        n_sel = min(nw, max(1, -(-max(4 * k_out, 2048) // wmax.W)))
+        selA = np.argsort(-bounds, axis=1, kind="stable")[:, :n_sel]
+        eparts, qparts, wparts = [], [], []
+        wselA = np.zeros((nqc, nw), bool)
+        for ci, items in enumerate(chunk_items):
+            sel = selA[ci][bounds[ci, selA[ci]] > 0]
+            if sel.size == 0:
+                continue
+            wselA[ci, sel] = True
+            got = _entries_for_windows(wmax, items, wselA[ci])
+            if got is None:
+                continue
+            idx, ws_ = got
+            eparts.append(idx)
+            qparts.append(np.full(idx.size, ci, np.int32))
+            wparts.append(ws_)
+        n_scanned_a += int(wselA.sum())
+        if not eparts:
+            continue
+        sA, iA = _device_topk(
+            doc_ids_dev, vals_dev,
+            np.concatenate(eparts), np.concatenate(qparts), np.concatenate(wparts),
+            mask, nqc, nb, min(k_out, nb),
+        )
+
+        # phase B: remaining windows whose bound reaches the phase-A
+        # threshold. The threshold is the POOL's k_out-th score (not the
+        # k-th): with refine_factor > 1 the refine pass reorders the pool, so
+        # the bound guarantee must hold for the whole pool.
+        kth = sA[:, min(k_out, sA.shape[1]) - 1].copy()
+        kth[~np.isfinite(kth)] = -np.inf
+        need_b = (bounds >= kth[:, None]) & ~wselA & (bounds > 0)
+        sB = iB = None
+        if need_b.any():
+            eparts, qparts, wparts = [], [], []
+            for ci, items in enumerate(chunk_items):
+                if not need_b[ci].any():
+                    continue
+                got = _entries_for_windows(wmax, items, need_b[ci])
+                if got is None:
+                    continue
+                idx, ws_ = got
+                eparts.append(idx)
+                qparts.append(np.full(idx.size, ci, np.int32))
+                wparts.append(ws_)
+            n_scanned_b += int(need_b.sum())
+            if eparts:
+                sB, iB = _device_topk(
+                    doc_ids_dev, vals_dev,
+                    np.concatenate(eparts), np.concatenate(qparts), np.concatenate(wparts),
+                    mask, nqc, nb, min(k_out, nb),
+                )
+        if sB is not None:
+            cat_s = np.concatenate([sA, sB], axis=1)
+            cat_i = np.concatenate([iA, iB], axis=1)
+            key = np.where(cat_i >= 0, cat_s, -np.inf)
+            order = np.argsort(-key, axis=1, kind="stable")[:, :k_out]
+            sA = np.take_along_axis(cat_s, order, 1)
+            iA = np.take_along_axis(cat_i, order, 1)
+
+        # refine: exact full-query rescore of the candidate pool (only the
+        # query-term drop made scores approximate; window scans are exact)
+        if rf > 1 and drop_ratio_search > 0 and csr is not None:
+            indptr, indices, values = csr
+            for ci in range(nqc):
+                row = q_rows[s0 + ci]
+                qitems = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
+                if not qitems:
+                    continue
+                qd = np.asarray([d for d, _ in qitems], np.int64)
+                qw = np.asarray([w for _, w in qitems], np.float32)
+                cand = iA[ci][iA[ci] >= 0]
+                if cand.size == 0:
+                    continue
+                st = indptr[cand]
+                en = indptr[cand + 1]
+                eidx = _concat_ranges(st, en)
+                owner = np.repeat(np.arange(cand.size), (en - st))
+                dims_c = indices[eidx]
+                pos = np.searchsorted(qd, dims_c)
+                pos_c = np.clip(pos, 0, qd.size - 1)
+                hit = qd[pos_c] == dims_c
+                contrib = np.where(hit, values[eidx] * qw[pos_c], 0.0)
+                sc = np.zeros(cand.size, np.float32)
+                np.add.at(sc, owner, contrib)
+                order = np.argsort(-sc, kind="stable")[:k]
+                nres = order.size
+                out_s[s0 + ci, :nres] = sc[order]
+                out_i[s0 + ci, :nres] = cand[order]
+            continue
+        kk = min(k, sA.shape[1])
+        out_s[s0:e0, :kk] = sA[:, :kk]
+        out_i[s0:e0, :kk] = iA[:, :kk]
+    if stats is not None:
+        stats["windows_scanned_a"] = n_scanned_a
+        stats["windows_scanned_b"] = n_scanned_b
+        stats["windows_total"] = nq * nw
+        stats["n_windows"] = nw
+        stats["window_size"] = wmax.W
+    return out_s, out_i
