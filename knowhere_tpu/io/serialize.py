@@ -108,3 +108,70 @@ def read_sections(
         raw = mv[s["offset"] : s["offset"] + s["nbytes"]]
         arrays[name] = np.frombuffer(raw, dtype=np.dtype(s["dtype"])).reshape(s["shape"])
     return arrays, header.get("meta", {})
+
+
+def write_sections_streaming(
+    path: str,
+    specs: Dict[str, Tuple[tuple, str]],
+    meta: Optional[Dict[str, Any]] = None,
+):
+    """Open a section file for STREAMING writes: the payload arrays are not
+    materialized in memory (disk-resident builds whose data exceeds the DRAM
+    budget write chunk-by-chunk). Same wire layout as write_sections.
+
+    specs: name -> (shape, dtype-string). Returns a writer object:
+        w.write(name, row_start, array)  # rows into section `name`
+        w.close()
+    """
+    header: Dict[str, Any] = {
+        "format_version": FORMAT_VERSION,
+        "meta": meta or {},
+        "sections": {},
+    }
+
+    def layout(header_len: int) -> Tuple[Dict[str, Any], int]:
+        off = len(MAGIC) + 4 + header_len
+        off += _pad(off)
+        sections = {}
+        for name, (shape, dtype) in specs.items():
+            nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+            sections[name] = {
+                "offset": off,
+                "nbytes": nbytes,
+                "dtype": str(np.dtype(dtype)),
+                "shape": list(shape),
+            }
+            off += nbytes
+            off += _pad(off)
+        return sections, off
+
+    header_len = 0
+    for _ in range(8):
+        header["sections"], total = layout(header_len)
+        encoded = json.dumps(header, separators=(",", ":")).encode("utf-8")
+        if len(encoded) == header_len:
+            break
+        header_len = len(encoded)
+    else:
+        raise KnowhereException("serialize header failed to stabilize", Status.internal_error)
+    sections, total = layout(header_len)
+
+    f = open(path, "wb")
+    f.write(MAGIC)
+    f.write(np.uint32(header_len).tobytes())
+    f.write(encoded)
+    f.truncate(total)
+
+    class _Writer:
+        def write(self, name: str, row_start: int, arr: np.ndarray) -> None:
+            s = sections[name]
+            shape, dtype = specs[name]
+            row_bytes = int(np.prod(shape[1:])) * np.dtype(dtype).itemsize if len(shape) > 1 else np.dtype(dtype).itemsize
+            arr = np.ascontiguousarray(arr, dtype=np.dtype(dtype))
+            f.seek(s["offset"] + row_start * row_bytes)
+            f.write(arr.tobytes())
+
+        def close(self) -> None:
+            f.close()
+
+    return _Writer()

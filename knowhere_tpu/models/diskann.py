@@ -96,7 +96,9 @@ class DiskANNIndexNode(IndexNode):
         self._entry = None
         self._entry_cents = None  # kmeans routing centroids (device)
         self._store: Optional[Dict[str, jax.Array]] = None
-        self._disk_data: Optional[np.memmap] = None  # raw rows on disk
+        self._disk_data: Optional[np.memmap] = None  # raw rows (or PQ codes) on disk
+        self._disk_pq: Optional[Q.PQCodec] = None  # set when disk_pq_dims > 0
+        self._build_stats: Dict[str, object] = {}
         self._refine_store: Optional[RefineStore] = None  # HBM cache of ALL raw rows
         # partial node cache (reference: PQFlashIndex node cache, diskann.cc:640-760)
         self._cache_pos: Optional[np.ndarray] = None  # (count,) int32 -> slot or -1
@@ -140,57 +142,102 @@ class DiskANNIndexNode(IndexNode):
         if self._metric not in (M.L2, M.IP, M.COSINE):
             return Status.invalid_metric_type
         np_dtype = {"fp32": np.float32, "fp16": np.float16, "int8": np.int8}.get(self.data_type, np.float32)
-        x_raw = _read_diskann_bin(cfg.data_path, np_dtype)
-        self._count, self._dim = x_raw.shape
-        x = x_raw.astype(np.float32)
-        if self._metric == M.COSINE:
-            n = np.linalg.norm(x, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            x = x / n
+        with open(cfg.data_path, "rb") as f:
+            header = np.fromfile(f, dtype=np.int32, count=2)
+        if header.size != 2:
+            return Status.disk_file_error
+        self._count, self._dim = int(header[0]), int(header[1])
+        # the corpus is never loaded whole: build streams slices off this map
+        data_mm = np.memmap(
+            cfg.data_path, dtype=np_dtype, mode="r", offset=8,
+            shape=(self._count, self._dim),
+        )
 
-        # Vamana graph (RobustPrune alpha=1.2)
         deg = int(cfg.max_degree)
         efc = int(cfg.get("search_list_size") or 128)
-        inter = min(max(deg * 2, min(efc, 128)), max(self._count - 1, 1))
+        accel = bool(cfg.get("accelerate_build", False))
         internal = M.IP if self._metric == M.COSINE else self._metric
-        # one kmeans shared by the kNN-graph accelerator and routed entries
-        cents = assign = None
-        if self._count > 65536:
-            from ..ops.kmeans import kmeans as _kmeans
+        normalize = self._metric == M.COSINE
 
-            # pow2 ladder MUST match build_graph's internal nlist choice or
-            # it discards these centroids and reruns kmeans
-            nlist = 1 << int(round(np.log2(max(64, int(np.sqrt(self._count))))))
-            cents, assign = _kmeans(x, nlist, n_iters=8)
-        graph = build_graph(
-            x, deg, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA,
-            centroids=cents, assign=assign,
-        )
-        entry_cents = None
-        if cents is not None:
-            from ..ops import distances as D
-            from ..ops import topk as T
-
-            base_dev = jax.device_put(x)
-            ids, _ = T.knn_search(cents, base_dev, 1, "L2", aux=D.base_aux("L2", base_dev))
-            entry = ids.reshape(-1).astype(np.int32)
-            entry_cents = cents.astype(np.float32)
-        else:
-            entry = pick_entry_points(
-                x, n_entry=int(min(max(64, self._count // 500), 1024, self._count))
+        # DRAM budget (reference build_dram_budget_gb, diskann_config.h:88-164;
+        # sharded build+merge from thirdparty/DiskANN/src/aux_utils.cpp
+        # build_merged_vamana_index + partition_and_pq.cpp): rows above the
+        # budget build per-shard Vamana graphs over 2-way-overlapping kmeans
+        # partitions and merge edge lists (union-dedup-truncate to max_degree)
+        budget_gb = float(cfg.get("build_dram_budget_gb", 16.0) or 16.0)
+        row_cost = self._dim * 8 + deg * 16  # shard rows + graph working set
+        rows_in_budget = max(int(budget_gb * 1e9 // row_cost), 4096)
+        sharded = self._count > rows_in_budget
+        self._build_stats = {
+            "sharded": sharded,
+            "n_shards": 1,
+            "accelerated": accel,
+            "rows_in_budget": rows_in_budget,
+        }
+        if sharded:
+            graph, entry, entry_cents = self._sharded_build(
+                data_mm, deg, efc, rows_in_budget, accel, internal, normalize
             )
+        else:
+            x = self._load_rows(data_mm, slice(None), normalize)
+            # accelerate_build trades graph quality for build time (reference
+            # accelerate_build skips the second Vamana pass): kNN-graph only,
+            # no wide intermediate diversification
+            inter = (
+                min(deg, max(self._count - 1, 1))
+                if accel
+                else min(max(deg * 2, min(efc, 128)), max(self._count - 1, 1))
+            )
+            cents = assign = None
+            if self._count > 65536:
+                from ..ops.kmeans import kmeans as _kmeans
 
-        # PQ codes sized by pq_code_budget_gb (bytes/vector)
-        budget_gb = cfg.get("pq_code_budget_gb")
-        if budget_gb:
-            m = int(max(1, min(self._dim, budget_gb * 1e9 / max(self._count, 1))))
+                # pow2 ladder MUST match build_graph's internal nlist choice
+                # or it discards these centroids and reruns kmeans
+                nlist = 1 << int(round(np.log2(max(64, int(np.sqrt(self._count))))))
+                cents, assign = _kmeans(x, nlist, n_iters=4 if accel else 8)
+            graph = build_graph(
+                x, deg, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA,
+                centroids=cents, assign=assign,
+            )
+            if cents is not None:
+                from ..ops import distances as D
+                from ..ops import topk as T
+
+                base_dev = jax.device_put(x)
+                ids, _ = T.knn_search(cents, base_dev, 1, "L2", aux=D.base_aux("L2", base_dev))
+                entry = ids.reshape(-1).astype(np.int32)
+                entry_cents = cents.astype(np.float32)
+            else:
+                entry = pick_entry_points(
+                    x, n_entry=int(min(max(64, self._count // 500), 1024, self._count))
+                )
+                entry_cents = None
+            del x
+
+        # PQ-in-HBM codes sized by pq_code_budget_gb (bytes/vector); trained
+        # on a subsample, encoded streaming
+        budget_pq = cfg.get("pq_code_budget_gb")
+        if budget_pq:
+            m = int(max(1, min(self._dim, budget_pq * 1e9 / max(self._count, 1))))
         else:
             m = max(1, self._dim // 4)
         while m > 1 and self._dim % m != 0:
             m -= 1
-        pq = Q.pq_train(x, m, 8)
-        codes = Q.pq_encode(pq, x)
+        sample = self._sample_rows(data_mm, normalize, cap=262144)
+        pq = Q.pq_train(sample, m, 8)
+        codes = np.empty((self._count, m), np.uint8)
+        for s in range(0, self._count, 262144):
+            e = min(s + 262144, self._count)
+            codes[s:e] = Q.pq_encode(pq, self._load_rows(data_mm, slice(s, e), normalize))
 
+        # AISAQ num_entry_points caps the entry list (diskann_aisaq.cc);
+        # plain DiskANN configs don't declare the key, so this is a no-op there
+        nep = int(cfg.get("num_entry_points", 0) or 0)
+        if nep > 0:
+            entry = np.asarray(entry)[:nep]
+            if entry_cents is not None:
+                entry_cents = entry_cents[:nep]
         mem_sections = {
             "graph": graph,
             "entry": entry,
@@ -211,17 +258,167 @@ class DiskANNIndexNode(IndexNode):
         )
         with open(self._mem_path(prefix), "wb") as f:
             f.write(mem_blob)
-        disk_blob = write_sections(
-            {"data": x if self._metric == M.COSINE else x_raw},
-            meta={"dim": self._dim, "count": self._count},
-        )
-        with open(self._disk_path(prefix), "wb") as f:
-            f.write(disk_blob)
+
+        # disk payload: raw rows, or disk-PQ codes when disk_pq_dims > 0
+        # (reference disk_pq compresses the SSD-resident full-precision
+        # vectors, diskann_config.h disk_pq_dims)
+        disk_pq_dims = int(cfg.get("disk_pq_dims", 0) or 0)
+        self._write_disk_payload(prefix, data_mm, normalize, sample, disk_pq_dims)
         self._fm_add(self._mem_path(prefix))
         self._fm_add(self._disk_path(prefix))
-        log_info(f"diskann build complete: {self._count} rows -> {prefix}")
+        log_info(
+            f"diskann build complete: {self._count} rows -> {prefix} "
+            f"(sharded={sharded}, shards={self._build_stats['n_shards']}, accel={accel})"
+        )
         # reference leaves the node unloaded after Build; Deserialize loads it
         return Status.success
+
+    # --- build helpers -------------------------------------------------------
+    @staticmethod
+    def _load_rows(data_mm: np.ndarray, sel, normalize: bool) -> np.ndarray:
+        x = np.asarray(data_mm[sel], dtype=np.float32)
+        if normalize:
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            x = x / n
+        return x
+
+    def _sample_rows(self, data_mm, normalize: bool, cap: int) -> np.ndarray:
+        stride = max(1, self._count // min(self._count, cap))
+        return self._load_rows(data_mm, slice(None, None, stride), normalize)
+
+    @staticmethod
+    def _merge_edges(cur: np.ndarray, new: np.ndarray, deg: int) -> np.ndarray:
+        """Union-dedup-truncate of two edge lists per row (reference merged
+        Vamana: concatenate shard neighbor lists, dedupe, keep max_degree —
+        aux_utils.cpp build_merged_vamana_index)."""
+        cand = np.concatenate([cur, new], axis=1)
+        n, w = cand.shape
+        sentinel = np.iinfo(np.int64).max
+        key = np.where(cand < 0, sentinel, cand.astype(np.int64))
+        order = np.argsort(key, axis=1, kind="stable")
+        sv = np.take_along_axis(key, order, 1)
+        first = np.ones_like(sv, dtype=bool)
+        first[:, 1:] = sv[:, 1:] != sv[:, :-1]
+        first &= sv != sentinel
+        keep = np.zeros((n, w), bool)
+        np.put_along_axis(keep, order, first, 1)
+        out = np.full((n, deg), -1, np.int32)
+        rows, cols = np.nonzero(keep)
+        starts = np.searchsorted(rows, np.arange(n))
+        cc = np.arange(len(rows)) - starts[rows]
+        sel = cc < deg
+        out[rows[sel], cc[sel]] = cand[rows[sel], cols[sel]]
+        return out
+
+    def _sharded_build(
+        self, data_mm, deg: int, efc: int, rows_in_budget: int,
+        accel: bool, internal: str, normalize: bool,
+    ):
+        """Budget-bounded build: kmeans-partition the corpus (each row lands
+        in its 2 nearest partitions, DiskANN's default overlap), build an
+        independent Vamana graph per shard streaming the shard's rows off
+        disk, and merge the per-shard edge lists. Peak host memory is one
+        shard, not the corpus."""
+        from ..ops.kmeans import kmeans as _kmeans
+
+        count = self._count
+        n_shards = max(2, -(-2 * count // rows_in_budget))
+        self._build_stats["n_shards"] = n_shards
+        sample = self._sample_rows(data_mm, normalize, cap=131072)
+        cents, _ = _kmeans(sample, n_shards, n_iters=4 if accel else 8)
+        cents = cents.astype(np.float32)
+
+        # streaming 2-nearest-partition assignment
+        shard_rows: List[List[np.ndarray]] = [[] for _ in range(n_shards)]
+        chunk = max(8192, min(262144, rows_in_budget // 2))
+        c_sq = np.sum(cents.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        entry = np.zeros(n_shards, np.int32)
+        entry_best = np.full(n_shards, np.inf, np.float32)
+        for s in range(0, count, chunk):
+            e = min(s + chunk, count)
+            x = self._load_rows(data_mm, slice(s, e), normalize)
+            d2 = c_sq[None, :] - 2.0 * (x @ cents.T)  # rank-equivalent to L2^2
+            near2 = np.argpartition(d2, 1, axis=1)[:, :2]
+            for j in (0, 1):
+                a = near2[:, j]
+                for si in np.unique(a):
+                    shard_rows[si].append((s + np.nonzero(a == si)[0]).astype(np.int64))
+            # entry point per shard = row closest to its centroid
+            a0 = near2[:, 0]
+            d0 = np.take_along_axis(d2, a0[:, None], 1).ravel()
+            for si in np.unique(a0):
+                m_ = a0 == si
+                loc = np.argmin(d0[m_])
+                if d0[m_][loc] < entry_best[si]:
+                    entry_best[si] = d0[m_][loc]
+                    entry[si] = s + np.nonzero(m_)[0][loc]
+
+        graph = np.full((count, deg), -1, np.int32)
+        for si in range(n_shards):
+            if not shard_rows[si]:
+                continue
+            ids = np.unique(np.concatenate(shard_rows[si]))
+            x_local = self._load_rows(data_mm, ids, normalize)
+            n_l = len(ids)
+            if n_l < 2:
+                continue
+            deg_l = min(deg, n_l - 1)
+            inter = (
+                deg_l if accel
+                else min(max(deg_l * 2, min(efc, 128)), n_l - 1)
+            )
+            g_local = build_graph(
+                x_local, deg_l, internal, intermediate_deg=inter, alpha=VAMANA_ALPHA
+            )
+            g_glob = np.where(g_local >= 0, ids[np.clip(g_local, 0, None)], -1).astype(np.int32)
+            if g_glob.shape[1] < deg:
+                g_glob = np.pad(g_glob, ((0, 0), (0, deg - g_glob.shape[1])), constant_values=-1)
+            graph[ids] = self._merge_edges(graph[ids], g_glob, deg)
+            log_info(f"diskann shard {si + 1}/{n_shards}: {n_l} rows merged")
+        return graph, entry, cents
+
+    def _write_disk_payload(
+        self, prefix: str, data_mm, normalize: bool, sample: np.ndarray, disk_pq_dims: int
+    ) -> None:
+        from ..io.serialize import write_sections_streaming
+
+        count, dim = self._count, self._dim
+        chunk = 262144
+        if disk_pq_dims > 0:
+            m_disk = min(disk_pq_dims, dim)
+            while m_disk > 1 and dim % m_disk != 0:
+                m_disk -= 1
+            pq_disk = Q.pq_train(sample, m_disk, 8)
+            w = write_sections_streaming(
+                self._disk_path(prefix),
+                {"codes": ((count, m_disk), "uint8"),
+                 "codebooks": (tuple(pq_disk.codebooks.shape), "float32")},
+                meta={"dim": dim, "count": count, "disk_pq_dims": m_disk},
+            )
+            w.write("codebooks", 0, pq_disk.codebooks)
+            for s in range(0, count, chunk):
+                e = min(s + chunk, count)
+                w.write("codes", s, Q.pq_encode(pq_disk, self._load_rows(data_mm, slice(s, e), normalize)))
+            w.close()
+            return
+        # raw rows keep their native dtype (int8 stays 1 byte/dim on disk);
+        # cosine stores normalized fp32 copies
+        out_dtype = "float32" if normalize else str(data_mm.dtype)
+        w = write_sections_streaming(
+            self._disk_path(prefix),
+            {"data": ((count, dim), out_dtype)},
+            meta={"dim": dim, "count": count},
+        )
+        for s in range(0, count, chunk):
+            e = min(s + chunk, count)
+            block = (
+                self._load_rows(data_mm, slice(s, e), True)
+                if normalize
+                else np.asarray(data_mm[s:e])
+            )
+            w.write("data", s, block)
+        w.close()
 
     # --- load ------------------------------------------------------------------
     def Deserialize(self, binset: BinarySet, cfg: Config) -> Status:
@@ -257,7 +454,16 @@ class DiskANNIndexNode(IndexNode):
                 "codes": jax.device_put(np.asarray(arrays["pq_codes"])),
                 "codebooks": jax.device_put(books),
             }
-            self._disk_data = d_arrays["data"]  # zero-copy memmap view
+            # disk payload: raw rows, or PQ codes when built with disk_pq_dims
+            self._disk_pq = None
+            if "codes" in d_arrays:
+                dbooks = np.array(d_arrays["codebooks"])
+                self._disk_pq = Q.PQCodec(
+                    dbooks, dbooks.shape[0], int(np.log2(dbooks.shape[1]))
+                )
+                self._disk_data = d_arrays["codes"]  # zero-copy memmap view
+            else:
+                self._disk_data = d_arrays["data"]  # zero-copy memmap view
             # node cache: pin raw rows in HBM when budget allows; a partial
             # budget caches a node subset (reference: PQFlashIndex node cache
             # sized by search_cache_budget_gb, BFS-seeded from the medoid when
@@ -272,7 +478,7 @@ class DiskANNIndexNode(IndexNode):
             budget_rows = int(budget * 1e9 // max(row_bytes, 1))
             if budget_rows >= self._count:
                 self._refine_store = RefineStore(
-                    "raw", jax.device_put(np.asarray(self._disk_data, dtype=np.float32))
+                    "raw", jax.device_put(self._rows_from_disk(slice(None)))
                 )
             elif budget_rows >= 256:
                 if cfg.get("use_bfs_cache", False):
@@ -287,9 +493,7 @@ class DiskANNIndexNode(IndexNode):
                 self._cache_ids = cache_ids
                 self._cache_pos = np.full(self._count, -1, np.int32)
                 self._cache_pos[cache_ids] = np.arange(len(cache_ids), dtype=np.int32)
-                self._cache_rows = jax.device_put(
-                    np.asarray(self._disk_data[cache_ids], dtype=np.float32)
-                )
+                self._cache_rows = jax.device_put(self._rows_from_disk(cache_ids))
             if cfg.get("warm_up", False):
                 _ = np.asarray(self._disk_data[: min(1024, self._count)])  # touch pages
             self._loaded = True
@@ -340,6 +544,17 @@ class DiskANNIndexNode(IndexNode):
             p *= 2
         return p
 
+    def _rows_from_disk(self, sel) -> np.ndarray:
+        """fp32 rows off the disk payload — PQ-decoded when the index was
+        built with disk_pq_dims (reference disk PQ rerank path)."""
+        block = np.asarray(self._disk_data[sel])
+        if self._disk_pq is None:
+            return block.astype(np.float32, copy=False)
+        books = self._disk_pq.codebooks  # (m, ksub, sub_dim)
+        m = books.shape[0]
+        dec = books[np.arange(m)[None, :], block.astype(np.int64), :]
+        return np.ascontiguousarray(dec.reshape(block.shape[0], -1), dtype=np.float32)
+
     def _rerank_from_disk(self, xq: np.ndarray, cand: np.ndarray, k: int, is_l2: bool):
         """Exact rerank of beam candidates with raw rows (HBM cache or disk)."""
         if self._refine_store is not None:
@@ -362,7 +577,7 @@ class DiskANNIndexNode(IndexNode):
             P = self._pow2ceil(max(miss_ids.size, 1))
             rows_miss = np.zeros((P, self._dim), np.float32)
             if miss_ids.size:
-                rows_miss[: miss_ids.size] = np.asarray(self._disk_data[miss_ids], np.float32)
+                rows_miss[: miss_ids.size] = self._rows_from_disk(miss_ids)
             rows_dev = jnp.concatenate([self._cache_rows, jax.device_put(rows_miss)], axis=0)
             # local slot for each uniq id: cache slot for hits, C + rank for misses
             slot = np.where(hit, cpos, C + np.cumsum(~hit) - 1).astype(np.int32)
@@ -377,7 +592,7 @@ class DiskANNIndexNode(IndexNode):
         P = self._pow2ceil(max(uniq.size, 1))
         rows = np.zeros((P, self._dim), np.float32)
         if uniq.size:
-            rows[: uniq.size] = np.asarray(self._disk_data[uniq], dtype=np.float32)
+            rows[: uniq.size] = self._rows_from_disk(uniq)
         local[pos] = order
         store = RefineStore("raw", jax.device_put(rows))
         dists, loc = refine_topk(jax.device_put(xq), store, local, k, is_l2)
@@ -465,7 +680,7 @@ class DiskANNIndexNode(IndexNode):
         for s in range(0, self._count, chunk):
             check_current_cancellation()  # per-chunk (ivf.cc:962 analog)
             e = min(s + chunk, self._count)
-            block = jax.device_put(np.asarray(self._disk_data[s:e], dtype=np.float32))
+            block = jax.device_put(self._rows_from_disk(slice(s, e)))
             mask = jax.device_put(keep_all[s:e]) if keep_all is not None else None
             d, i = knn_device(q_dev, block, min(k, e - s), internal, mask=mask)
             d, i = np.asarray(d), np.asarray(i, np.int64)
@@ -589,6 +804,10 @@ class DiskANNIndexNode(IndexNode):
                 return expected.Err(Status.empty_index, "diskann index not loaded")
             if self._metric == M.COSINE:
                 return expected.Err(Status.not_implemented, "cosine diskann stores normalized rows")
+            if self._disk_pq is not None:
+                return expected.Err(
+                    Status.not_implemented, "disk_pq_dims index stores PQ codes, not raw rows"
+                )
             ids = np.asarray(dataset.ids, dtype=np.int64)
             if ids.min(initial=0) < 0 or ids.max(initial=-1) >= self._count:
                 return expected.Err(Status.invalid_args, "id out of range")
@@ -596,7 +815,7 @@ class DiskANNIndexNode(IndexNode):
             return expected.Ok(GenTensorDataSet(out, len(ids), self._dim))
 
     def HasRawData(self, metric_type: str = "L2") -> bool:
-        return normalize_metric(metric_type) != M.COSINE
+        return normalize_metric(metric_type) != M.COSINE and self._disk_pq is None
 
     def GetIndexMeta(self, cfg: Config) -> "expected[DataSet]":
         """Vamana graph overview (reference include/knowhere/feder/DiskANN.h)."""
@@ -631,7 +850,7 @@ class DiskANNIndexNode(IndexNode):
         ef = int(cfg.get("search_list_size") or max(int(cfg.get("k", 10) or 10), 16))
         graph = np.asarray(self._graph_dev)
         entry = np.asarray(self._entry)
-        x_host = np.asarray(self._disk_data[:])
+        x_host = self._rows_from_disk(slice(None))
         traces = [
             instrumented_walk(
                 x_host, graph, entry, q, ef, is_l2=self._metric != M.IP
@@ -672,12 +891,41 @@ class AisaqIndexNode(DiskANNIndexNode):
     """AISAQ variant (reference src/index/diskann/diskann_aisaq.cc): DiskANN
     with inline PQ codes stored alongside graph nodes on SSD. On this
     architecture PQ codes already live in HBM (the "inline" trade-off of the
-    reference exists to cut RAM; HBM residency supersedes it), so AISAQ
-    registers the same engine and accepts its extra knobs."""
+    reference exists to cut RAM; HBM residency supersedes it). Knob mapping:
+    num_entry_points caps the entry list at build; pq_cache_size folds into
+    the node-cache budget at load; vectors_beamwidth bounds the walk beam
+    when beamwidth is unset; inline_pq=false warns (nothing to disable —
+    codes are not on SSD here)."""
 
     def __init__(self, version: int, object=None):  # noqa: A002
         super().__init__(version, object)
         self.index_type = IndexEnum.INDEX_AISAQ
+
+    def Build(self, dataset: DataSet, cfg: Config) -> Status:
+        if cfg.get("inline_pq") is False:
+            log_warning(
+                "inline_pq=false requested: PQ codes are HBM-resident on this "
+                "architecture (no SSD-inline layout to disable) — flag ignored"
+            )
+        return super().Build(dataset, cfg)
+
+    def Deserialize(self, binset: BinarySet, cfg: Config) -> Status:
+        # pq_cache_size (GB of PQ data cached in RAM in the reference) folds
+        # into the raw-row node-cache budget when that budget is unset: both
+        # knobs buy "hot data resident instead of re-read"
+        pq_cache = float(cfg.get("pq_cache_size", 0.0) or 0.0)
+        if pq_cache > 0 and not cfg.get("search_cache_budget_gb"):
+            object.__setattr__(cfg, "search_cache_budget_gb", pq_cache)
+        return super().Deserialize(binset, cfg)
+
+    def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
+        vb = cfg.get("vectors_beamwidth")
+        if vb:
+            # both knobs bound per-hop IO parallelism; honor the tighter one
+            object.__setattr__(
+                cfg, "beamwidth", min(int(cfg.get("beamwidth", 8) or 8), int(vb))
+            )
+        return super().Search(dataset, cfg, bitset)
 
 
 class AisaqConfig(DiskANNConfig):
