@@ -117,6 +117,56 @@ def dtw_score(sim: np.ndarray) -> float:
     return float(acc[nq, nd])
 
 
+_DTW_NEG = np.float32(-1e30)
+
+
+def dtw_scores_batch(sim: np.ndarray, col_starts: np.ndarray, col_ends: np.ndarray) -> np.ndarray:
+    """DTW aggregate for MANY candidate documents at once: the per-cell
+    Python DP of dtw_score becomes an anti-diagonal wavefront vectorized over
+    candidates AND the diagonal (O(nq_tok + nd_tok) numpy steps instead of
+    O(nq_tok * nd_tok * n_cand) Python iterations). Segments are columns of
+    one (nq_tok, total_cand_tokens) similarity tile."""
+    C = len(col_starts)
+    nqt = sim.shape[0]
+    lens = (col_ends - col_starts).astype(np.int64)
+    ndt = int(lens.max())
+    s3 = np.full((C, nqt, ndt), _DTW_NEG, np.float32)
+    for ci in range(C):
+        s3[ci, :, : lens[ci]] = sim[:, col_starts[ci] : col_ends[ci]]
+    acc = np.full((C, nqt, ndt), _DTW_NEG, np.float32)
+    for dg in range(nqt + ndt - 1):
+        i0, i1 = max(0, dg - ndt + 1), min(nqt - 1, dg)
+        ii = np.arange(i0, i1 + 1)
+        jj = dg - ii
+        prev = np.full((C, ii.size), _DTW_NEG, np.float32)
+        m = (ii > 0) & (jj > 0)
+        if m.any():
+            prev[:, m] = acc[:, ii[m] - 1, jj[m] - 1]
+        prev[:, (ii == 0) & (jj == 0)] = 0.0
+        m = ii > 0
+        if m.any():
+            prev[:, m] = np.maximum(prev[:, m], acc[:, ii[m] - 1, jj[m]])
+        m = jj > 0
+        if m.any():
+            prev[:, m] = np.maximum(prev[:, m], acc[:, ii[m], jj[m] - 1])
+        acc[:, ii, jj] = s3[:, ii, jj] + prev
+    out = acc[np.arange(C), nqt - 1, lens - 1]
+    return np.where(lens > 0, out, np.float32(-np.inf))
+
+
+def max_sim_scores_batch(sim: np.ndarray, col_starts: np.ndarray, col_ends: np.ndarray) -> np.ndarray:
+    """MaxSim for many candidates: per-query-token best within each column
+    segment (np.maximum.reduceat over contiguous segments), summed."""
+    lens = col_ends - col_starts
+    if (lens <= 0).any():  # degenerate empty docs: fall back per candidate
+        return np.asarray(
+            [max_sim_score(sim[:, a:b]) for a, b in zip(col_starts, col_ends)],
+            np.float32,
+        )
+    best = np.maximum.reduceat(sim, col_starts, axis=1)  # (nq_tok, C)
+    return best.sum(axis=0).astype(np.float32)
+
+
 class EmbListIndex:
     """Adapter holding an underlying dense index + the emb_list strategy.
 
@@ -138,12 +188,18 @@ class EmbListIndex:
     def _muvera_fde(self, tokens: np.ndarray, lims: np.ndarray, query: bool = False) -> np.ndarray:
         p = self._fde_params
         rng = np.random.default_rng(p["seed"])
-        n_bits = min(int(p["num_projections"]), 6)
+        n_bits = int(p["num_projections"])  # uncapped, as in the reference
         B = 1 << n_bits
         reps = int(p["num_repeats"])
         d = tokens.shape[1]
         d_proj = min(d, max(8, 64 // max(reps // 4, 1)))
-        fde_rows = []
+        if reps * B * d_proj > (1 << 22):
+            # refuse loudly instead of silently shrinking the FDE
+            raise KnowhereException(
+                f"muvera FDE dim {reps * B * d_proj} too large "
+                f"(num_projections={n_bits}, num_repeats={reps})",
+                Status.invalid_args,
+            )
         planes, projs = [], []
         for r in range(reps):
             planes.append(rng.standard_normal((d, n_bits)).astype(np.float32))
@@ -156,16 +212,20 @@ class EmbListIndex:
             parts_all.append(part)
             proj_all.append(np.asarray(t_dev @ jax.device_put(projs[r])))
         ndocs = len(lims) - 1
+        # scatter every token into its (doc, partition) cell in one pass per
+        # rep — no per-document Python loop (corpus-scale builds)
+        doc_of_tok = (
+            np.searchsorted(lims, np.arange(tokens.shape[0]), side="right") - 1
+        ).astype(np.int64)
         out = np.zeros((ndocs, reps * B * d_proj), dtype=np.float32)
-        for doc in range(ndocs):
-            s, e = int(lims[doc]), int(lims[doc + 1])
-            for r in range(reps):
-                seg = out[doc, r * B * d_proj : (r + 1) * B * d_proj].reshape(B, d_proj)
-                np.add.at(seg, parts_all[r][s:e], proj_all[r][s:e])
-                if not query:
-                    counts = np.bincount(parts_all[r][s:e], minlength=B).astype(np.float32)
-                    nz = counts > 0
-                    seg[nz] /= counts[nz][:, None]  # doc side: partition centroid
+        for r in range(reps):
+            seg = out[:, r * B * d_proj : (r + 1) * B * d_proj].reshape(ndocs, B, d_proj)
+            np.add.at(seg, (doc_of_tok, parts_all[r]), proj_all[r])
+            if not query:
+                counts = np.zeros((ndocs, B), np.float32)
+                np.add.at(counts, (doc_of_tok, parts_all[r]), 1.0)
+                nz = counts > 0
+                seg[nz] /= counts[nz][:, None]  # doc side: partition centroid
         return out
 
     def _train_lemur(self, tokens: np.ndarray, lims: np.ndarray, cfg: Config) -> np.ndarray:
@@ -387,16 +447,19 @@ class EmbListIndex:
             if len(cands) == 0:
                 continue
             if rerank or self._strategy == "tokenann":
-                # one device tile: query tokens vs ALL candidate tokens
+                # one device tile: query tokens vs ALL candidate tokens, then
+                # one vectorized aggregate across every candidate segment
                 spans = [self._offset.tokens_of_doc(int(c)) for c in cands]
                 all_tok = np.concatenate([self._tokens[a:b] for a, b in spans])
                 sim = _token_sim_matrix(qt, all_tok, base_metric)
-                scores = np.empty(len(cands), np.float32)
-                pos = 0
-                for ci, (a, b) in enumerate(spans):
-                    seg = sim[:, pos : pos + (b - a)]
-                    scores[ci] = dtw_score(seg) if is_dtw else max_sim_score(seg)
-                    pos += b - a
+                seg_lens = np.asarray([b - a for a, b in spans], np.int64)
+                col_ends = np.cumsum(seg_lens)
+                col_starts = col_ends - seg_lens
+                scores = (
+                    dtw_scores_batch(sim, col_starts, col_ends)
+                    if is_dtw
+                    else max_sim_scores_batch(sim, col_starts, col_ends)
+                )
             else:
                 scores = -np.arange(len(cands), dtype=np.float32)  # keep ANN order
             order = np.argsort(-scores, kind="stable")[:k]

@@ -295,6 +295,7 @@ class SparseInvertedIndexNode(IndexNode):
         self._bm25_cache: Dict[tuple, object] = {}
         self._pending: List[Dict[int, float]] = []
         self._build_algo = "DAAT_MAXSCORE"
+        self._build_codec: Optional[str] = None
         # derived-data cache tied to the current postings epoch (window-max
         # block structures, row-major CSR); rebound fresh on every rebuild so
         # snapshots keep a consistent epoch. Lazy fills write into the shared
@@ -311,6 +312,17 @@ class SparseInvertedIndexNode(IndexNode):
             )
         self._drop_ratio_build = float(cfg.get("drop_ratio_build", 0.0) or 0.0)
         self._build_algo = (cfg.get("inverted_index_algo") or "DAAT_MAXSCORE").upper()
+        codec = (cfg.get("inverted_index_codec") or "").lower()
+        if codec and codec not in (
+            "flat", "none", "block_streamvbyte", "block_maskedvbyte",
+            "block_adaptive", "adaptive", "delta_varint",
+        ):
+            # reference rejects unknown non-empty codecs
+            # (sparse_index_node.cc:538)
+            raise KnowhereException(
+                f"unknown inverted_index_codec {codec}", Status.invalid_value_in_json
+            )
+        self._build_codec = codec or None
         self._dim = dataset.dim
         return Status.success
 
@@ -636,8 +648,21 @@ class SparseInvertedIndexNode(IndexNode):
 
             indices_arr = np.asarray(idx_l, np.int32)
             # compressed posting indices (reference posting codecs,
-            # src/index/sparse/codec/): per-row delta + varint
-            codec_blob = _native.encode_csr_indices(indices_arr, indptr)
+            # src/index/sparse/codec/). inverted_index_codec follows the
+            # reference names (sparse_index_node.cc:527-538): the vbyte
+            # family maps onto the native varint stream; block_adaptive
+            # picks the cheaper of varint and bitpack per stream; "" / "flat"
+            # stores raw indices
+            want = (self._build_codec or "block_adaptive").lower()
+            if want in ("", "flat", "none"):
+                codec_blob, codec_name = indices_arr.tobytes(), "raw"
+            elif want in ("block_streamvbyte", "block_maskedvbyte", "delta_varint"):
+                codec_blob = _native.encode_csr_indices(indices_arr, indptr)
+                codec_name = "delta_varint"
+            else:  # block_adaptive / adaptive
+                codec_blob, codec_name = _native.encode_csr_indices_adaptive(
+                    indices_arr, indptr
+                )
             arrays = {
                 "indptr": indptr,
                 "indices_codec": np.frombuffer(codec_blob, dtype=np.uint8),
@@ -650,7 +675,7 @@ class SparseInvertedIndexNode(IndexNode):
                 "drop_ratio_build": self._drop_ratio_build,
                 "build_algo": self._build_algo,
                 "index_type": self.Type(),
-                "indices_codec": "delta_varint",
+                "indices_codec": codec_name,
             }
             binset.Append(self.Type(), write_sections(arrays, meta=meta))
             return Status.success
@@ -669,9 +694,12 @@ class SparseInvertedIndexNode(IndexNode):
 
             indptr = np.asarray(arrays["indptr"])
             if "indices_codec" in arrays:
-                indices = _native.decode_csr_indices(
-                    np.asarray(arrays["indices_codec"]).tobytes(), indptr
-                )
+                codec = meta.get("indices_codec", "delta_varint")
+                blob = np.asarray(arrays["indices_codec"]).tobytes()
+                if codec == "raw":
+                    indices = np.frombuffer(blob, dtype=np.int32)
+                else:
+                    indices = _native.decode_csr_indices_any(blob, indptr, codec)
             else:
                 indices = np.asarray(arrays["indices"])
             values = np.asarray(arrays["values"])

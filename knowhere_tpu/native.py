@@ -306,3 +306,54 @@ def gather_rows(path: str, base_offset: int, row_bytes: int, row_ids: np.ndarray
             f.seek(base_offset + int(rid) * row_bytes)
             out[i * row_bytes : (i + 1) * row_bytes] = np.frombuffer(f.read(row_bytes), np.uint8)
     return out.reshape(len(ids), row_bytes)
+
+
+# ---------------------------------------------------------------------------
+# adaptive codec selection (reference src/index/sparse/codec/adaptive.h:
+# pick the cheaper encoding per stream; names follow sparse_index_node.cc
+# "block_streamvbyte"/"block_maskedvbyte"/"block_adaptive")
+# ---------------------------------------------------------------------------
+
+
+def _csr_deltas(indices: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    deltas = idx.copy()
+    deltas[1:] -= idx[:-1]
+    starts = np.asarray(indptr[1:-1], dtype=np.int64)
+    starts = starts[starts < idx.size]
+    deltas[starts] = idx[starts]  # reset delta chain at each row start
+    return deltas.astype(np.uint32)
+
+
+def _csr_from_deltas(deltas: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+    c = np.cumsum(deltas.astype(np.int64))
+    row_start = np.asarray(indptr[:-1], dtype=np.int64)
+    lens = np.diff(indptr).astype(np.int64)
+    nonempty = lens > 0
+    base = np.zeros(len(row_start), np.int64)
+    base[nonempty] = c[row_start[nonempty]] - deltas[row_start[nonempty]].astype(np.int64)
+    return (c - np.repeat(base, lens)).astype(np.int32)
+
+
+def encode_csr_indices_adaptive(indices: np.ndarray, indptr: np.ndarray) -> Tuple[bytes, str]:
+    """Adaptive per-stream codec choice: delta-varint vs delta-bitpack,
+    whichever is smaller (reference codec/adaptive.h selection)."""
+    if np.asarray(indices).size == 0:
+        return b"", "delta_varint"
+    deltas = _csr_deltas(indices, indptr)
+    vb = varint_encode(deltas)
+    bp, bits = bitpack(deltas)
+    if len(bp) + 1 < len(vb):
+        return bytes([bits]) + bp, "delta_bitpack"
+    return vb, "delta_varint"
+
+
+def decode_csr_indices_any(blob: bytes, indptr: np.ndarray, codec: str) -> np.ndarray:
+    nnz = int(indptr[-1])
+    if nnz == 0:
+        return np.empty(0, np.int32)
+    if codec == "delta_bitpack":
+        bits = blob[0]
+        deltas = bitunpack(blob[1:], nnz, int(bits)).astype(np.uint32)
+        return _csr_from_deltas(deltas, indptr)
+    return decode_csr_indices(blob, indptr)

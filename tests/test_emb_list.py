@@ -233,3 +233,53 @@ class TestAggregateOracles:
         # monotone path cannot take BOTH 1.0s (they are anti-diagonal):
         # best = 1.0 + 0.0 via (0,1)->(1,1) or (0,0)->(1,0) etc.
         assert dtw_score(sim2) == 1.0
+
+
+def test_dtw_batch_matches_scalar():
+    """dtw_scores_batch (anti-diagonal wavefront) equals the scalar DP."""
+    from knowhere_tpu.models.emb_list import dtw_score, dtw_scores_batch
+
+    rng = np.random.default_rng(3)
+    nqt = 7
+    seg_lens = [1, 3, 9, 4, 2]
+    sim = rng.standard_normal((nqt, sum(seg_lens))).astype(np.float32)
+    ends = np.cumsum(seg_lens)
+    starts = ends - np.asarray(seg_lens)
+    batch = dtw_scores_batch(sim, starts, ends)
+    scalar = [dtw_score(sim[:, a:b]) for a, b in zip(starts, ends)]
+    np.testing.assert_allclose(batch, scalar, rtol=1e-5)
+
+
+def test_max_sim_batch_matches_scalar():
+    from knowhere_tpu.models.emb_list import max_sim_score, max_sim_scores_batch
+
+    rng = np.random.default_rng(4)
+    seg_lens = [2, 5, 1, 8]
+    sim = rng.standard_normal((6, sum(seg_lens))).astype(np.float32)
+    ends = np.cumsum(seg_lens)
+    starts = ends - np.asarray(seg_lens)
+    batch = max_sim_scores_batch(sim, starts, ends)
+    scalar = [max_sim_score(sim[:, a:b]) for a, b in zip(starts, ends)]
+    np.testing.assert_allclose(batch, scalar, rtol=1e-6)
+
+
+def test_muvera_num_projections_uncapped():
+    """num_projections > 6 produces a genuinely wider FDE (the silent cap is
+    gone, matching the reference's uncapped SimHash partitions)."""
+    ds = gen_emb_list(30, 16, seed=11)
+    qds = gen_emb_list(2, 16, seed=12)
+    dims = {}
+    for npj in (4, 8):
+        cfg = {
+            "metric_type": "MAX_SIM_IP", "k": 3,
+            "emb_list_strategy": "muvera",
+            "muvera_num_projections": npj, "muvera_num_repeats": 2,
+            "retrieval_ann_ratio": 2.0,
+        }
+        idx = kt.IndexFactory.Instance().Create("FLAT").value()
+        assert idx.Build(ds, cfg) == kt.Status.success
+        r = idx.Search(qds, cfg, kt.BitsetView())
+        assert r.has_value(), r.what()
+        dims[npj] = idx._emb._under.Dim()
+    # FDE width grows with num_projections (2^n_bits partitions per rep)
+    assert dims[8] > dims[4], dims

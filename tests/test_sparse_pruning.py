@@ -187,3 +187,37 @@ def test_pruned_bm25(corpus):
     s1 = r1.distance.reshape(NQ, K); i1 = r1.ids.reshape(NQ, K)
     for a, b in zip(_pos_sets(s0, i0), _pos_sets(s1, i1)):
         assert a == b
+
+
+def test_codec_selection_roundtrip(corpus):
+    """inverted_index_codec honors the reference names (flat / vbyte family /
+    block_adaptive) and every choice round-trips identically."""
+    base, queries = corpus
+    results = {}
+    for codec in ("", "block_streamvbyte", "block_adaptive"):
+        idx = kt.IndexFactory.Instance().Create(
+            "SPARSE_INVERTED_INDEX", data_type="sparse"
+        ).value()
+        cfg = {"metric_type": "IP"}
+        if codec:
+            cfg["inverted_index_codec"] = codec
+        assert idx.Build(_ds(base[:2000]), cfg) == kt.Status.success
+        bs = kt.BinarySet()
+        assert idx.Serialize(bs) == kt.Status.success
+        idx2 = kt.IndexFactory.Instance().Create(
+            "SPARSE_INVERTED_INDEX", data_type="sparse"
+        ).value()
+        assert idx2.Deserialize(bs, cfg) == kt.Status.success
+        r = idx2.Search(_ds(queries), {"metric_type": "IP", "k": K}, kt.BitsetView())
+        results[codec] = r.value().ids.copy()
+    for codec in ("block_streamvbyte", "block_adaptive"):
+        np.testing.assert_array_equal(results[""], results[codec])
+
+
+def test_unknown_codec_rejected(corpus):
+    base, _ = corpus
+    idx = kt.IndexFactory.Instance().Create(
+        "SPARSE_INVERTED_INDEX", data_type="sparse"
+    ).value()
+    st = idx.Build(_ds(base[:100]), {"metric_type": "IP", "inverted_index_codec": "bogus"})
+    assert st != kt.Status.success
