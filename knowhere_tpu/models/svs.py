@@ -40,6 +40,18 @@ class SvsVamanaConfig(BaseHnswConfig):
             object.__setattr__(self, "efConstruction", self.svs_construction_window_size)
         if self.svs_search_window_size is not None and self.ef is None:
             object.__setattr__(self, "ef", self.svs_search_window_size)
+        if self.svs_leanvec_dim is not None:
+            # loud no-op (never silent): a dimensionality-reduced walk was
+            # measured on this hardware and REJECTED — recall collapsed for
+            # equal wall-clock (docs/ROUND1.md pHNSW negative result), so the
+            # LeanVec variant serves from the SQ8-compressed store instead
+            from ..utils.logging import log_warning
+
+            log_warning(
+                f"svs_leanvec_dim={self.svs_leanvec_dim} requested: projected "
+                "walks measured worse than the SQ8 store on TPU (recall "
+                "collapse at equal wall-clock) — serving from SQ8 instead"
+            )
         return Status.success, ""
 
 
