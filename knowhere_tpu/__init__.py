@@ -59,7 +59,7 @@ from .dataset import (  # noqa: F401
     GenSparseDataSet,
 )
 from .factory import IndexFactory, IndexStaticFaced, register_index  # noqa: F401
-from .feature import KnowhereCheck, Version, feature  # noqa: F401
+from .feature import KnowhereCheck, UseDiskLoad, Version, feature  # noqa: F401
 from .index import Index, Interrupt  # noqa: F401
 from .index_node import (  # noqa: F401
     BatchedDistanceIterator,

@@ -183,6 +183,17 @@ class KnowhereCheck:
         return index_name in EMB_LIST_CAPABLE
 
 
+def UseDiskLoad(index_type: str, version: int = 0) -> bool:
+    """Whether Milvus should load this index via the disk path
+    (reference src/common/utils.cc:133-146, open build without
+    KNOWHERE_WITH_CARDINAL: DISKANN, MINHASH_LSH, AISAQ)."""
+    return index_type in (
+        IndexEnum.INDEX_DISKANN,
+        IndexEnum.INDEX_MINHASH_LSH,
+        IndexEnum.INDEX_AISAQ,
+    )
+
+
 def feature_for_datatype(data_type: str) -> int:
     return {
         "fp32": feature.FLOAT32,

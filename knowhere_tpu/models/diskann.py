@@ -885,6 +885,13 @@ register_index(
     ("fp32", "fp16", "bf16", "int8"),
     feature.ALL_DENSE_FLOAT_TYPE | feature.INT8 | feature.KNN | feature.DISK | feature.LAZY_LOAD,
 )(DiskANNIndexNode)
+# legacy alias (reference diskann.cc:1070 registers DISKANN_DEPRECATED over
+# the same float types)
+register_index(
+    "DISKANN_DEPRECATED",
+    ("fp32", "fp16", "bf16"),
+    feature.ALL_DENSE_FLOAT_TYPE | feature.KNN | feature.DISK | feature.LAZY_LOAD,
+)(DiskANNIndexNode)
 
 
 class AisaqIndexNode(DiskANNIndexNode):

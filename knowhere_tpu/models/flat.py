@@ -268,6 +268,12 @@ register_index(
     ("bin1",),
     feature.BINARY | feature.MMAP | feature.KNN | feature.NO_TRAIN,
 )(FlatIndexNode)
+# legacy alias (reference flat.cc:418 registers BINFLAT alongside BIN_FLAT)
+register_index(
+    "BINFLAT",
+    ("bin1",),
+    feature.BINARY | feature.MMAP | feature.KNN | feature.NO_TRAIN,
+)(FlatIndexNode)
 
 # TPU_BRUTE_FORCE alias (the reference's GPU_CUVS_BRUTE_FORCE equivalent)
 register_index(

@@ -1463,6 +1463,8 @@ register_index(
 register_index(
     IndexEnum.INDEX_FAISS_BIN_IVFFLAT, ("bin1",), _F.BINARY | _F.KNN | _F.MMAP,
 )(BinIvfFlatNode)
+# legacy alias (reference ivf.cc:1926 registers IVFBIN alongside BIN_IVF_FLAT)
+register_index("IVFBIN", ("bin1",), _F.BINARY | _F.KNN | _F.MMAP)(BinIvfFlatNode)
 
 # TPU_*/GPU_* accelerated aliases (reference GPU_CUVS_* equivalents)
 for _alias, _node in (

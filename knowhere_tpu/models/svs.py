@@ -84,3 +84,9 @@ register_index(
     IndexEnum.INDEX_HNSW_DEPRECATED, _DENSE + ("bin1",),
     _F.ALL_DENSE_TYPE | _F.BINARY | _F.KNN,
 )(HnswFlatNode)
+# faiss-era deprecated registration (reference faiss_hnsw.cc:3255-3261:
+# HNSW_DEPRECATED over float-all + int8 + binary)
+register_index(
+    "HNSW_DEPRECATED", _DENSE + ("bin1",),
+    _F.ALL_DENSE_TYPE | _F.BINARY | _F.KNN,
+)(HnswFlatNode)

@@ -77,3 +77,30 @@ class TestStaticTables:
         for alias in ("TPU_BRUTE_FORCE", "GPU_CUVS_IVF_PQ", "TPU_CAGRA"):
             created = IndexFactory.Instance().Create(alias)
             assert created.has_value(), alias
+
+    def test_reference_registration_name_parity(self):
+        """Every index name the reference's open build registers must create
+        here (reference flat.cc:418 BINFLAT, ivf.cc:1926 IVFBIN,
+        faiss_hnsw.cc:3255-3261 HNSW_DEPRECATED, hnsw.cc:39
+        HNSWLIB_DEPRECATED, diskann.cc:1070 DISKANN_DEPRECATED)."""
+        for name, dt in (
+            ("BINFLAT", "bin1"),
+            ("IVFBIN", "bin1"),
+            ("HNSW_DEPRECATED", "fp32"),
+            ("HNSW_DEPRECATED", "bin1"),
+            ("HNSWLIB_DEPRECATED", "fp32"),
+            ("DISKANN_DEPRECATED", "fp32"),
+        ):
+            created = IndexFactory.Instance().Create(name, data_type=dt)
+            assert created.has_value(), (name, dt)
+        # CARDINAL_TIERED is gated behind KNOWHERE_WITH_CARDINAL in the
+        # reference (closed-source plugin); the open build rejects it too
+        assert not IndexFactory.Instance().Create("CARDINAL_TIERED").has_value()
+
+    def test_use_disk_load(self):
+        # reference src/common/utils.cc:133-146 (open build)
+        assert kt.UseDiskLoad("DISKANN")
+        assert kt.UseDiskLoad("MINHASH_LSH")
+        assert kt.UseDiskLoad("AISAQ")
+        assert not kt.UseDiskLoad("HNSW")
+        assert not kt.UseDiskLoad("IVF_FLAT")
