@@ -658,12 +658,9 @@ class DiskANNIndexNode(IndexNode):
             return expected.Ok(GenResultDataSet(nq, k, ids.astype(np.int64), dists))
 
     def _pad_q(self, a: np.ndarray) -> np.ndarray:
-        n, p = a.shape[0], 16
-        while p < n:
-            p *= 2
-        if p == n:
-            return a
-        return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+        from ..ops.distances import pad_rows_ladder
+
+        return pad_rows_ladder(a)
 
     def _brute_force_disk(self, xq, k, bitset: BitsetView):
         from ..ops.topk import knn_device

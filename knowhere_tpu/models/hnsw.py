@@ -648,12 +648,9 @@ class HnswIndexNode(IndexNode):
             return expected.Ok(GenResultDataSet(nq, k, ids, dists))
 
     def _pad_q(self, a: np.ndarray) -> np.ndarray:
-        n, p = a.shape[0], 16
-        while p < n:
-            p *= 2
-        if p == n:
-            return a
-        return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+        from ..ops.distances import pad_rows_ladder
+
+        return pad_rows_ladder(a)
 
     def _graph_search(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1):
         if self._inline is not None:

