@@ -23,7 +23,7 @@ from knowhere_tpu.ops.distances import DistancePrecision, set_distance_precision
 from benchmark.suite import gen_corpus, recall_at_k  # noqa: E402
 
 NB, DIM, NQ, GT_NQ, K, TARGET = 1_000_000, 128, 8192, 1000, 10, 0.95
-EFS = [16, 32, 64, 128, 256, 512]
+EFS = [16, 20, 24, 28, 32, 48, 64, 96, 128, 256, 512]
 
 
 def sweep(idx, xq, gt, tag):
