@@ -85,7 +85,48 @@ def _score_matrix(
         vals_eff = bm25_doc_values(values, row_sums, indptr, k1, b, avgdl)
     else:
         vals_eff = values
-    # postings: dim -> (doc ids, doc values)
+    nq = len(q_rows)
+
+    def _q_items(qrow):
+        items = list(qrow.items()) if isinstance(qrow, dict) else list(zip(*qrow))
+        if drop_ratio_search > 0 and items:
+            vals_abs = np.abs(np.asarray([v for _, v in items], dtype=np.float32))
+            thresh = np.quantile(vals_abs, drop_ratio_search) if len(vals_abs) else 0.0
+            items = [(d, v) for (d, v) in items if abs(v) >= thresh]
+        return items
+
+    try:
+        from scipy import sparse as _sp
+    except ImportError:  # pragma: no cover
+        _sp = None
+    if _sp is not None and len(indices):
+        vocab = int(indices.max()) + 1
+        D = _sp.csr_matrix(
+            (vals_eff.astype(np.float32), indices.astype(np.int64), indptr),
+            shape=(nb, vocab),
+        )
+        q_indptr = [0]
+        q_idx, q_val = [], []
+        for qrow in q_rows:
+            for d, v in _q_items(qrow):
+                if 0 <= int(d) < vocab:
+                    q_idx.append(int(d))
+                    q_val.append(float(v))
+            q_indptr.append(len(q_idx))
+        Q = _sp.csr_matrix(
+            (np.asarray(q_val, np.float32), np.asarray(q_idx, np.int64),
+             np.asarray(q_indptr, np.int64)),
+            shape=(nq, vocab),
+        )
+        DT = D.T.tocsr()
+        scores = np.zeros((nq, nb), dtype=np.float32)
+        chunk = max(1, min(nq, (512 << 20) // max(nb * 4, 1)))
+        for s0 in range(0, nq, chunk):
+            e0 = min(s0 + chunk, nq)
+            scores[s0:e0] = (Q[s0:e0] @ DT).toarray()
+        return scores
+
+    # postings: dim -> (doc ids, doc values) — loop fallback without scipy
     order = np.argsort(indices, kind="stable")
     sorted_dims = indices[order]
     doc_of = np.repeat(np.arange(nb, dtype=np.int64), np.diff(indptr))[order]
@@ -94,15 +135,9 @@ def _score_matrix(
     ends = np.append(starts[1:], len(sorted_dims))
     dim_slot = {int(d): (int(s), int(e)) for d, s, e in zip(uniq_dims, starts, ends)}
 
-    nq = len(q_rows)
     scores = np.zeros((nq, nb), dtype=np.float32)
     for qi, qrow in enumerate(q_rows):
-        items = list(qrow.items()) if isinstance(qrow, dict) else list(zip(*qrow))
-        if drop_ratio_search > 0 and items:
-            vals_abs = np.abs(np.asarray([v for _, v in items], dtype=np.float32))
-            thresh = np.quantile(vals_abs, drop_ratio_search) if len(vals_abs) else 0.0
-            items = [(d, v) for (d, v) in items if abs(v) >= thresh]
-        for d, v in items:
+        for d, v in _q_items(qrow):
             slot = dim_slot.get(int(d))
             if slot is None:
                 continue
@@ -236,7 +271,17 @@ from ..feature import feature as _feature
 from ..index_param import IndexEnum
 from ..index_node import IndexNode
 from ..io.serialize import read_sections, write_sections
-from ..ops.sparse_ops import SparsePostings, bm25_transform, build_postings, sparse_search
+from ..ops.sparse_ops import (
+    SparsePostings,
+    bm25_transform,
+    build_padded_docs,
+    build_postings,
+    exact_rescore_pool,
+    padded_bm25_vals,
+    sparse_full_scores_padded,
+    sparse_search,
+    sparse_search_padded,
+)
 
 _ALGOS = (
     "INHERIT",
@@ -398,6 +443,35 @@ class SparseInvertedIndexNode(IndexNode):
             self._bm25_cache[key] = (host, _jax.device_put(host))
         return self._bm25_cache[key][1]
 
+    def _padded_for(self, cfg: Config):
+        """(PaddedDocs, dims_dev, vals_dev) for the current epoch/metric —
+        the doc-major padded engine (ops/sparse_ops.py PaddedDocs); None when
+        the row-length distribution makes padding pathological. Lazily built
+        into the epoch cache dict."""
+        got = self._caches.get("padded")
+        if got is None:
+            p = build_padded_docs(self._rows, self._drop_ratio_build)
+            if p is None:
+                self._caches["padded"] = (None, None)
+                return None
+            self._caches["padded"] = (p, _jax.device_put(p.dims_pad))
+            got = self._caches["padded"]
+        p, dims_dev = got
+        if p is None:
+            return None
+        if self._metric != M.BM25:
+            vkey = ("pvals", "ip")
+            if vkey not in self._caches:
+                self._caches[vkey] = _jax.device_put(p.vals_pad)
+        else:
+            k1 = float(cfg.get("bm25_k1"))
+            b = float(cfg.get("bm25_b"))
+            avgdl = float(cfg.get("bm25_avgdl"))
+            vkey = ("pvals", round(k1, 6), round(b, 6), round(avgdl, 6))
+            if vkey not in self._caches:
+                self._caches[vkey] = _jax.device_put(padded_bm25_vals(p, k1, b, avgdl))
+        return p, dims_dev, self._caches[vkey]
+
     def _vals_host_for(self, cfg: Config) -> tuple:
         """(host metric-transformed posting vals, cache key) — feeds the
         window-max block structure for the pruned search path."""
@@ -478,13 +552,28 @@ class SparseInvertedIndexNode(IndexNode):
             # the pruning searcher
             algo = snap._build_algo or ("DAAT_WAND" if snap.IS_WAND else "DAAT_MAXSCORE")
         rf = int(cfg.get("refine_factor", 1) or 1)
-        if algo != "TAAT_NAIVE":
-            scores, ids = snap._search_pruned(q_rows, cfg, k, drop, rf, mask, self)
-        else:
-            scores, ids = sparse_search(
-                snap._postings, vals, snap._doc_ids_dev, q_rows, k,
-                drop_ratio_search=drop, mask=mask,
+        wsize = int(np.clip(int(cfg.get("sindi_window_size", 65535) or 65535), 1024, 65535))
+        nw = max(1, -(-snap._postings.nb // wsize))
+        padded = snap._padded_for(cfg)
+        if algo == "TAAT_NAIVE":
+            if padded is not None:
+                scores, ids = snap._search_padded(
+                    padded, q_rows, k, drop, 1, mask, self, nw, wsize
+                )
+            else:
+                scores, ids = sparse_search(
+                    snap._postings, vals, snap._doc_ids_dev, q_rows, k,
+                    drop_ratio_search=drop, mask=mask,
+                )
+        elif padded is not None and nw < 8:
+            # with <8 windows, per-window pruning cannot pay for itself —
+            # run the exhaustive padded device scan (exact, so a strict
+            # superset of any pruned result); refine semantics preserved
+            scores, ids = snap._search_padded(
+                padded, q_rows, k, drop, rf, mask, self, nw, wsize
             )
+        else:
+            scores, ids = snap._search_pruned(q_rows, cfg, k, drop, rf, mask, self)
         pend = snap._pending_scores(q_rows, cfg, bitset)
         if pend is not None:
             base_nb = snap._postings.nb
@@ -498,6 +587,47 @@ class SparseInvertedIndexNode(IndexNode):
             order = np.argsort(-sort_key, axis=1, kind="stable")[:, :k]
             scores = np.take_along_axis(cat_s, order, 1)
             ids = np.take_along_axis(cat_i, order, 1)
+        return scores, ids
+
+    def _csr_cache(self):
+        """Row-major CSR for exact refine rescoring (epoch-cached)."""
+        csr = self._caches.get("csr")
+        if csr is None:
+            indptr = np.zeros(len(self._rows) + 1, np.int64)
+            idx_l, val_l = [], []
+            for i, row in enumerate(self._rows):
+                items = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
+                idx_l.extend(d for d, _ in items)
+                val_l.extend(v for _, v in items)
+                indptr[i + 1] = len(idx_l)
+            csr = (indptr, np.asarray(idx_l, np.int64), np.asarray(val_l, np.float32))
+            self._caches["csr"] = csr
+        return csr
+
+    def _search_padded(self, padded3, q_rows, k: int, drop: float, rf: int, mask, live, nw, wsize):
+        """Exhaustive doc-major padded device scan (the default engine):
+        exact scores, query-term drop on the host, optional full-query
+        refine of the k*rf pool (sparse_index_config.h:84-96)."""
+        from ..comp import check_current_cancellation
+
+        p, dims_dev, vals_dev = padded3
+        want_refine = rf > 1 and drop > 0
+        k_pool = k * rf if want_refine else k
+        scores, ids = sparse_search_padded(
+            p, dims_dev, vals_dev, q_rows, k_pool,
+            drop_ratio_search=drop, mask=mask,
+            cancel_check=check_current_cancellation,
+        )
+        if want_refine:
+            scores, ids = exact_rescore_pool(self._csr_cache(), q_rows, ids, k)
+        live._last_search_stats = {
+            "windows_scanned_a": len(q_rows) * nw,
+            "windows_scanned_b": 0,
+            "windows_total": len(q_rows) * nw,
+            "n_windows": nw,
+            "window_size": wsize,
+            "engine": "padded_exhaustive",
+        }
         return scores, ids
 
     def _search_pruned(self, q_rows, cfg: Config, k: int, drop: float, rf: int, mask, live):
@@ -515,19 +645,7 @@ class SparseInvertedIndexNode(IndexNode):
         if wmax is None:
             wmax = build_window_max(self._postings, vals_host, wsize)
             self._caches[wkey] = wmax
-        csr = None
-        if rf > 1 and drop > 0:
-            csr = self._caches.get("csr")
-            if csr is None:
-                indptr = np.zeros(len(self._rows) + 1, np.int64)
-                idx_l, val_l = [], []
-                for i, row in enumerate(self._rows):
-                    items = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
-                    idx_l.extend(d for d, _ in items)
-                    val_l.extend(v for _, v in items)
-                    indptr[i + 1] = len(idx_l)
-                csr = (indptr, np.asarray(idx_l, np.int64), np.asarray(val_l, np.float32))
-                self._caches["csr"] = csr
+        csr = self._csr_cache() if (rf > 1 and drop > 0) else None
         stats: Dict[str, int] = {}
         scores, ids = sparse_search_pruned(
             self._postings, self._vals_for(cfg), self._doc_ids_dev, q_rows, k,
@@ -561,12 +679,21 @@ class SparseInvertedIndexNode(IndexNode):
             mask = None
             if not bitset.empty_view():
                 mask = _jax.device_put(bitset.host_mask(self._postings.nb))
+            drop = float(cfg.get("drop_ratio_search", 0.0) or 0.0)
+            padded = self._padded_for(cfg)
+            if padded is not None:
+                p, dims_dev, vals_dev = padded
+                from ..comp import check_current_cancellation
+
+                return sparse_full_scores_padded(
+                    p, dims_dev, vals_dev, q_rows, drop_ratio_search=drop,
+                    mask=mask, cancel_check=check_current_cancellation,
+                )
             from ..ops.sparse_ops import sparse_full_scores
 
             return sparse_full_scores(
                 self._postings, self._vals_for(cfg), self._doc_ids_dev, q_rows,
-                drop_ratio_search=float(cfg.get("drop_ratio_search", 0.0) or 0.0),
-                mask=mask,
+                drop_ratio_search=drop, mask=mask,
             )
 
     def RangeSearch(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":

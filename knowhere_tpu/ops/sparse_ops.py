@@ -198,6 +198,262 @@ def sparse_full_scores(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Padded doc-major engine — the default exhaustive scorer.
+#
+# The scatter-TAAT engine above assembles posting-entry index arrays on the
+# host per query; with Zipf-popular terms whose posting lists span most of
+# the corpus that is GBs of host work per chunk. This engine instead stores
+# documents as PADDED fixed-width rows (dims_pad/vals_pad, (nb, L)) with
+# REMAPPED dim ids, densifies the query chunk into a (n_dims+1, nqc) matrix,
+# and scores entirely on device with regular gathers + an L-axis reduce —
+# no scatter, no host assembly. This is the SINDI batched formulation
+# (reference sindi_inverted_index.h) expressed TPU-first.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PaddedDocs:
+    """Doc-major padded storage with remapped dims."""
+
+    dims_pad: np.ndarray  # (nb_pad, L) int32, remapped; sentinel = n_dims
+    vals_pad: np.ndarray  # (nb_pad, L) f32 raw term weights; 0 at padding
+    dim_map: Dict[int, int]  # original dim id -> remapped [0, n_dims)
+    n_dims: int
+    L: int
+    nb: int  # true rows (nb_pad >= nb, sentinel rows beyond)
+    row_sums: np.ndarray  # (nb_pad,) f32 document lengths (for BM25)
+
+
+def build_padded_docs(
+    rows: List[Dict[int, float]],
+    drop_ratio_build: float = 0.0,
+    max_pad_ratio: float = 4.0,
+) -> Optional[PaddedDocs]:
+    """None when the length distribution makes padding pathological
+    (max nnz > max(max_pad_ratio * p99, 256)) — caller falls back to the
+    scatter engine."""
+    nb = len(rows)
+    if nb == 0:
+        return None
+    lens = np.fromiter((len(r) if isinstance(r, dict) else len(r[0]) for r in rows), np.int64, nb)
+    max_len = int(lens.max(initial=0))
+    if max_len == 0:
+        return None
+    p99 = float(np.quantile(lens, 0.99))
+    if max_len > max(max_pad_ratio * p99, 256):
+        return None
+    # assemble entries (row-major), mirroring build_postings' drop semantics
+    dims_l, vals_l, rid_l = [], [], []
+    for i, row in enumerate(rows):
+        items = row.items() if isinstance(row, dict) else zip(*row)
+        for d, v in items:
+            dims_l.append(int(d))
+            vals_l.append(v)
+            rid_l.append(i)
+    dims = np.asarray(dims_l, np.int64)
+    vals = np.asarray(vals_l, np.float32)
+    rids = np.asarray(rid_l, np.int64)
+    row_sums_all = np.zeros(nb, np.float32)
+    np.add.at(row_sums_all, rids, vals)
+    if drop_ratio_build > 0 and vals.size:
+        thresh = np.quantile(np.abs(vals), drop_ratio_build)
+        keep = np.abs(vals) >= thresh
+        dims, vals, rids = dims[keep], vals[keep], rids[keep]
+    uniq = np.unique(dims)
+    n_dims = int(uniq.size)
+    dim_map = {int(d): i for i, d in enumerate(uniq)}
+    remapped = np.searchsorted(uniq, dims).astype(np.int32)
+    # per-row slot position (entries are row-major already)
+    counts = np.bincount(rids, minlength=nb)
+    L = int(counts.max(initial=1))
+    L = max(8, -(-L // 8) * 8)  # multiple of 8 for clean lanes
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(dims.size, dtype=np.int64) - np.repeat(starts, counts)
+    W_ALIGN = 256
+    nb_pad = max(W_ALIGN, -(-nb // W_ALIGN) * W_ALIGN)
+    dims_pad = np.full((nb_pad, L), n_dims, np.int32)
+    vals_pad = np.zeros((nb_pad, L), np.float32)
+    dims_pad[rids, slot] = remapped
+    vals_pad[rids, slot] = vals
+    row_sums = np.zeros(nb_pad, np.float32)
+    row_sums[:nb] = row_sums_all
+    return PaddedDocs(dims_pad, vals_pad, dim_map, n_dims, L, nb, row_sums)
+
+
+def padded_bm25_vals(p: PaddedDocs, k1: float, b: float, avgdl: float) -> np.ndarray:
+    """BM25 doc-value transform of vals_pad (reference sparse_utils.h)."""
+    avgdl = max(avgdl, 1e-9)
+    dl = p.row_sums[:, None]
+    tf = p.vals_pad
+    out = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return np.where(tf > 0, out, 0.0).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "W", "nblocks", "has_mask"))
+def _padded_topk_kernel(dims_pad, vals_pad, QT, maskf, *, k, W, nblocks, has_mask):
+    """Exhaustive block scan with a running per-query top-k pool.
+
+    dims_pad (nb_pad, L) i32 / vals_pad (nb_pad, L) f32 / QT (n_dims+1, nqc)
+    f32 (sentinel row zero) / maskf (nb_pad,) f32 keep flags (ignored unless
+    has_mask). Returns (nqc, 2k) i32: bitcast scores || ids."""
+    L = dims_pad.shape[1]
+    nqc = QT.shape[1]
+
+    def body(carry, b):
+        s_pool, i_pool = carry
+        r0 = b * W
+        d = jax.lax.dynamic_slice(dims_pad, (r0, 0), (W, L))
+        v = jax.lax.dynamic_slice(vals_pad, (r0, 0), (W, L))
+        g = jnp.take(QT, d.reshape(-1), axis=0).reshape(W, L, nqc)
+        sb = jnp.einsum("wln,wl->nw", g, v)  # (nqc, W)
+        if has_mask:
+            mb = jax.lax.dynamic_slice(maskf, (r0,), (W,))
+            sb = jnp.where(mb[None, :] > 0, sb, -jnp.inf)
+        sb = jnp.where(sb > 0, sb, -jnp.inf)
+        ids_b = r0 + jnp.arange(W, dtype=jnp.int32)
+        cat_s = jnp.concatenate([s_pool, sb], axis=1)
+        cat_i = jnp.concatenate([i_pool, jnp.broadcast_to(ids_b[None, :], (nqc, W))], axis=1)
+        s2, sel = jax.lax.top_k(cat_s, k)
+        i2 = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (s2, i2), None
+
+    init = (
+        jnp.full((nqc, k), -jnp.inf, jnp.float32),
+        jnp.full((nqc, k), -1, jnp.int32),
+    )
+    (s, i), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
+    i = jnp.where(jnp.isfinite(s), i, -1)
+    return jnp.concatenate([jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
+
+
+@partial(jax.jit, static_argnames=("W", "nblocks", "has_mask"))
+def _padded_full_kernel(dims_pad, vals_pad, QT, maskf, *, W, nblocks, has_mask):
+    """Full (nqc, nb_pad) score matrix (-inf = no overlap / filtered)."""
+    L = dims_pad.shape[1]
+    nqc = QT.shape[1]
+
+    def blockfn(b):
+        r0 = b * W
+        d = jax.lax.dynamic_slice(dims_pad, (r0, 0), (W, L))
+        v = jax.lax.dynamic_slice(vals_pad, (r0, 0), (W, L))
+        g = jnp.take(QT, d.reshape(-1), axis=0).reshape(W, L, nqc)
+        sb = jnp.einsum("wln,wl->nw", g, v)
+        if has_mask:
+            mb = jax.lax.dynamic_slice(maskf, (r0,), (W,))
+            sb = jnp.where(mb[None, :] > 0, sb, -jnp.inf)
+        return jnp.where(sb > 0, sb, -jnp.inf)
+
+    out = jax.lax.map(blockfn, jnp.arange(nblocks))  # (nblocks, nqc, W)
+    return jnp.moveaxis(out, 0, 1).reshape(nqc, nblocks * W)
+
+
+def _pick_block_w(L: int, nqc: int, nb_pad: int, budget_bytes: int = 128 << 20) -> int:
+    """Largest W that divides nb_pad (always a multiple of 256), is a multiple
+    of 256, and keeps the (W, L, nqc) gather intermediate under budget."""
+    target = int(np.clip((budget_bytes // max(L * nqc * 4, 1)) // 256 * 256, 256, 16384))
+    w = min(target, nb_pad)
+    while w > 256 and nb_pad % w:
+        w -= 256
+    return max(w, 256)
+
+
+def densify_queries(
+    padded: PaddedDocs, q_rows, s0: int, e0: int, drop_ratio_search: float, nqc_pad: int
+) -> np.ndarray:
+    """(n_dims+1, nqc_pad) dense transposed query matrix; sentinel row 0."""
+    QT = np.zeros((padded.n_dims + 1, nqc_pad), np.float32)
+    for ci, qi in enumerate(range(s0, e0)):
+        for d, v in _drop_items(q_rows[qi], drop_ratio_search):
+            r = padded.dim_map.get(int(d))
+            if r is not None:
+                QT[r, ci] += v
+    QT[padded.n_dims, :] = 0.0
+    return QT
+
+
+def _nqc_ladder(n: int) -> int:
+    p = 16
+    while p < n:
+        p *= 2
+    return min(p, 256)
+
+
+def sparse_search_padded(
+    padded: PaddedDocs,
+    dims_dev: jax.Array,  # device copy of padded.dims_pad
+    vals_dev: jax.Array,  # device copy of (possibly BM25-transformed) vals_pad
+    q_rows: List[Dict[int, float]],
+    k: int,
+    drop_ratio_search: float = 0.0,
+    mask: Optional[jax.Array] = None,  # (>=nb,) bool device or None
+    cancel_check=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exhaustive exact device scan. Returns ((nq,k) f32, (nq,k) i64 ids)."""
+    nq = len(q_rows)
+    nb_pad = padded.dims_pad.shape[0]
+    kk = min(k, padded.nb)
+    out_s = np.full((nq, k), -np.inf, np.float32)
+    out_i = np.full((nq, k), -1, np.int64)
+    q_chunk = 256
+    maskf = None
+    if mask is not None:
+        mf = jnp.zeros(nb_pad, jnp.float32)
+        maskf = mf.at[: mask.shape[0]].set(mask.astype(jnp.float32))
+    for s0 in range(0, nq, q_chunk):
+        if cancel_check is not None:
+            cancel_check()
+        e0 = min(s0 + q_chunk, nq)
+        nqc_pad = _nqc_ladder(e0 - s0)
+        W = _pick_block_w(padded.L, nqc_pad, nb_pad)
+        nblocks = nb_pad // W
+        QT = densify_queries(padded, q_rows, s0, e0, drop_ratio_search, nqc_pad)
+        packed = _padded_topk_kernel(
+            dims_dev, vals_dev, jax.device_put(QT),
+            maskf if maskf is not None else jnp.zeros((), jnp.float32),
+            k=kk, W=W, nblocks=nblocks, has_mask=maskf is not None,
+        )
+        packed_np = np.asarray(packed)[: e0 - s0]
+        out_s[s0:e0, :kk] = np.ascontiguousarray(packed_np[:, :kk]).view(np.float32)
+        out_i[s0:e0, :kk] = packed_np[:, kk:].astype(np.int64)
+    return out_s, out_i
+
+
+def sparse_full_scores_padded(
+    padded: PaddedDocs,
+    dims_dev: jax.Array,
+    vals_dev: jax.Array,
+    q_rows: List[Dict[int, float]],
+    drop_ratio_search: float = 0.0,
+    mask: Optional[jax.Array] = None,
+    cancel_check=None,
+) -> np.ndarray:
+    """Exact (nq, nb) scores, -inf = no overlap/filtered — device block scan."""
+    nq = len(q_rows)
+    nb_pad = padded.dims_pad.shape[0]
+    out = np.full((nq, padded.nb), -np.inf, np.float32)
+    q_chunk = min(256, max(16, (256 << 20) // max(nb_pad * 4, 1)))
+    maskf = None
+    if mask is not None:
+        mf = jnp.zeros(nb_pad, jnp.float32)
+        maskf = mf.at[: mask.shape[0]].set(mask.astype(jnp.float32))
+    for s0 in range(0, nq, q_chunk):
+        if cancel_check is not None:
+            cancel_check()
+        e0 = min(s0 + q_chunk, nq)
+        nqc_pad = _nqc_ladder(e0 - s0)
+        W = _pick_block_w(padded.L, nqc_pad, nb_pad)
+        nblocks = nb_pad // W
+        QT = densify_queries(padded, q_rows, s0, e0, drop_ratio_search, nqc_pad)
+        scores = _padded_full_kernel(
+            dims_dev, vals_dev, jax.device_put(QT),
+            maskf if maskf is not None else jnp.zeros((), jnp.float32),
+            W=W, nblocks=nblocks, has_mask=maskf is not None,
+        )
+        out[s0:e0] = np.asarray(scores)[: e0 - s0, : padded.nb]
+    return out
+
+
 def sparse_search(
     postings: SparsePostings,
     vals_dev: jax.Array,  # device copy of (possibly BM25-transformed) vals
@@ -357,6 +613,47 @@ def _device_topk(doc_ids_dev, vals_dev, entry_idx, qids, ws, mask, nqc, nb, k):
     return s, i
 
 
+def exact_rescore_pool(
+    csr: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    q_rows,
+    cand_ids: np.ndarray,  # (nq, pool) int64, -1 padded
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rescore each query's candidate pool EXACTLY with the full query against
+    the row-major CSR, return the top-k (reference refine pass,
+    sparse_index_config.h:84-96)."""
+    indptr, indices, values = csr
+    nq = len(q_rows)
+    out_s = np.full((nq, k), -np.inf, np.float32)
+    out_i = np.full((nq, k), -1, np.int64)
+    for ci in range(nq):
+        row = q_rows[ci]
+        qitems = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
+        if not qitems:
+            continue
+        qd = np.asarray([d for d, _ in qitems], np.int64)
+        qw = np.asarray([w for _, w in qitems], np.float32)
+        cand = cand_ids[ci][cand_ids[ci] >= 0]
+        if cand.size == 0:
+            continue
+        st = indptr[cand]
+        en = indptr[cand + 1]
+        eidx = _concat_ranges(st, en)
+        owner = np.repeat(np.arange(cand.size), (en - st))
+        dims_c = indices[eidx]
+        pos = np.searchsorted(qd, dims_c)
+        pos_c = np.clip(pos, 0, qd.size - 1)
+        hit = qd[pos_c] == dims_c
+        contrib = np.where(hit, values[eidx] * qw[pos_c], 0.0)
+        sc = np.zeros(cand.size, np.float32)
+        np.add.at(sc, owner, contrib)
+        order = np.argsort(-sc, kind="stable")[:k]
+        nres = order.size
+        out_s[ci, :nres] = sc[order]
+        out_i[ci, :nres] = cand[order]
+    return out_s, out_i
+
+
 def sparse_search_pruned(
     postings: SparsePostings,
     vals_dev: jax.Array,
@@ -465,32 +762,9 @@ def sparse_search_pruned(
         # refine: exact full-query rescore of the candidate pool (only the
         # query-term drop made scores approximate; window scans are exact)
         if rf > 1 and drop_ratio_search > 0 and csr is not None:
-            indptr, indices, values = csr
-            for ci in range(nqc):
-                row = q_rows[s0 + ci]
-                qitems = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
-                if not qitems:
-                    continue
-                qd = np.asarray([d for d, _ in qitems], np.int64)
-                qw = np.asarray([w for _, w in qitems], np.float32)
-                cand = iA[ci][iA[ci] >= 0]
-                if cand.size == 0:
-                    continue
-                st = indptr[cand]
-                en = indptr[cand + 1]
-                eidx = _concat_ranges(st, en)
-                owner = np.repeat(np.arange(cand.size), (en - st))
-                dims_c = indices[eidx]
-                pos = np.searchsorted(qd, dims_c)
-                pos_c = np.clip(pos, 0, qd.size - 1)
-                hit = qd[pos_c] == dims_c
-                contrib = np.where(hit, values[eidx] * qw[pos_c], 0.0)
-                sc = np.zeros(cand.size, np.float32)
-                np.add.at(sc, owner, contrib)
-                order = np.argsort(-sc, kind="stable")[:k]
-                nres = order.size
-                out_s[s0 + ci, :nres] = sc[order]
-                out_i[s0 + ci, :nres] = cand[order]
+            rs, ri = exact_rescore_pool(csr, q_rows[s0:e0], iA.astype(np.int64), k)
+            out_s[s0:e0] = rs
+            out_i[s0:e0] = ri
             continue
         kk = min(k, sA.shape[1])
         out_s[s0:e0, :kk] = sA[:, :kk]
