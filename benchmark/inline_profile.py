@@ -29,17 +29,35 @@ NB, D, DEG, NQ = 1_000_000, 128, 32, 10_240
 K = 10
 
 
+def _sync(r):
+    """Force a REAL device->host sync: on the axon relay block_until_ready
+    returns before execution finishes (measured >HBM-speed-of-light rates),
+    so read back one element instead. Costs the flat ~30ms tunnel tax, which
+    the n_steps differencing cancels."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timed(fn, *a, warm=1, reps=3, **kw):
     for _ in range(warm):
         r = fn(*a, **kw)
-    jax.block_until_ready(r)
+    _sync(r)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         r = fn(*a, **kw)
-        jax.block_until_ready(r)
+        _sync(r)
         best = min(best, time.perf_counter() - t0)
     return best, r
+
+
+def measure_tax():
+    """Flat per-sync overhead (tunnel round-trip + dispatch) to subtract
+    from component timings."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jax.device_put(np.zeros((8, 8), np.float32))
+    t, _ = timed(f, x, warm=2, reps=5)
+    return t
 
 
 def main():
@@ -48,6 +66,8 @@ def main():
     graph = rng.integers(0, NB, size=(NB, DEG)).astype(np.int32)
     q = jax.device_put(rng.standard_normal((NQ, D)).astype(np.float32))
     data = jax.device_put(xb)
+    tax = measure_tax()
+    print(json.dumps({"comp": "sync_tax", "ms": round(tax * 1e3, 3)}), flush=True)
     norms = jnp.sum(data * data, axis=1)
     vmin = jnp.min(data, axis=0)
     vdiff = jnp.maximum(jnp.max(data, axis=0) - vmin, 1e-20)
@@ -75,6 +95,7 @@ def main():
             )
             g = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
             dt, _ = timed(g, table, ids)
+            dt = max(dt - tax, 1e-6)
             print(json.dumps({
                 "comp": "gather", "bits": bits, "W": W,
                 "ms": round(dt * 1e3, 3),
@@ -100,12 +121,13 @@ def main():
             t_lo, _ = timed(run, lo)
             t_hi, _ = timed(run, hi)
             per_step = (t_hi - t_lo) / (hi - lo)
+            t_eff = max(t_lo - tax, 1e-6)
             print(json.dumps({
                 "comp": "walk", "bits": bits, "W": W, "ef": ef,
-                "steps": lo, "total_ms": round(t_lo * 1e3, 2),
+                "steps": lo, "total_ms": round(t_eff * 1e3, 2),
                 "per_step_ms": round(per_step * 1e3, 3),
-                "fixed_ms": round((t_lo - per_step * lo) * 1e3, 2),
-                "qps_proj": round(NQ / t_lo, 0),
+                "fixed_ms": round((t_eff - per_step * lo) * 1e3, 2),
+                "qps_proj": round(NQ / t_eff, 0),
             }), flush=True)
         table.delete()
 
