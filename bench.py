@@ -332,16 +332,18 @@ def main():
         gbase = kt.GenDataSetFromArray(gxb)
         gquery = kt.GenDataSetFromArray(gxq)
         ggt = exact_gt(gbase, gquery, GIST_NQ, K)
-        # 960-dim ADC with m=16 is coarse (60-dim subspaces): a wider exact
-        # refine (refine_k=64 -> 640 reranked) is what carries the recall
+        # m=96 -> 10-dim subspaces (the faiss GIST regime; m=16's 60-dim
+        # subspaces left recall at 0.44 even at nprobe=256). The batched
+        # all-subspace PQ trainer (ops/quant.py _pq_lloyd_batched) makes the
+        # 96 kmeans problems one device loop, so train stays ~m-independent.
         grow = bench_dense(
             "IVF_PQ",
             gbase,
             gquery,
             ggt,
             GIST_NQ,
-            {"nlist": 512, "m": 16, "nbits": 8, "refine": True, "refine_type": "FP16"},
-            search_extra={"refine_k": 64},
+            {"nlist": 512, "m": 96, "nbits": 8, "refine": True, "refine_type": "FP16"},
+            search_extra={"refine_k": 16},
         )
     except Exception as e:  # pragma: no cover
         grow = {"index": "IVF_PQ", "error": repr(e)}

@@ -94,6 +94,7 @@ _CONFIGS = {
     "sq": HnswSqConfig,
     "pq": HnswPqConfig,
     "prq": HnswPrqConfig,
+    "lvq": HnswSqConfig,  # SVS LVQ store (models/svs.py overrides CreateConfig)
 }
 
 
@@ -259,6 +260,17 @@ class HnswIndexNode(IndexNode):
                 # graph kernel decodes SQ8; other widths fall back to SQ8 rate
                 self._sq = Q.sq_train(x, "SQ8")
             self._payload = {"codes": Q.sq_encode(self._sq, x)}
+        elif self.VARIANT == "lvq":
+            # SVS LVQ semantics (svs_vamana.cc storage kinds): per-vector grid
+            # over the mean-centred residual; 1 byte/dim + 2 f32/vector
+            lvq = Q.lvq_train(x)
+            codes, off, scale = Q.lvq_encode(lvq, x)
+            self._payload = {
+                "codes": codes,
+                "lvq_mean": lvq.mean,
+                "lvq_off": off,
+                "lvq_scale": scale,
+            }
         elif self.VARIANT == "pq":
             m = int(getattr(self._train_cfg, "m", 32) or 32)
             if self._dim % m != 0:
@@ -274,7 +286,7 @@ class HnswIndexNode(IndexNode):
             books, codes = self._train_prq(x, m, nrq, nbits)
             self._prq_books = books
             self._payload = {"codes": codes}
-        if self._refine_cfg or self.VARIANT in ("sq", "pq", "prq"):
+        if self._refine_cfg or self.VARIANT in ("sq", "pq", "prq", "lvq"):
             # quantized variants keep a refine store (default raw) so refine_k
             # works; HNSW(flat) only when requested
             kind = self._refine_cfg or "raw"
@@ -348,6 +360,14 @@ class HnswIndexNode(IndexNode):
                 "vdiff": jax.device_put(self._sq.vdiff),
             }
             self._kind = "sq"
+        elif self.VARIANT == "lvq":
+            self._store = {
+                "codes": jax.device_put(self._payload["codes"]),
+                "off": jax.device_put(self._payload["lvq_off"]),
+                "scale": jax.device_put(self._payload["lvq_scale"]),
+                "mean": jax.device_put(self._payload["lvq_mean"]),
+            }
+            self._kind = "lvq"
         elif self.VARIANT == "pq":
             self._store = {
                 "codes": jax.device_put(self._payload["codes"]),
@@ -390,7 +410,7 @@ class HnswIndexNode(IndexNode):
         mode = os.environ.get("KNOWHERE_GRAPH_INLINE", "auto")
         if mode == "0" or self._graph is None or self._is_binary():
             return
-        if self._kind not in ("raw", "sq", "pq", "prq") or self._entry_cents is None:
+        if self._kind not in ("raw", "sq", "pq", "prq", "lvq") or self._entry_cents is None:
             return
         if self._internal_metric() not in (M.L2, M.IP):
             return
@@ -558,6 +578,15 @@ class HnswIndexNode(IndexNode):
         elif self.VARIANT == "sq":
             self._payload["codes"] = np.concatenate(
                 [self._payload["codes"], Q.sq_encode(self._sq, x_new)]
+            )
+        elif self.VARIANT == "lvq":
+            # mean stays as trained (reference: Add encodes with Train's codec)
+            lvq = Q.LVQCodec(mean=self._payload["lvq_mean"])
+            codes_new, off_new, scale_new = Q.lvq_encode(lvq, x_new)
+            self._payload["codes"] = np.concatenate([self._payload["codes"], codes_new])
+            self._payload["lvq_off"] = np.concatenate([self._payload["lvq_off"], off_new])
+            self._payload["lvq_scale"] = np.concatenate(
+                [self._payload["lvq_scale"], scale_new]
             )
         elif self.VARIANT == "pq":
             self._payload["codes"] = np.concatenate(
@@ -754,7 +783,11 @@ class HnswIndexNode(IndexNode):
         k_out = k if self._refine_store is None else max(k, k * max(refine_k, 1))
         k_out = min(k_out, ef)
         deg = inline.deg
-        W = max(1, min(8, ef // 8))
+        # W=ef//8 was tuned before the flat ~30ms tunnel-sync tax was measured
+        # and subtracted (benchmark/inline_profile.py); the corrected profile
+        # shows narrower beams win per-step (W=2: 57.8ms vs W=3: 76ms walk at
+        # ef=24, 1M x 128). KNOWHERE_INLINE_W overrides for on-chip A/Bs.
+        W = int(_os.environ.get("KNOWHERE_INLINE_W", "0")) or max(1, min(8, ef // 8))
         n_steps = ef // W + 6
         n_seed = int(min(max(8, ef // 8), 64, ef))
         ring_slots = max(1, 256 // (W * deg))
@@ -847,6 +880,15 @@ class HnswIndexNode(IndexNode):
         if self.VARIANT == "pq":
             return np.asarray(
                 Q.pq_decode_dev(jax.device_put(self._pq.codebooks), jax.device_put(self._payload["codes"]))
+            )
+        if self.VARIANT == "lvq":
+            return np.asarray(
+                Q.lvq_decode_dev(
+                    jax.device_put(self._payload["codes"]),
+                    jax.device_put(self._payload["lvq_off"]),
+                    jax.device_put(self._payload["lvq_scale"]),
+                    jax.device_put(self._payload["lvq_mean"]),
+                )
             )
         raise KnowhereException("cannot decode", Status.internal_error)
 

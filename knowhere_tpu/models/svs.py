@@ -6,8 +6,9 @@ names (index_param.h:211-219). The engines are the native TPU ones: SVS_FLAT
 is the exact scan; SVS_VAMANA maps its graph knobs onto the flat diversified
 graph engine (svs_graph_max_degree -> M, svs_construction_window_size ->
 efConstruction, svs_search_window_size -> ef); the LVQ/LeanVec compressed
-variants map onto the SQ8-compressed graph node (same
-compressed-store-plus-graph architecture).
+variants use a real LVQ store (per-vector locally-adaptive grid over the
+mean-centred residual, ops/quant.py lvq_*) — LVQ-8 semantics, 1 byte/dim +
+2 floats/vector, decoded on-device inside the graph walk.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ from ..factory import register_index
 from ..feature import feature
 from ..index_param import IndexEnum
 from .flat import FlatIndexNode
-from .hnsw import BaseHnswConfig, HnswFlatNode, HnswSqNode
+from .hnsw import BaseHnswConfig, HnswFlatNode
 
 
 class SvsVamanaConfig(BaseHnswConfig):
@@ -44,13 +45,13 @@ class SvsVamanaConfig(BaseHnswConfig):
             # loud no-op (never silent): a dimensionality-reduced walk was
             # measured on this hardware and REJECTED — recall collapsed for
             # equal wall-clock (docs/ROUND1.md pHNSW negative result), so the
-            # LeanVec variant serves from the SQ8-compressed store instead
+            # LeanVec variant serves from the full-dim LVQ store instead
             from ..utils.logging import log_warning
 
             log_warning(
                 f"svs_leanvec_dim={self.svs_leanvec_dim} requested: projected "
-                "walks measured worse than the SQ8 store on TPU (recall "
-                "collapse at equal wall-clock) — serving from SQ8 instead"
+                "walks measured worse than full-dim compressed stores on TPU "
+                "(recall collapse at equal wall-clock) — serving full-dim LVQ"
             )
         return Status.success, ""
 
@@ -61,8 +62,12 @@ class SvsVamanaNode(HnswFlatNode):
         return SvsVamanaConfig()
 
 
-class SvsVamanaLvqNode(HnswSqNode):
-    """LVQ compressed storage -> SQ8-compressed graph node."""
+class SvsVamanaLvqNode(HnswFlatNode):
+    """LVQ compressed storage: per-vector locally-adaptive 8-bit grid
+    (reference SVS LVQ — svs_vamana.cc storage kinds), decoded on-device in
+    the walk; exact-under-stored-values rerank via the inline fast path."""
+
+    VARIANT = "lvq"
 
     @classmethod
     def CreateConfig(cls):

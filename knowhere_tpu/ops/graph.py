@@ -496,6 +496,11 @@ def beam_search(
         if kind == "sq":  # SQ8 codes
             codes = jnp.take(store["codes"], safe, axis=0).astype(jnp.float32)
             return store["vmin"][None, :] + (codes + 0.5) / 256.0 * store["vdiff"][None, :]
+        if kind == "lvq":  # per-vector grid (SVS LVQ-8 semantics)
+            codes = jnp.take(store["codes"], safe, axis=0).astype(jnp.float32)
+            off = jnp.take(store["off"], safe)[:, None]
+            scale = jnp.take(store["scale"], safe)[:, None]
+            return store["mean"][None, :] + off + (codes + 0.5) * scale
         if kind == "pq":
             m = store["codes"].shape[1]
             books = store["codebooks"]

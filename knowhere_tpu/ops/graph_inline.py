@@ -154,6 +154,11 @@ def beam_search_inline(
         elif rerank_kind == "sq":  # exact SQ8 decode
             cc = jnp.take(rerank0, safe, axis=0).astype(jnp.float32)
             vv = rerank1[None, None, :] + (cc + 0.5) * (rerank2[None, None, :] / 256.0)
+        elif rerank_kind == "lvq":  # exact per-vector decode:
+            # rerank1 = mean (d,), rerank2 = [off; scale] (nb, 2)
+            cc = jnp.take(rerank0, safe, axis=0).astype(jnp.float32)
+            os_ = jnp.take(rerank2, safe, axis=0)  # (nq, C, 2)
+            vv = rerank1[None, None, :] + os_[..., 0:1] + (cc + 0.5) * os_[..., 1:2]
         elif rerank_kind == "pq":  # exact PQ decode: rerank1 = (m, ksub, sub)
             m, ksub, sub = rerank1.shape
             cc = jnp.take(rerank0, safe, axis=0).astype(jnp.int32)  # (nq, C, m)
@@ -445,6 +450,67 @@ def make_inline_store(
         table = build_inline_table(graph_np, codes_w, norms)
         codes_w.delete()
         return InlineGraphStore(table, vmin, vdiff, "sq", codes, vmin, vdiff, deg, bits)
+    if kind == "lvq":
+        # walk scores = global SQ8 re-quantization of the LVQ-decoded vectors
+        # (the inline table needs ONE shared grid so the query can pre-scale);
+        # rerank = exact per-vector LVQ decode.
+        codes = store["codes"]  # (nb, d) u8
+        off, scale, mean = store["off"], store["scale"], store["mean"]
+        d = int(codes.shape[1])
+        if d % (32 // bits) != 0:
+            if bits == 4 and d % 4 == 0:
+                bits = 8
+            else:
+                return None
+        levels = float(1 << bits)
+
+        @jax.jit
+        def dec_lvq(codes_ch, off_ch, scale_ch):
+            return (
+                mean[None, :]
+                + off_ch[:, None]
+                + (codes_ch.astype(jnp.float32) + 0.5) * scale_ch[:, None]
+            )
+
+        nb_ = codes.shape[0]
+        ch = 131072
+
+        @jax.jit
+        def minmax(x):
+            return jnp.min(x, axis=0), jnp.max(x, axis=0)
+
+        vmin = vmax = None
+        for s in range(0, nb_, ch):
+            x = dec_lvq(codes[s : s + ch], off[s : s + ch], scale[s : s + ch])
+            lo, hi = minmax(x)
+            vmin = lo if vmin is None else jnp.minimum(vmin, lo)
+            vmax = hi if vmax is None else jnp.maximum(vmax, hi)
+        vdiff = jnp.maximum(vmax - vmin, 1e-20)
+
+        @jax.jit
+        def enc_chunk(codes_ch, off_ch, scale_ch, vmin, vdiff):
+            x = dec_lvq(codes_ch, off_ch, scale_ch)
+            c = jnp.clip(jnp.floor((x - vmin[None, :]) / vdiff[None, :] * levels), 0, levels - 1)
+            if bits == 8:
+                packed = sq8_pack_words(c.astype(jnp.uint8))
+            else:
+                packed = sq4_pack_words(c.astype(jnp.int32))
+            return packed, jnp.sum(x * x, axis=1)
+
+        packs, nrms = [], []
+        for s in range(0, nb_, ch):
+            p_, n_ = enc_chunk(codes[s : s + ch], off[s : s + ch], scale[s : s + ch], vmin, vdiff)
+            packs.append(p_)
+            nrms.append(n_)
+        codes_i32 = jnp.concatenate(packs) if len(packs) > 1 else packs[0]
+        norms = jnp.concatenate(nrms) if len(nrms) > 1 else nrms[0]
+        for p_ in packs:
+            if p_ is not codes_i32:
+                p_.delete()
+        table = build_inline_table(graph_np, codes_i32, norms)
+        codes_i32.delete()
+        offscale = jnp.stack([off, scale], axis=1)  # (nb, 2) rerank payload
+        return InlineGraphStore(table, vmin, vdiff, "lvq", codes, mean, offscale, deg, bits)
     if kind in ("pq", "prq"):
         # walk scores = SQ8 re-quantization of the PQ/PRQ-decoded vectors;
         # rerank = exact PQ/PRQ decode (the index's stored-value contract).

@@ -53,18 +53,83 @@ class PQCodec:
         return self.codebooks.shape[2]
 
 
-def pq_train(x: np.ndarray, m: int, nbits: int, seed: int = 1234, n_iters: int = 12) -> PQCodec:
-    """Train per-subspace codebooks with k-means (faiss ProductQuantizer::train)."""
+@partial(jax.jit, static_argnames=("ksub", "n_iters", "nc"))
+def _pq_lloyd_batched(xs: jax.Array, c0: jax.Array, *, ksub: int, n_iters: int, nc: int):
+    """All-m-subspaces Lloyd in ONE compiled loop (the TPU-native replacement
+    for faiss ProductQuantizer::train's per-subquantizer Clustering loop):
+    assignment is a batched (m, nc, s)x(m, ksub, s) matmul on the MXU, the
+    centroid update a batched one-hot matmul, scanned over row chunks so the
+    (m, nc, ksub) one-hot stays bounded. Wall-clock is ~independent of m,
+    where the sequential path paid m full kmeans runs."""
+    m, n, s = xs.shape
+    nb = (n + nc - 1) // nc
+    pad = nb * nc - n
+    xp = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+    vb = (jnp.arange(nb * nc) < n).reshape(nb, nc).astype(jnp.float32)
+    xb = xp.reshape(m, nb, nc, s).transpose(1, 0, 2, 3)  # (nb, m, nc, s)
+
+    def iter_body(_, c):
+        c_sq = jnp.sum(c * c, axis=2)  # (m, ksub)
+
+        def chunk_body(carry, inp):
+            sums, counts = carry
+            xc, vc = inp  # (m, nc, s), (nc,)
+            dots = jnp.einsum(
+                "mns,mks->mnk", xc, c,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH,
+            )
+            a = jnp.argmin(c_sq[:, None, :] - 2.0 * dots, axis=2)  # (m, nc)
+            oh = jax.nn.one_hot(a, ksub, dtype=jnp.float32) * vc[None, :, None]
+            sums = sums + jnp.einsum(
+                "mnk,mns->mks", oh, xc, preferred_element_type=jnp.float32
+            )
+            counts = counts + jnp.sum(oh, axis=1)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_body,
+            (jnp.zeros((m, ksub, s), jnp.float32), jnp.zeros((m, ksub), jnp.float32)),
+            (xb, vb),
+        )
+        new_c = sums / jnp.maximum(counts, 1.0)[..., None]
+        return jnp.where((counts == 0)[..., None], c, new_c)
+
+    return jax.lax.fori_loop(0, n_iters, iter_body, c0)
+
+
+def pq_train(
+    x: np.ndarray,
+    m: int,
+    nbits: int,
+    seed: int = 1234,
+    n_iters: int = 12,
+    max_points_per_centroid: int = 256,
+) -> PQCodec:
+    """Train per-subspace codebooks with k-means (faiss ProductQuantizer::train).
+
+    All m subspaces train in one batched device loop (subsampled to
+    ksub*max_points_per_centroid shared rows, faiss Clustering parity)."""
     n, d = x.shape
     assert d % m == 0, f"dim {d} not divisible by m {m}"
     sub_dim = d // m
     ksub = 1 << nbits
-    books = np.empty((m, ksub, sub_dim), dtype=np.float32)
-    xs = x.reshape(n, m, sub_dim)
-    for j in range(m):
-        c, _ = kmeans(np.ascontiguousarray(xs[:, j, :]), ksub, n_iters=n_iters, seed=seed + j)
-        books[j] = c
-    return PQCodec(books, m, nbits)
+    rng = np.random.default_rng(seed)
+    cap = ksub * max_points_per_centroid
+    xt = x[rng.choice(n, size=cap, replace=False)] if n > cap else x
+    nt = xt.shape[0]
+    xs = np.ascontiguousarray(
+        xt.reshape(nt, m, sub_dim).transpose(1, 0, 2), dtype=np.float32
+    )  # (m, nt, sub_dim)
+    if nt >= ksub:
+        init = rng.choice(nt, size=ksub, replace=False)
+        c0 = xs[:, init, :]
+    else:  # tiny corpora: repeat rows to fill the codebook
+        init = rng.choice(nt, size=ksub, replace=True)
+        c0 = xs[:, init, :] + rng.standard_normal((m, ksub, sub_dim)).astype(np.float32) * 1e-4
+    books = _pq_lloyd_batched(
+        jax.device_put(xs), jax.device_put(c0), ksub=ksub, n_iters=n_iters, nc=2048
+    )
+    return PQCodec(np.asarray(books), m, nbits)
 
 
 def pq_encode(codec: PQCodec, x: np.ndarray, chunk: int = 131072) -> np.ndarray:
@@ -156,6 +221,58 @@ def sq_decode_dev(codec: SQCodec, codes: jax.Array, vmin: jax.Array, vdiff: jax.
     else:
         q = codes.astype(jnp.float32)
     return vmin + (q + 0.5) / codec.levels * vdiff
+
+
+# ---------------------------------------------------------------------------
+# LVQ (locally-adaptive vector quantization — Intel SVS semantics)
+#
+# Parity target: reference src/index/svs/ (svs_vamana.cc LVQ storage kinds) —
+# each vector is quantized against its OWN dynamic range after subtracting the
+# dataset mean, so per-vector outliers don't widen everyone else's bins the
+# way the global per-dim SQ8 grid does. Storage: 1 byte/dim codes + 2 floats
+# per vector (offset, scale) + one (d,) mean.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LVQCodec:
+    mean: np.ndarray  # (d,) f32 dataset mean
+    bits: int = 8
+
+    @property
+    def levels(self) -> int:
+        return 1 << self.bits
+
+
+def lvq_train(x: np.ndarray, bits: int = 8) -> LVQCodec:
+    return LVQCodec(mean=x.mean(axis=0).astype(np.float32), bits=bits)
+
+
+def lvq_encode(codec: LVQCodec, x: np.ndarray) -> tuple:
+    """Returns (codes u8 (n,d), off f32 (n,), scale f32 (n,)).
+
+    Per-vector uniform grid over [min(r), max(r)] of the residual
+    r = x - mean; reconstruction is at bin centers:
+    x_hat = mean + off + (code + 0.5) * scale."""
+    r = x.astype(np.float32) - codec.mean[None, :]
+    off = r.min(axis=1)
+    span = np.maximum(r.max(axis=1) - off, 1e-20)
+    scale = (span / codec.levels).astype(np.float32)
+    q = np.clip(
+        np.floor((r - off[:, None]) / scale[:, None]), 0, codec.levels - 1
+    ).astype(np.uint8)
+    return q, off.astype(np.float32), scale
+
+
+def lvq_decode_dev(
+    codes: jax.Array, off: jax.Array, scale: jax.Array, mean: jax.Array
+) -> jax.Array:
+    """Device decode: mean + off + (code + 0.5) * scale, f32."""
+    return (
+        mean[None, :]
+        + off[:, None]
+        + (codes.astype(jnp.float32) + 0.5) * scale[:, None]
+    )
 
 
 # ---------------------------------------------------------------------------
