@@ -274,12 +274,15 @@ from ..io.serialize import read_sections, write_sections
 from ..ops.sparse_ops import (
     SparsePostings,
     bm25_transform,
+    build_hybrid_slab,
     build_padded_docs,
     build_postings,
     exact_rescore_pool,
+    hybrid_bm25_slab,
     padded_bm25_vals,
     sparse_full_scores_padded,
     sparse_search,
+    sparse_search_hybrid,
     sparse_search_padded,
 )
 
@@ -467,10 +470,68 @@ class SparseInvertedIndexNode(IndexNode):
             k1 = float(cfg.get("bm25_k1"))
             b = float(cfg.get("bm25_b"))
             avgdl = float(cfg.get("bm25_avgdl"))
-            vkey = ("pvals", round(k1, 6), round(b, 6), round(avgdl, 6))
-            if vkey not in self._caches:
-                self._caches[vkey] = _jax.device_put(padded_bm25_vals(p, k1, b, avgdl))
+            pkey = (round(k1, 6), round(b, 6), round(avgdl, 6))
+            # single-slot (most-recent params) cache: the transformed padded
+            # vals are corpus-sized, so an unbounded per-params dict grows HBM
+            # without limit (round-2 advisor finding)
+            vkey = ("pvals", "bm25")
+            slot = self._caches.get(vkey)
+            if slot is None or slot[0] != pkey:
+                self._caches[vkey] = (
+                    pkey, _jax.device_put(padded_bm25_vals(p, k1, b, avgdl))
+                )
+            return p, dims_dev, self._caches[vkey][1]
         return p, dims_dev, self._caches[vkey]
+
+    def _hybrid_for(self, cfg: Config):
+        """(HybridSlab, slab_dev, tail_vals_dev, tail_doc_ids_dev) for the
+        current epoch/metric — the head/tail frequency-split engine
+        (ops/sparse_ops.HybridSlab); None when the corpus is empty. Lazily
+        built into the epoch cache; the BM25-transformed device slabs keep a
+        single most-recent-params slot."""
+        got = self._caches.get("hybrid")
+        if got is None:
+            h = build_hybrid_slab(self._rows, self._drop_ratio_build)
+            if h is None:
+                self._caches["hybrid"] = (None, None)
+                return None
+            self._caches["hybrid"] = (h, _jax.device_put(h.tail.doc_ids))
+            got = self._caches["hybrid"]
+        h, tail_ids_dev = got
+        if h is None:
+            return None
+        if self._metric != M.BM25:
+            vkey = ("hvals", "ip")
+            slot = self._caches.get(vkey)
+            if slot is None:
+                slot = (_jax.device_put(h.slab), _jax.device_put(h.tail.vals))
+                self._caches[vkey] = slot
+            return h, slot[0], slot[1], tail_ids_dev
+        k1 = float(cfg.get("bm25_k1"))
+        b = float(cfg.get("bm25_b"))
+        avgdl = float(cfg.get("bm25_avgdl"))
+        pkey = (round(k1, 6), round(b, 6), round(avgdl, 6))
+        vkey = ("hvals", "bm25")
+        slot = self._caches.get(vkey)
+        if slot is None or slot[0] != pkey:
+            slot = (
+                pkey,
+                _jax.device_put(hybrid_bm25_slab(h, k1, b, avgdl)),
+                _jax.device_put(bm25_transform(h.tail, k1, b, avgdl)),
+            )
+            self._caches[vkey] = slot
+        return h, slot[1], slot[2], tail_ids_dev
+
+    def _bm25_rescore_params(self, cfg: Config):
+        """(k1, b, avgdl, row_sums) for exact_rescore_pool, or None for IP."""
+        if self._metric != M.BM25:
+            return None
+        return (
+            float(cfg.get("bm25_k1")),
+            float(cfg.get("bm25_b")),
+            float(cfg.get("bm25_avgdl")),
+            self._postings.row_sums,
+        )
 
     def _vals_host_for(self, cfg: Config) -> tuple:
         """(host metric-transformed posting vals, cache key) — feeds the
@@ -554,26 +615,40 @@ class SparseInvertedIndexNode(IndexNode):
         rf = int(cfg.get("refine_factor", 1) or 1)
         wsize = int(np.clip(int(cfg.get("sindi_window_size", 65535) or 65535), 1024, 65535))
         nw = max(1, -(-snap._postings.nb // wsize))
-        padded = snap._padded_for(cfg)
+        # engines are built lazily INSIDE the branch that uses them: the
+        # padded matrix is O(nb*L) host+HBM, so materializing it for a search
+        # routed elsewhere wastes memory (round-2 advisor finding)
         if algo == "TAAT_NAIVE":
+            padded = snap._padded_for(cfg)
             if padded is not None:
                 scores, ids = snap._search_padded(
-                    padded, q_rows, k, drop, 1, mask, self, nw, wsize
+                    padded, q_rows, cfg, k, drop, 1, mask, self, nw, wsize
                 )
             else:
                 scores, ids = sparse_search(
                     snap._postings, vals, snap._doc_ids_dev, q_rows, k,
                     drop_ratio_search=drop, mask=mask,
                 )
-        elif padded is not None and nw < 8:
-            # with <8 windows, per-window pruning cannot pay for itself —
-            # run the exhaustive padded device scan (exact, so a strict
-            # superset of any pruned result); refine semantics preserved
-            scores, ids = snap._search_padded(
-                padded, q_rows, k, drop, rf, mask, self, nw, wsize
-            )
         else:
-            scores, ids = snap._search_pruned(q_rows, cfg, k, drop, rf, mask, self)
+            # DAAT_WAND / DAAT_MAXSCORE / BLOCK_MAX_* / SINDI are pruning
+            # strategies over the same exact scores; the TPU formulation is
+            # the head/tail frequency split (MXU matmul over the popular
+            # dims WAND could never skip + scatter over the short tail).
+            # Explicit non-default window knobs select the literal windowed
+            # block-max engine so the knob contracts stay observable
+            # (sparse_index_config.h:97-162).
+            ratio_raw = float(cfg.get("dim_max_score_ratio", 1.05) or 1.05)
+            window_knobs = (
+                int(cfg.get("sindi_window_size", 65535) or 65535) != 65535
+                or abs(ratio_raw - 1.05) > 1e-9
+            )
+            hybrid = None if window_knobs else snap._hybrid_for(cfg)
+            if hybrid is not None:
+                scores, ids = snap._search_hybrid(
+                    hybrid, q_rows, cfg, k, drop, rf, mask, self
+                )
+            else:
+                scores, ids = snap._search_pruned(q_rows, cfg, k, drop, rf, mask, self)
         pend = snap._pending_scores(q_rows, cfg, bitset)
         if pend is not None:
             base_nb = snap._postings.nb
@@ -604,8 +679,8 @@ class SparseInvertedIndexNode(IndexNode):
             self._caches["csr"] = csr
         return csr
 
-    def _search_padded(self, padded3, q_rows, k: int, drop: float, rf: int, mask, live, nw, wsize):
-        """Exhaustive doc-major padded device scan (the default engine):
+    def _search_padded(self, padded3, q_rows, cfg, k: int, drop: float, rf: int, mask, live, nw, wsize):
+        """Exhaustive doc-major padded device scan (TAAT_NAIVE engine):
         exact scores, query-term drop on the host, optional full-query
         refine of the k*rf pool (sparse_index_config.h:84-96)."""
         from ..comp import check_current_cancellation
@@ -619,7 +694,10 @@ class SparseInvertedIndexNode(IndexNode):
             cancel_check=check_current_cancellation,
         )
         if want_refine:
-            scores, ids = exact_rescore_pool(self._csr_cache(), q_rows, ids, k)
+            scores, ids = exact_rescore_pool(
+                self._csr_cache(), q_rows, ids, k,
+                bm25=self._bm25_rescore_params(cfg),
+            )
         live._last_search_stats = {
             "windows_scanned_a": len(q_rows) * nw,
             "windows_scanned_b": 0,
@@ -627,6 +705,35 @@ class SparseInvertedIndexNode(IndexNode):
             "n_windows": nw,
             "window_size": wsize,
             "engine": "padded_exhaustive",
+        }
+        return scores, ids
+
+    def _search_hybrid(self, hybrid4, q_rows, cfg, k: int, drop: float, rf: int, mask, live):
+        """Head/tail frequency-split scan (the default engine): head dims as
+        one MXU matmul, tail dims scatter-added — exact scores at any drop
+        (ops/sparse_ops.sparse_search_hybrid). Optional full-query refine of
+        the k*rf pool when query-term drop made scores approximate."""
+        from ..comp import check_current_cancellation
+
+        h, slab_dev, tail_vals_dev, tail_ids_dev = hybrid4
+        want_refine = rf > 1 and drop > 0
+        k_pool = k * rf if want_refine else k
+        scores, ids = sparse_search_hybrid(
+            h, slab_dev, tail_vals_dev, tail_ids_dev, q_rows, k_pool,
+            drop_ratio_search=drop, mask=mask,
+            cancel_check=check_current_cancellation,
+        )
+        if want_refine:
+            scores, ids = exact_rescore_pool(
+                self._csr_cache(), q_rows, ids, k,
+                bm25=self._bm25_rescore_params(cfg),
+            )
+        live._last_search_stats = {
+            "engine": "hybrid_slab",
+            "head_dims": h.F,
+            "head_nnz": h.head_nnz,
+            "total_nnz": h.total_nnz,
+            "tail_nnz": h.total_nnz - h.head_nnz,
         }
         return scores, ids
 
@@ -651,6 +758,7 @@ class SparseInvertedIndexNode(IndexNode):
             self._postings, self._vals_for(cfg), self._doc_ids_dev, q_rows, k,
             wmax=wmax, refine_factor=rf, dim_max_score_ratio=ratio,
             drop_ratio_search=drop, mask=mask, csr=csr, stats=stats,
+            bm25=self._bm25_rescore_params(cfg),
         )
         live._last_search_stats = stats
         return scores, ids
@@ -680,6 +788,17 @@ class SparseInvertedIndexNode(IndexNode):
             if not bitset.empty_view():
                 mask = _jax.device_put(bitset.host_mask(self._postings.nb))
             drop = float(cfg.get("drop_ratio_search", 0.0) or 0.0)
+            hybrid = self._hybrid_for(cfg)
+            if hybrid is not None:
+                from ..comp import check_current_cancellation
+                from ..ops.sparse_ops import sparse_full_scores_hybrid
+
+                h, slab_dev, tail_vals_dev, tail_ids_dev = hybrid
+                return sparse_full_scores_hybrid(
+                    h, slab_dev, tail_vals_dev, tail_ids_dev, q_rows,
+                    drop_ratio_search=drop, mask=mask,
+                    cancel_check=check_current_cancellation,
+                )
             padded = self._padded_for(cfg)
             if padded is not None:
                 p, dims_dev, vals_dev = padded

@@ -89,6 +89,36 @@ def _topk_rows(scores, payload, k: int):
     return jnp.concatenate(vals, 1), jnp.concatenate(pays, 1).astype(jnp.int32)
 
 
+def task_kk(k: int, B: int) -> int:
+    """Per-task top-k width. Exact (k) up to 32 — the union of per-chunk
+    top-j contains the block's true top-j for j<=32, so results stay exact.
+    Above 32 (refine pools: k_coarse = k*refine_k), widen to 32 candidates
+    per 128-column chunk via _topk_rows_wide: same VPU cost as one 32-pass
+    over the full block, but a block can now contribute up to B//128 * 32
+    candidates — without this, a query whose true neighbors concentrate in
+    its home list lost them to the per-task cap no matter how large nprobe
+    grew (round-2 GIST-960 recall plateau at 0.899)."""
+    if k <= 32:
+        return k
+    return 32 * min(B // 128, -(-k // 32))
+
+
+def _topk_rows_wide(scores, payload, kk: int):
+    """_topk_rows when kk <= 32; otherwise top-32 of each of kk//32 column
+    chunks (results unsorted across chunks — downstream merges re-sort)."""
+    R, C = scores.shape
+    if kk <= 32:
+        return _topk_rows(scores, payload, kk)
+    nch = kk // 32
+    w = C // nch
+    vs, ps = [], []
+    for i in range(nch):
+        v, p = _topk_rows(scores[:, i * w : (i + 1) * w], payload[:, i * w : (i + 1) * w], 32)
+        vs.append(v)
+        ps.append(p)
+    return jnp.concatenate(vs, 1), jnp.concatenate(ps, 1)
+
+
 def _scan_kernel(
     blk_ref,  # (Tc,) scalar prefetch: block index of each task
     nrow_ref,  # (Tc,) scalar prefetch: valid rows in the block
@@ -144,7 +174,7 @@ def _scan_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
-    s, p = _topk_rows(score, gpos, kk)
+    s, p = _topk_rows_wide(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 
@@ -270,7 +300,7 @@ def _sq_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
-    s, p = _topk_rows(score, gpos, kk)
+    s, p = _topk_rows_wide(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 
@@ -469,7 +499,7 @@ def _adc_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
-    s, p = _topk_rows(score, gpos, kk)
+    s, p = _topk_rows_wide(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 
@@ -655,7 +685,7 @@ def _rbq_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[ti] * B
-    s, p = _topk_rows(score, gpos, kk)
+    s, p = _topk_rows_wide(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 

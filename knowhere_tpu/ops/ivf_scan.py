@@ -604,13 +604,14 @@ def _pallas_adc_search(
         LIST_ALIGN,
         adc_s_stack,
         pallas_adc_tasks,
+        task_kk,
     )
 
     nq, d = q_dev.shape
     books = store["codebooks"]
     m, ksub, _sub = books.shape
     B = LIST_ALIGN
-    kk = min(k, 32)
+    kk = task_kk(k, B)
 
     batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
     if batch is None:
@@ -703,11 +704,11 @@ def _pallas_rbq_search(
     """RaBitQ sign-plane scan via the Pallas kernel (ops/ivf_pallas
     _rbq_kernel); task packing mirrors _pallas_adc_search (lids needed for
     the per-list rotated centroid row)."""
-    from .ivf_pallas import LIST_ALIGN, pallas_rbq_tasks
+    from .ivf_pallas import LIST_ALIGN, pallas_rbq_tasks, task_kk
 
     nq = q_dev.shape[0]
     B = LIST_ALIGN
-    kk = min(k, 32)
+    kk = task_kk(k, B)
     batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
@@ -799,7 +800,7 @@ def _pallas_scan_search(
 ):
     """Hot raw-vector / SQ-code path: block-aligned Pallas task scan
     (ops/ivf_pallas; kind 'sq' decodes u8 codes in-kernel)."""
-    from .ivf_pallas import LIST_ALIGN, pallas_scan_tasks, pallas_sq_tasks
+    from .ivf_pallas import LIST_ALIGN, pallas_scan_tasks, pallas_sq_tasks, task_kk
 
     nq = q_dev.shape[0]
     B = LIST_ALIGN
@@ -811,7 +812,7 @@ def _pallas_scan_search(
             return jax.device_put(s_empty), jax.device_put(p_empty)
         return s_empty, p_empty
 
-    kk = min(k, 32)  # per-task top-k width; the merge produces the full k
+    kk = task_kk(k, B)  # per-task top-k width; the merge produces the full k
     T = batch.row_start.shape[0]
     blk_all = (batch.row_start // B).astype(np.int32)  # exact: aligned storage
     three_pass = prec == "fast"

@@ -229,10 +229,13 @@ def build_padded_docs(
     rows: List[Dict[int, float]],
     drop_ratio_build: float = 0.0,
     max_pad_ratio: float = 4.0,
+    max_elements: int = 64 << 20,
 ) -> Optional[PaddedDocs]:
     """None when the length distribution makes padding pathological
-    (max nnz > max(max_pad_ratio * p99, 256)) — caller falls back to the
-    scatter engine."""
+    (max nnz > max(max_pad_ratio * p99, 256)) or the padded matrix would
+    exceed max_elements (absolute budget — a multi-million-row corpus must
+    not materialize O(nb*L*8B) host+HBM for this engine; round-2 advisor
+    finding) — caller falls back to another engine."""
     nb = len(rows)
     if nb == 0:
         return None
@@ -242,6 +245,9 @@ def build_padded_docs(
         return None
     p99 = float(np.quantile(lens, 0.99))
     if max_len > max(max_pad_ratio * p99, 256):
+        return None
+    L_est = max(8, -(-max_len // 8) * 8)
+    if (nb + 256) * L_est > max_elements:
         return None
     # assemble entries (row-major), mirroring build_postings' drop semantics
     dims_l, vals_l, rid_l = [], [], []
@@ -262,6 +268,11 @@ def build_padded_docs(
         dims, vals, rids = dims[keep], vals[keep], rids[keep]
     uniq = np.unique(dims)
     n_dims = int(uniq.size)
+    if n_dims > (1 << 17):
+        # densify_queries allocates a (n_dims+1, nqc) f32 matrix per chunk;
+        # for large-vocab embeddings that is 0.1-1GB of host alloc + transfer
+        # per search chunk (round-2 advisor finding) — fall back
+        return None
     dim_map = {int(d): i for i, d in enumerate(uniq)}
     remapped = np.searchsorted(uniq, dims).astype(np.int32)
     # per-row slot position (entries are row-major already)
@@ -454,6 +465,311 @@ def sparse_full_scores_padded(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Hybrid head/tail engine — the default exact scorer.
+#
+# The padded doc-major engine above is HBM-gather-bound: every one of the
+# nb*L padded slots gathers an nqc-wide query row, so a full scan moves
+# nb*L*nq*4 bytes through the gather unit regardless of chunking (~270 GB for
+# the 200k-doc bench leg — measured 381 QPS). The reference prunes that work
+# per-doc with WAND/MaxScore upper bounds (daat_wand.h); the TPU-correct
+# reformulation splits the VOCABULARY by posting length instead:
+#   - head: the top-F dims by nnz count (Zipf mass lives here) stored as a
+#     dense (F, nb) f32 slab — scored as ONE MXU matmul per query chunk
+#     (precision=HIGHEST, fp32-exact), which is the machine's fastest path
+#     for exactly the popular terms whose posting lists WAND cannot skip;
+#   - tail: the remaining dims stay CSR postings — short lists by
+#     construction, scatter-added on top of the matmul scores.
+# Exact at any drop_ratio_search (drop only filters query terms, as in the
+# reference: sparse_index_config.h:97-126), so DAAT_WAND/DAAT_MAXSCORE/
+# BLOCK_MAX_*/SINDI route here with identical results.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HybridSlab:
+    """Frequency-split storage: dense head slab + CSR tail postings."""
+
+    head_dims: np.ndarray  # (F,) original dim ids, nnz-descending
+    head_map: Dict[int, int]  # original dim id -> slab row
+    slab: np.ndarray  # (F, nb_pad) f32 raw term values; 0 = absent
+    tail: SparsePostings  # postings restricted to tail dims
+    row_sums: np.ndarray  # (nb,) f32 document lengths (full rows, for BM25)
+    nb: int
+    nb_pad: int
+    F: int
+    head_nnz: int  # entries covered by the slab (coverage stat)
+    total_nnz: int
+
+
+def build_hybrid_slab(
+    rows: List[Dict[int, float]],
+    drop_ratio_build: float = 0.0,
+    budget_bytes: int = 512 << 20,
+) -> Optional[HybridSlab]:
+    """None when no dims / empty corpus. F auto-sizes to the slab budget
+    (element-capped, ADVICE round-2) and is a multiple of 128 for MXU tiling."""
+    nb = len(rows)
+    if nb == 0:
+        return None
+    dims_l, vals_l, rid_l = [], [], []
+    row_sums = np.zeros(nb, np.float32)
+    for i, row in enumerate(rows):
+        items = row.items() if isinstance(row, dict) else zip(*row)
+        for d, v in items:
+            dims_l.append(int(d))
+            vals_l.append(v)
+            rid_l.append(i)
+            row_sums[i] += v
+    if not dims_l:
+        return None
+    dims = np.asarray(dims_l, np.int64)
+    vals = np.asarray(vals_l, np.float32)
+    rids = np.asarray(rid_l, np.int32)
+    if drop_ratio_build > 0 and vals.size:
+        thresh = np.quantile(np.abs(vals), drop_ratio_build)
+        keep = np.abs(vals) >= thresh
+        dims, vals, rids = dims[keep], vals[keep], rids[keep]
+    uniq, counts = np.unique(dims, return_counts=True)
+    n_dims = int(uniq.size)
+    nb_pad = max(256, -(-nb // 256) * 256)
+    f_budget = max(128, int(budget_bytes // (4 * nb_pad)) // 128 * 128)
+    F = min(-(-n_dims // 128) * 128, f_budget, 4096)
+    order = np.argsort(-counts, kind="stable")
+    n_head = min(n_dims, F)
+    head_dims = uniq[order[:n_head]]
+    head_map = {int(d): i for i, d in enumerate(head_dims)}
+    is_head = np.isin(dims, head_dims)
+    slab = np.zeros((F, nb_pad), np.float32)
+    hsel = np.nonzero(is_head)[0]
+    if hsel.size:
+        hrow = np.searchsorted(np.sort(head_dims), dims[hsel])
+        # map via sorted order -> original head slot
+        sorted_to_slot = np.argsort(head_dims, kind="stable")
+        slab[sorted_to_slot[hrow], rids[hsel]] = vals[hsel]
+    # tail CSR (dim-major)
+    tsel = np.nonzero(~is_head)[0]
+    tdims, tdocs, tvals = dims[tsel], rids[tsel], vals[tsel]
+    t_order = np.argsort(tdims, kind="stable")
+    tdims, tdocs, tvals = tdims[t_order], tdocs[t_order], tvals[t_order]
+    t_uniq, t_starts = np.unique(tdims, return_index=True)
+    t_ends = np.append(t_starts[1:], tdims.size)
+    tail = SparsePostings(
+        {int(d): (int(s), int(e)) for d, s, e in zip(t_uniq, t_starts, t_ends)},
+        tdocs.astype(np.int32),
+        tvals.astype(np.float32),
+        row_sums,
+        nb,
+    )
+    return HybridSlab(
+        head_dims, head_map, slab, tail, row_sums, nb, nb_pad, F,
+        int(hsel.size), int(dims.size),
+    )
+
+
+def hybrid_bm25_slab(h: HybridSlab, k1: float, b: float, avgdl: float) -> np.ndarray:
+    """BM25 doc-value transform of the head slab (sparse_utils.h computer)."""
+    avgdl = max(avgdl, 1e-9)
+    dl = np.zeros(h.nb_pad, np.float32)
+    dl[: h.nb] = h.row_sums
+    tf = h.slab
+    out = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[None, :] / avgdl))
+    return np.where(tf > 0, out, 0.0).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "has_mask", "has_tail"))
+def _hybrid_topk_kernel(
+    slab,  # (F, nb_pad) f32 device (metric-transformed)
+    tail_doc_ids,  # (nnz_t,) i32 device
+    tail_vals,  # (nnz_t,) f32 device (metric-transformed)
+    Qh,  # (nqc, F) f32
+    entry_idx,  # (P,) i32 into tail postings
+    qid,  # (P,) i32
+    w,  # (P,) f32
+    maskf,  # (nb_pad,) f32 keep flags (ignored unless has_mask)
+    *,
+    k: int,
+    has_mask: bool,
+    has_tail: bool,
+):
+    scores = jax.lax.dot_general(
+        Qh, slab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (nqc, nb_pad)
+    if has_tail:
+        docs = jnp.take(tail_doc_ids, entry_idx)
+        contrib = w * jnp.take(tail_vals, entry_idx)
+        scores = scores.at[qid, docs].add(contrib)
+    if has_mask:
+        scores = jnp.where(maskf[None, :] > 0, scores, -jnp.inf)
+    scores = jnp.where(scores > 0, scores, -jnp.inf)
+    s, i = jax.lax.top_k(scores, k)
+    i = jnp.where(s == -jnp.inf, -1, i)
+    return jnp.concatenate([jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
+
+
+def sparse_search_hybrid(
+    h: HybridSlab,
+    slab_dev: jax.Array,  # (F, nb_pad) f32 (metric-transformed)
+    tail_vals_dev: jax.Array,  # (nnz_t,) f32 (metric-transformed)
+    tail_doc_ids_dev: jax.Array,
+    q_rows: List[Dict[int, float]],
+    k: int,
+    drop_ratio_search: float = 0.0,
+    mask: Optional[jax.Array] = None,  # (>=nb,) bool device or None
+    cancel_check=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact head-matmul + tail-scatter scan. ((nq,k) f32, (nq,k) i64 ids)."""
+    nq = len(q_rows)
+    kk = min(k, h.nb)
+    out_s = np.full((nq, k), -np.inf, np.float32)
+    out_i = np.full((nq, k), -1, np.int64)
+    maskf = None
+    if mask is not None:
+        mf = jnp.zeros(h.nb_pad, jnp.float32)
+        maskf = mf.at[: mask.shape[0]].set(mask.astype(jnp.float32))
+    q_chunk = 256
+    for s0 in range(0, nq, q_chunk):
+        if cancel_check is not None:
+            cancel_check()
+        e0 = min(s0 + q_chunk, nq)
+        nqc_pad = _nqc_ladder(e0 - s0)
+        Qh = np.zeros((nqc_pad, h.F), np.float32)
+        entry_list, qid_list, w_list = [], [], []
+        for ci, qi in enumerate(range(s0, e0)):
+            for d, v in _drop_items(q_rows[qi], drop_ratio_search):
+                slot = h.head_map.get(int(d))
+                if slot is not None:
+                    Qh[ci, slot] += v
+                    continue
+                rng = h.tail.dim_start.get(int(d))
+                if rng is None:
+                    continue
+                st, en = rng
+                entry_list.append(np.arange(st, en, dtype=np.int32))
+                qid_list.append(np.full(en - st, ci, np.int32))
+                w_list.append(np.full(en - st, v, np.float32))
+        has_tail = bool(entry_list)
+        if has_tail:
+            entry_idx = np.concatenate(entry_list)
+            qids = np.concatenate(qid_list)
+            ws = np.concatenate(w_list)
+            U = entry_idx.size
+            P = 1024
+            while P < U:
+                P *= 2
+            if P != U:
+                entry_idx = np.concatenate([entry_idx, np.zeros(P - U, np.int32)])
+                qids = np.concatenate([qids, np.zeros(P - U, np.int32)])
+                ws = np.concatenate([ws, np.zeros(P - U, np.float32)])
+            packed_h = np.concatenate([entry_idx, qids, ws.view(np.int32)])
+            packed_dev = jax.device_put(packed_h)
+            e_dev = packed_dev[:P]
+            q_dev = packed_dev[P : 2 * P]
+            w_dev = jax.lax.bitcast_convert_type(packed_dev[2 * P :], jnp.float32)
+        else:
+            e_dev = q_dev = jnp.zeros((1,), jnp.int32)
+            w_dev = jnp.zeros((1,), jnp.float32)
+        packed = _hybrid_topk_kernel(
+            slab_dev, tail_doc_ids_dev, tail_vals_dev,
+            jax.device_put(Qh), e_dev, q_dev, w_dev,
+            maskf if maskf is not None else jnp.zeros((), jnp.float32),
+            k=kk, has_mask=maskf is not None, has_tail=has_tail,
+        )
+        packed_np = np.asarray(packed)[: e0 - s0]
+        out_s[s0:e0, :kk] = np.ascontiguousarray(packed_np[:, :kk]).view(np.float32)
+        out_i[s0:e0, :kk] = packed_np[:, kk:].astype(np.int64)
+    return out_s, out_i
+
+
+@partial(jax.jit, static_argnames=("has_mask", "has_tail"))
+def _hybrid_full_kernel(
+    slab, tail_doc_ids, tail_vals, Qh, entry_idx, qid, w, maskf,
+    *, has_mask: bool, has_tail: bool,
+):
+    scores = jax.lax.dot_general(
+        Qh, slab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if has_tail:
+        docs = jnp.take(tail_doc_ids, entry_idx)
+        contrib = w * jnp.take(tail_vals, entry_idx)
+        scores = scores.at[qid, docs].add(contrib)
+    if has_mask:
+        scores = jnp.where(maskf[None, :] > 0, scores, -jnp.inf)
+    return jnp.where(scores > 0, scores, -jnp.inf)
+
+
+def sparse_full_scores_hybrid(
+    h: HybridSlab,
+    slab_dev: jax.Array,
+    tail_vals_dev: jax.Array,
+    tail_doc_ids_dev: jax.Array,
+    q_rows: List[Dict[int, float]],
+    drop_ratio_search: float = 0.0,
+    mask: Optional[jax.Array] = None,
+    cancel_check=None,
+) -> np.ndarray:
+    """Exact (nq, nb) scores via the head/tail split, -inf = no overlap."""
+    nq = len(q_rows)
+    out = np.full((nq, h.nb), -np.inf, np.float32)
+    maskf = None
+    if mask is not None:
+        mf = jnp.zeros(h.nb_pad, jnp.float32)
+        maskf = mf.at[: mask.shape[0]].set(mask.astype(jnp.float32))
+    q_chunk = min(256, max(16, (256 << 20) // max(h.nb_pad * 4, 1)))
+    for s0 in range(0, nq, q_chunk):
+        if cancel_check is not None:
+            cancel_check()
+        e0 = min(s0 + q_chunk, nq)
+        nqc_pad = _nqc_ladder(e0 - s0)
+        Qh = np.zeros((nqc_pad, h.F), np.float32)
+        entry_list, qid_list, w_list = [], [], []
+        for ci, qi in enumerate(range(s0, e0)):
+            for d, v in _drop_items(q_rows[qi], drop_ratio_search):
+                slot = h.head_map.get(int(d))
+                if slot is not None:
+                    Qh[ci, slot] += v
+                    continue
+                rng = h.tail.dim_start.get(int(d))
+                if rng is None:
+                    continue
+                st, en = rng
+                entry_list.append(np.arange(st, en, dtype=np.int32))
+                qid_list.append(np.full(en - st, ci, np.int32))
+                w_list.append(np.full(en - st, v, np.float32))
+        has_tail = bool(entry_list)
+        if has_tail:
+            entry_idx = np.concatenate(entry_list)
+            qids = np.concatenate(qid_list)
+            ws = np.concatenate(w_list)
+            U = entry_idx.size
+            P = 1024
+            while P < U:
+                P *= 2
+            if P != U:
+                entry_idx = np.concatenate([entry_idx, np.zeros(P - U, np.int32)])
+                qids = np.concatenate([qids, np.zeros(P - U, np.int32)])
+                ws = np.concatenate([ws, np.zeros(P - U, np.float32)])
+            packed_h = np.concatenate([entry_idx, qids, ws.view(np.int32)])
+            packed_dev = jax.device_put(packed_h)
+            e_dev, q_dev = packed_dev[:P], packed_dev[P : 2 * P]
+            w_dev = jax.lax.bitcast_convert_type(packed_dev[2 * P :], jnp.float32)
+        else:
+            e_dev = q_dev = jnp.zeros((1,), jnp.int32)
+            w_dev = jnp.zeros((1,), jnp.float32)
+        scores = _hybrid_full_kernel(
+            slab_dev, tail_doc_ids_dev, tail_vals_dev,
+            jax.device_put(Qh), e_dev, q_dev, w_dev,
+            maskf if maskf is not None else jnp.zeros((), jnp.float32),
+            has_mask=maskf is not None, has_tail=has_tail,
+        )
+        out[s0:e0] = np.asarray(scores)[: e0 - s0, : h.nb]
+    return out
+
+
 def sparse_search(
     postings: SparsePostings,
     vals_dev: jax.Array,  # device copy of (possibly BM25-transformed) vals
@@ -618,14 +934,21 @@ def exact_rescore_pool(
     q_rows,
     cand_ids: np.ndarray,  # (nq, pool) int64, -1 padded
     k: int,
+    bm25: Optional[Tuple[float, float, float, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Rescore each query's candidate pool EXACTLY with the full query against
     the row-major CSR, return the top-k (reference refine pass,
-    sparse_index_config.h:84-96)."""
+    sparse_index_config.h:84-96). For metric=BM25 pass (k1, b, avgdl,
+    row_sums): the CSR stores raw term frequencies, so the rescore applies the
+    BM25 doc-value transform per entry — otherwise the pool would be ranked by
+    raw inner product (round-2 advisor finding)."""
     indptr, indices, values = csr
     nq = len(q_rows)
     out_s = np.full((nq, k), -np.inf, np.float32)
     out_i = np.full((nq, k), -1, np.int64)
+    if bm25 is not None:
+        k1, b, avgdl, row_sums = bm25
+        avgdl = max(avgdl, 1e-9)
     for ci in range(nq):
         row = q_rows[ci]
         qitems = sorted(row.items()) if isinstance(row, dict) else sorted(zip(*row))
@@ -644,7 +967,13 @@ def exact_rescore_pool(
         pos = np.searchsorted(qd, dims_c)
         pos_c = np.clip(pos, 0, qd.size - 1)
         hit = qd[pos_c] == dims_c
-        contrib = np.where(hit, values[eidx] * qw[pos_c], 0.0)
+        doc_vals = values[eidx]
+        if bm25 is not None:
+            dl = row_sums[cand[owner]]
+            doc_vals = doc_vals * (k1 + 1.0) / (
+                doc_vals + k1 * (1.0 - b + b * dl / avgdl)
+            )
+        contrib = np.where(hit, doc_vals * qw[pos_c], 0.0)
         sc = np.zeros(cand.size, np.float32)
         np.add.at(sc, owner, contrib)
         order = np.argsort(-sc, kind="stable")[:k]
@@ -668,6 +997,7 @@ def sparse_search_pruned(
     mask: Optional[jax.Array] = None,
     csr: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
     stats: Optional[dict] = None,
+    bm25: Optional[Tuple[float, float, float, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Window-pruned scoring: per query, scan only windows whose upper bound
     reaches the running threshold; refine_factor widens the first pass and
@@ -762,7 +1092,7 @@ def sparse_search_pruned(
         # refine: exact full-query rescore of the candidate pool (only the
         # query-term drop made scores approximate; window scans are exact)
         if rf > 1 and drop_ratio_search > 0 and csr is not None:
-            rs, ri = exact_rescore_pool(csr, q_rows[s0:e0], iA.astype(np.int64), k)
+            rs, ri = exact_rescore_pool(csr, q_rows[s0:e0], iA.astype(np.int64), k, bm25=bm25)
             out_s[s0:e0] = rs
             out_i[s0:e0] = ri
             continue
