@@ -176,6 +176,74 @@ class IndexNode(ABC):
     def Size(self) -> int:
         return 0
 
+    def MemoryStats(self) -> dict:
+        """Resident memory accounting (BASELINE.md 'equal recall at equal
+        memory' north star): walks the node's object graph and classifies
+        every array as host RAM, host mmap (disk-backed, ~0 resident), or
+        device HBM. Arrays shared between attributes count once.
+
+        Returns {"host_bytes", "mmap_bytes", "device_bytes",
+                 "bytes_per_vector", "host", "mmap", "device"} where the last
+        three map attribute paths to byte counts.
+        """
+        import numpy as _np
+
+        try:
+            import jax as _jax
+
+            _JaxArray = _jax.Array
+        except Exception:  # pragma: no cover
+            _JaxArray = ()
+        host: dict = {}
+        mm: dict = {}
+        dev: dict = {}
+        seen = set()
+
+        def visit(path: str, obj, depth: int) -> None:
+            if obj is None or depth > 5 or id(obj) in seen:
+                return
+            seen.add(id(obj))
+            if isinstance(obj, _np.memmap):
+                mm[path] = int(obj.nbytes)
+            elif isinstance(obj, _np.ndarray):
+                base = obj.base
+                if isinstance(base, _np.memmap):
+                    mm[path] = int(obj.nbytes)
+                else:
+                    host[path] = int(obj.nbytes)
+            elif _JaxArray and isinstance(obj, _JaxArray):
+                try:
+                    dev[path] = int(obj.nbytes)
+                except Exception:  # pragma: no cover - traced/deleted arrays
+                    pass
+            elif isinstance(obj, dict):
+                for k, v in obj.items():
+                    visit(f"{path}.{k}", v, depth + 1)
+            elif isinstance(obj, (list, tuple)):
+                for i, v in enumerate(obj):
+                    visit(f"{path}[{i}]", v, depth + 1)
+            elif (
+                depth < 4
+                and hasattr(obj, "__dict__")
+                and obj.__class__.__module__.startswith("knowhere_tpu")
+            ):
+                for k, v in vars(obj).items():
+                    visit(f"{path}.{k}", v, depth + 1)
+
+        for k, v in vars(self).items():
+            visit(k, v, 1)
+        n = max(1, self.Count())
+        hb, mb, db = sum(host.values()), sum(mm.values()), sum(dev.values())
+        return {
+            "host_bytes": hb,
+            "mmap_bytes": mb,
+            "device_bytes": db,
+            "bytes_per_vector": round((hb + db) / n, 2),
+            "host": host,
+            "mmap": mm,
+            "device": dev,
+        }
+
     @abstractmethod
     def Count(self) -> int: ...
 

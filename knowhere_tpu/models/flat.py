@@ -66,6 +66,11 @@ class FlatIndexNode(IndexNode):
                 xb = D.unpack_bits_host(xb.view(np.uint8), self._dim)
             self._dev = jax.device_put(xb)
             self._aux = D.base_aux(self._metric, self._dev)
+            # the device copy is the search structure; demote the host copy
+            # to a disk-backed memmap (serialization/GetVectorByIds read it)
+            from ..utils.spill import spill_array
+
+            self._xb = spill_array(self._xb)
         return self._dev, self._aux
 
     def _prep_queries(self, dataset: DataSet) -> np.ndarray:

@@ -390,6 +390,18 @@ class HnswIndexNode(IndexNode):
                 )
             else:
                 self._refine_store = RefineStore("raw", jax.device_put(self._payload["refine"]))
+        # demote resident host copies to disk-backed memmaps: the device
+        # store is the search structure; host arrays only feed Serialize /
+        # GetVectorByIds / incremental re-merges (equal-memory north star)
+        from ..utils.spill import spill_array, spill_dict
+
+        raw = self._raw_host
+        if raw is not None:
+            raw_sp = spill_array(raw)
+            if self._payload.get("data") is raw:
+                self._payload["data"] = raw_sp  # keep the alias identity
+            self._raw_host = raw_sp
+        spill_dict(self._payload)
         self._refresh_inline()
 
     def _refresh_inline(self) -> None:
@@ -1239,8 +1251,5 @@ register_index(IndexEnum.INDEX_HNSW_SQ, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.
 register_index(IndexEnum.INDEX_HNSW_PQ, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP)(HnswPqNode)
 register_index(IndexEnum.INDEX_HNSW_PRQ, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.MMAP)(HnswPrqNode)
 
-# CAGRA-style aliases: the reference's GPU graph index maps onto the same
-# flat-graph engine (intermediate_graph_degree/graph_degree ~ inter/deg).
-register_index(IndexEnum.INDEX_TPU_CAGRA, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(HnswFlatNode)
-register_index(IndexEnum.INDEX_CUVS_CAGRA, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(HnswFlatNode)
-register_index(IndexEnum.INDEX_GPU_CAGRA, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN | _F.GPU)(HnswFlatNode)
+# CAGRA lives in models/cagra.py with the full cuVS config surface and knob
+# translation (itopk_size->ef, graph_degree->2*M, refine_ratio->refine_k).

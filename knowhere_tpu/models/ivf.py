@@ -189,6 +189,7 @@ class IvfIndexNode(IndexNode):
         self._trained = False
         self._metric = M.L2
         self._dim = 0
+        self._d_dev = 0  # device feature width (zero-padded to 128-mult)
         self._nlist = 0
         # codecs
         self._pq: Optional[Q.PQCodec] = None
@@ -273,7 +274,16 @@ class IvfIndexNode(IndexNode):
                 "Lloyd (Elkan-equivalent fixed point; Elkan's distance-skip "
                 "bookkeeping would not help the MXU)"
             )
-        centroids, assign_full = kmeans(x, self._nlist, n_iters=12, seed=1234)
+        # cuVS-surface trainer knobs (models/cagra.py configs declare them;
+        # plain IVF configs leave them unset -> defaults)
+        n_iters = int(cfg.get("kmeans_n_iters", 12) or 12)
+        frac = float(cfg.get("kmeans_trainset_fraction", 0.0) or 0.0)
+        mppc = 256
+        if frac > 0.0:
+            mppc = max(1, int(rows * frac) // max(self._nlist, 1))
+        centroids, assign_full = kmeans(
+            x, self._nlist, n_iters=n_iters, seed=1234, max_points_per_centroid=mppc
+        )
         if self._is_binary():
             # binary IVF: centroids snap to {0,1} bit planes (majority vote)
             centroids = (centroids > 0.5).astype(np.float32)
@@ -526,9 +536,34 @@ class IvfIndexNode(IndexNode):
 
     def _upload(self) -> None:
         """Host payloads -> device store (pads B rows of slack at the end so
-        block dynamic-slices never clamp into garbage)."""
+        block dynamic-slices never clamp into garbage).
+
+        Feature-dim zero-padding: the Pallas scan kernels (ops/ivf_pallas)
+        need d % 128 == 0 (MXU lane width); storing/querying with zero-padded
+        columns leaves L2/IP/COSINE/HAMMING/JACCARD unchanged and unlocks the
+        fast path for dims like GIST's 960 (round-2 bench ran the slow
+        fallback there). Host payloads stay unpadded — only device arrays and
+        device queries carry the padded width (self._d_dev)."""
         B_slack = 2048  # must cover the max adaptive block size
-        cents = jax.device_put(self._centroids)
+        d = self._dim
+        sq4 = (
+            self.VARIANT in ("sq", "sq_cc")
+            and self._sq is not None
+            and self._sq.sq_type == "SQ4"
+        )
+        if d > 64 and d % 128 != 0 and not sq4:
+            self._d_dev = -(-d // 128) * 128
+        else:
+            self._d_dev = d
+        dcol = self._d_dev - d
+
+        def cpad(a: np.ndarray, fill=0) -> np.ndarray:
+            if dcol == 0:
+                return a
+            width = [(0, 0)] * (a.ndim - 1) + [(0, dcol)]
+            return np.pad(a, width, constant_values=fill)
+
+        cents = jax.device_put(cpad(self._centroids))
 
         def pad(a: np.ndarray, fill=0) -> jax.Array:
             padding = np.full((B_slack, *a.shape[1:]), fill, a.dtype)
@@ -548,7 +583,7 @@ class IvfIndexNode(IndexNode):
 
                     data = data.astype(ml_dtypes.bfloat16)
             norms = np.sum(np.asarray(data, dtype=np.float64) ** 2, axis=1).astype(np.float32)
-            self._store = {"data": pad(data), "norms": pad(norms), "centroids": cents}
+            self._store = {"data": pad(cpad(data)), "norms": pad(norms), "centroids": cents}
             self._kind = "raw"
         elif self.VARIANT in ("pq", "scann"):
             self._store = {
@@ -568,7 +603,7 @@ class IvfIndexNode(IndexNode):
                 offs is not None
                 and int(offs[-1]) > 0
                 and (offs % _LA == 0).all()
-                and self._dim % 128 == 0
+                and self._d_dev % 128 == 0
             ):
                 codes_sorted = self._sorted_payload["codes"]  # (nb_pad, m) u8
                 m = codes_sorted.shape[1]
@@ -591,8 +626,9 @@ class IvfIndexNode(IndexNode):
                     clut.reshape(self._nlist, m * ksub)
                 ).astype(jnp.bfloat16)
                 # block-diagonal codebooks: the kernel computes each task's
-                # QLUT as ONE dense MXU matmul qs @ books_bd (ivf_pallas)
-                books_bd = np.zeros((self._dim, m * ksub), np.float32)
+                # QLUT as ONE dense MXU matmul qs @ books_bd (ivf_pallas);
+                # rows beyond self._dim stay zero (padded query cols hit them)
+                books_bd = np.zeros((self._d_dev, m * ksub), np.float32)
                 for i in range(m):
                     books_bd[
                         i * sub_dim : (i + 1) * sub_dim, i * ksub : (i + 1) * ksub
@@ -600,10 +636,14 @@ class IvfIndexNode(IndexNode):
                 self._store["books_bd"] = jax.device_put(books_bd).astype(jnp.bfloat16)
         elif self.VARIANT in ("sq", "sq_cc"):
             t = self._sq.sq_type
-            self._store = {"codes": pad(self._sorted_payload["codes"]), "centroids": cents}
+            codes_payload = self._sorted_payload["codes"]
+            if t != "SQ4":
+                # padded columns decode to 0 (vmin=vdiff=0 below)
+                codes_payload = cpad(codes_payload)
+            self._store = {"codes": pad(codes_payload), "centroids": cents}
             if t in ("SQ4", "SQ6", "SQ8"):
-                self._store["vmin"] = jax.device_put(self._sq.vmin)
-                self._store["vdiff"] = jax.device_put(self._sq.vdiff)
+                self._store["vmin"] = jax.device_put(cpad(self._sq.vmin))
+                self._store["vdiff"] = jax.device_put(cpad(self._sq.vdiff))
                 self._sq_levels = self._sq.levels
                 self._sq_packed4 = t == "SQ4"
             else:
@@ -612,14 +652,21 @@ class IvfIndexNode(IndexNode):
             self._kind = "sq"
         elif self.VARIANT in ("rabitq", "rabitq_fastscan"):
             signs01 = D.unpack_bits_host(self._sorted_payload["signs_packed"], self._dim)
-            signs = (signs01.astype(np.int8) * 2 - 1).astype(np.int8)
+            # padded sign columns are 0 (not +-1) so they contribute nothing
+            signs = cpad((signs01.astype(np.int8) * 2 - 1).astype(np.int8))
+            rot_t = self._rbq.rotation.T.astype(np.float32)
+            if dcol:
+                # zero-extend both axes: padded query cols hit zero rows,
+                # padded sign cols read zero outputs
+                rot_t = np.pad(rot_t, ((0, dcol), (0, dcol)))
             self._store = {
                 "signs": pad(signs),
                 "r_norm": pad(self._sorted_payload["r_norm"]),
                 "t": pad(self._sorted_payload["t"], fill=1),
                 "centroids": cents,
+                "rot_t": jax.device_put(rot_t),
                 "centroids_rot": jax.device_put(
-                    (self._centroids @ self._rbq.rotation.T).astype(np.float32)
+                    cpad((self._centroids @ self._rbq.rotation.T).astype(np.float32))
                 ),
             }
             # block-aligned per-row corrections for the Pallas RaBitQ kernel
@@ -631,7 +678,7 @@ class IvfIndexNode(IndexNode):
                 offs is not None
                 and int(offs[-1]) > 0
                 and (offs % _LA == 0).all()
-                and self._dim % 128 == 0
+                and self._d_dev % 128 == 0
             ):
                 nb_pad = int(offs[-1])
                 self._store["rn_blk"] = jax.device_put(
@@ -645,24 +692,40 @@ class IvfIndexNode(IndexNode):
                     .reshape(nb_pad // _LA, 1, _LA)
                 )
             self._kind = "rabitq"
-        # refine store
+        # refine store (column-padded to match the padded device queries;
+        # sq8 pads vmin/vdiff with zeros so extra columns decode to 0)
         if self._refine_cfg and "refine" in self._sorted_payload:
             if self._refine_cfg == "sq8":
                 self._refine_store = RefineStore(
                     "sq8",
-                    jax.device_put(self._sorted_payload["refine"]),
-                    jax.device_put(self._sorted_payload["refine_vmin"]),
-                    jax.device_put(self._sorted_payload["refine_vdiff"]),
+                    jax.device_put(cpad(self._sorted_payload["refine"])),
+                    jax.device_put(cpad(self._sorted_payload["refine_vmin"])),
+                    jax.device_put(cpad(self._sorted_payload["refine_vdiff"])),
                 )
             else:
                 self._refine_store = RefineStore(
-                    "raw", jax.device_put(self._sorted_payload["refine"])
+                    "raw", jax.device_put(cpad(self._sorted_payload["refine"]))
                 )
+        # demote resident host payloads to disk-backed memmaps: the device
+        # store is the search structure; host arrays only feed Serialize /
+        # GetVectorByIds / epoch re-merges (equal-memory north star)
+        from ..utils.spill import spill_dict
+
+        spill_dict(self._sorted_payload)
 
     # --- Search ---------------------------------------------------------------
     def _prep_queries(self, dataset: DataSet) -> np.ndarray:
         xq = self._prep_rows(np.asarray(dataset.tensor))
         return xq
+
+    def _pad_q_host(self, xq: np.ndarray) -> np.ndarray:
+        """Row ladder + feature-dim zero-padding to the device width (_upload
+        pads the stores; queries must match)."""
+        q = _pad_q_rows(xq)
+        d_dev = getattr(self, "_d_dev", 0) or q.shape[1]
+        if q.shape[1] != d_dev:
+            q = np.pad(q, ((0, 0), (0, d_dev - q.shape[1])))
+        return q
 
     def _search_batch(
         self,
@@ -677,7 +740,7 @@ class IvfIndexNode(IndexNode):
         q_pad_dev: Optional[jax.Array] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (dists (nq,k) native convention, ids (nq,k) original rows)."""
-        from ..comp import check_current_cancellation
+        from ..comp import check_current_cancellation  # noqa: F811
 
         check_current_cancellation()  # per-dispatch (ivf.cc:962 analog)
         nq = xq.shape[0]
@@ -692,8 +755,6 @@ class IvfIndexNode(IndexNode):
                 k_coarse = max(k, reorder_k)
             else:
                 k_coarse = max(k, k * max(1, refine_k))
-
-        _pad_q = _pad_q_rows
 
         # Precision strategy (SURVEY north-star: speed at recall>=target):
         # - EXACT: full-fp32 scan. - FAST: single 3-pass-bf16 scan (~fp32
@@ -730,16 +791,16 @@ class IvfIndexNode(IndexNode):
         from ..ops.ivf_scan import pack_results, unpack_results
         from ..ops.refine import refine_topk_device
 
-        if q_pad_dev is None:
-            q_pad_dev = jax.device_put(_pad_q(xq))  # async; overlaps host probe
+        if q_pad_dev is None or q_pad_dev.shape[1] != self._d_dev:
+            q_pad_dev = jax.device_put(self._pad_q_host(xq))  # async; overlaps host probe
         nq_pad = q_pad_dev.shape[0]
         q_scan_dev = q_pad_dev
         if self._kind == "rabitq":
-            q_scan_dev = jnp.dot(q_pad_dev, jax.device_put(self._rbq.rotation.T))
+            q_scan_dev = jnp.dot(q_pad_dev, self._store["rot_t"])
 
-        def _run_scan_device(probes_sub: np.ndarray):
-            """probes (nq,-) -> device (scores-or-dists, positions, mode)."""
-            if probes_sub.shape[0] != nq_pad:
+        def _run_scan_device(probes_sub):
+            """probes (nq,-) or None (full scan) -> device results."""
+            if probes_sub is not None and probes_sub.shape[0] != nq_pad:
                 probes_sub = np.concatenate(
                     [probes_sub, np.full((nq_pad - probes_sub.shape[0], probes_sub.shape[1]), -1, np.int32)]
                 )
@@ -795,7 +856,13 @@ class IvfIndexNode(IndexNode):
         from ..ops.ivf_scan import coarse_probe_host
 
         nprobe_cur = min(max(1, nprobe), self._nlist)
-        if nq * self._nlist <= 1 << 20:
+        if nprobe_cur >= self._nlist:
+            # full probe: no coarse assignment needed at all — the scan uses
+            # the deterministic full-scan task layout (one sync per search)
+            probes = None
+        elif nq * self._nlist * max(self._dim, 1) <= 1 << 24:
+            # host sgemm only when it is genuinely tiny (1 vCPU host: a
+            # 2k x 512 x 1024 probe is ~2 GFLOP = hundreds of ms there)
             probes = coarse_probe_host(xq, self._centroids, nprobe_cur, is_l2)
         else:
             probes = np.asarray(
@@ -822,7 +889,7 @@ class IvfIndexNode(IndexNode):
                 else:
                     probes_act = np.asarray(
                         coarse_probe(
-                            jax.device_put(_pad_q_rows(xq[active]))[: len(active)],
+                            jax.device_put(self._pad_q_host(xq[active]))[: len(active)],
                             self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2,
                         )
                     )
@@ -852,7 +919,7 @@ class IvfIndexNode(IndexNode):
         from ..ops.refine import refine_topk_device
 
         n_sub = xq_sub.shape[0]
-        xq_pad = _pad_q_rows(xq_sub)
+        xq_pad = self._pad_q_host(xq_sub)
         if probes_sub.shape[0] != xq_pad.shape[0]:
             probes_sub = np.concatenate(
                 [probes_sub, np.full((xq_pad.shape[0] - probes_sub.shape[0], probes_sub.shape[1]), -1, np.int32)]
@@ -860,7 +927,7 @@ class IvfIndexNode(IndexNode):
         q_pad_dev = jax.device_put(xq_pad)
         q_scan_dev = q_pad_dev
         if self._kind == "rabitq":
-            q_scan_dev = jnp.dot(q_pad_dev, jax.device_put(self._rbq.rotation.T))
+            q_scan_dev = jnp.dot(q_pad_dev, self._store["rot_t"])
         s, p = ivf_scan_search(
             q_scan_dev, self._store, self._kind, probes_sub, self._offsets,
             k_scan, is_l2, keep_sorted=keep_sorted, sq_levels=self._sq_levels,
@@ -1004,8 +1071,8 @@ class IvfIndexNode(IndexNode):
         keep_sorted = snap._keep_sorted_mask(bitset)
         n_valid = snap.Count() - (bitset.count() if not bitset.empty_view() else 0)
         q_pad_dev = dataset.cached_device(
-            f"ivf_qpad:{snap._metric}:{snap.data_type}",
-            lambda: jax.device_put(_pad_q_rows(xq)),
+            f"ivf_qpad:{snap._metric}:{snap.data_type}:{snap._d_dev}",
+            lambda: jax.device_put(snap._pad_q_host(xq)),
         )
         dists, ids = snap._search_batch(
             xq,
@@ -1459,15 +1526,10 @@ register_index(
 # legacy alias (reference ivf.cc:1926 registers IVFBIN alongside BIN_IVF_FLAT)
 register_index("IVFBIN", ("bin1",), _F.BINARY | _F.KNN | _F.MMAP)(BinIvfFlatNode)
 
-# TPU_*/GPU_* accelerated aliases (reference GPU_CUVS_* equivalents)
+# GPU_CUVS_* / GPU_* / TPU_* IVF names live in models/cagra.py with the full
+# cuVS config surface. Only the legacy faiss-GPU names stay plain aliases
+# (reference src/index/gpu/ flat_gpu/ivf_gpu keep the plain IVF configs).
 for _alias, _node in (
-    (IndexEnum.INDEX_TPU_IVFFLAT, IvfFlatNode),
-    (IndexEnum.INDEX_CUVS_IVFFLAT, IvfFlatNode),
-    (IndexEnum.INDEX_GPU_IVFFLAT, IvfFlatNode),
-    (IndexEnum.INDEX_TPU_IVFPQ, IvfPqNode),
-    (IndexEnum.INDEX_CUVS_IVFPQ, IvfPqNode),
-    (IndexEnum.INDEX_GPU_IVFPQ, IvfPqNode),
-    # legacy faiss-GPU names (reference src/index/gpu/ flat_gpu/ivf_gpu)
     (IndexEnum.INDEX_FAISS_GPU_IVFFLAT, IvfFlatNode),
     (IndexEnum.INDEX_FAISS_GPU_IVFPQ, IvfPqNode),
     (IndexEnum.INDEX_FAISS_GPU_IVFSQ8, IvfSqNode),

@@ -160,6 +160,69 @@ def build_scan_tasks(
     )
 
 
+def build_full_scan_tasks(
+    nq: int,
+    list_offsets: np.ndarray,
+    B: int,
+    Qg: int,
+    list_lengths: Optional[np.ndarray] = None,
+) -> Optional[TaskBatch]:
+    """TaskBatch for nprobe == nlist (every query scans every list).
+
+    The generic inverter (build_scan_tasks) costs an O(nq*nlist) argsort the
+    full-probe case doesn't need: the layout is deterministic — every block
+    is scanned by every ceil(nq/Qg) query group, and a query's merge slot for
+    a block is just the global block index. High-dim corpora live in this
+    regime (GIST-960 needs nprobe ~ 0.75*nlist for recall 0.95), where this
+    path also lets the caller skip the coarse probe entirely."""
+    list_offsets = np.asarray(list_offsets, dtype=np.int64)
+    lens = (
+        np.asarray(list_lengths, dtype=np.int64)
+        if list_lengths is not None
+        else np.diff(list_offsets)
+    )
+    sel = np.nonzero(lens > 0)[0]
+    if sel.size == 0 or nq == 0:
+        return None
+    bl = ((lens[sel] + B - 1) // B).astype(np.int64)
+    nb_blocks = int(bl.sum())
+    bexcl = np.cumsum(bl) - bl
+    blk_list = np.repeat(sel, bl)
+    tb = np.arange(nb_blocks, dtype=np.int64) - np.repeat(bexcl, bl)
+    row_start_b = (list_offsets[blk_list] + tb * B).astype(np.int32)
+    nrows_b = np.minimum(B, lens[blk_list] - tb * B).astype(np.int32)
+
+    NG = (nq + Qg - 1) // Qg
+    qids_g = np.full((NG, Qg), -1, np.int32)
+    flat = np.arange(NG * Qg, dtype=np.int32)
+    qids_g.reshape(-1)[...] = np.where(flat < nq, flat, -1)
+
+    T = nb_blocks * NG
+    row_start = np.tile(row_start_b, NG)
+    nrows = np.tile(nrows_b, NG)
+    list_id = np.tile(blk_list.astype(np.int32), NG)
+    qids = np.repeat(qids_g, nb_blocks, axis=0)
+    slot_b = np.arange(nb_blocks, dtype=np.int32)
+    slots = np.tile(slot_b, NG)[:, None] + np.zeros((1, Qg), np.int32)
+    return TaskBatch(
+        row_start=row_start,
+        nrows=nrows,
+        list_id=list_id,
+        qids=qids,
+        slots=slots,
+        n_slots=nb_blocks,
+        B=B,
+        Qg=Qg,
+    )
+
+
+def _build_tasks(probes, nq, list_offsets, B, Qg, list_lengths):
+    """probes=None selects the full-probe fast layout."""
+    if probes is None:
+        return build_full_scan_tasks(nq, list_offsets, B, Qg, list_lengths=list_lengths)
+    return build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=list_lengths)
+
+
 def _pad_pow2(n: int, minimum: int = 16) -> int:
     p = minimum
     while p < n:
@@ -237,7 +300,11 @@ def _scan_chunk(
                 flat_books = books.reshape(m * ksub, sub_dim)
                 idx = codes.astype(jnp.int32) + (jnp.arange(m, dtype=jnp.int32) * ksub)[None, :]
                 dec = jnp.take(flat_books, idx, axis=0)  # (B, m, sub_dim)
-                rows = dec.reshape(B, m * sub_dim) + store["centroids"][lid][None, :]
+                rows = dec.reshape(B, m * sub_dim)
+                dpad = store["centroids"].shape[1] - rows.shape[1]
+                if dpad:  # centroids carry the device feature padding
+                    rows = jnp.pad(rows, ((0, 0), (0, dpad)))
+                rows = rows + store["centroids"][lid][None, :]
                 norms = jnp.sum(rows**2, axis=1) if is_l2 else None
             elif kind == "sq":
                 code_dim = store["codes"].shape[1]
@@ -407,11 +474,16 @@ def ivf_scan_search(
         # adaptive query-group width: pad waste is Qg / (avg queries probing a
         # list); small batches / small nprobe want narrow groups (ladder of
         # pow2 to bound recompiles)
-        valid_pairs = int((probes >= 0).sum())
-        touched = np.unique(probes[probes >= 0])
-        avg = valid_pairs / max(len(touched), 1)
+        if probes is None:  # full probe: every query touches every list
+            avg = nq
+            cap = 256  # wider groups amortize block DMA across more queries
+        else:
+            valid_pairs = int((probes >= 0).sum())
+            touched = np.unique(probes[probes >= 0])
+            avg = valid_pairs / max(len(touched), 1)
+            cap = 128
         Qg = 32
-        while Qg < min(avg, 128):
+        while Qg < min(avg, cap):
             Qg *= 2
 
     from .ivf_pallas import pallas_adc_available, pallas_scan_available
@@ -483,7 +555,7 @@ def ivf_scan_search(
             # by PADDED bytes (~2GB)
             m = store["codes"].shape[1]
             task_chunk = min(task_chunk, max(32, (1 << 22) // max(B * m // 128, 1) // 128))
-    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=list_lengths)
+    batch = _build_tasks(probes, nq, list_offsets, B, Qg, list_lengths)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
         p_empty = np.full((nq, k), -1, np.int32)
@@ -613,7 +685,7 @@ def _pallas_adc_search(
     B = LIST_ALIGN
     kk = task_kk(k, B)
 
-    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
+    batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
         p_empty = np.full((nq, k), -1, np.int32)
@@ -709,7 +781,7 @@ def _pallas_rbq_search(
     nq = q_dev.shape[0]
     B = LIST_ALIGN
     kk = task_kk(k, B)
-    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
+    batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
         p_empty = np.full((nq, k), -1, np.int32)
@@ -804,7 +876,7 @@ def _pallas_scan_search(
 
     nq = q_dev.shape[0]
     B = LIST_ALIGN
-    batch = build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=lens_arr)
+    batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
     if batch is None:
         s_empty = np.full((nq, k), NEG_INF, np.float32)
         p_empty = np.full((nq, k), -1, np.int32)
