@@ -255,11 +255,17 @@ class HnswIndexNode(IndexNode):
             if self._is_binary():
                 self._payload["bits_raw"] = np.asarray(x_in)
         elif self.VARIANT == "sq":
+            # real per-width stores (hnsw_config.h sq_type): SQ4 packs two
+            # codes/byte, SQ6 uses a 64-level byte grid, FP16/BF16 keep the
+            # cast rows as a raw-kind store (the walk decodes each width:
+            # ops/graph.py _decode_core kinds 'sq'/'sq6'/'sq4')
             self._sq = Q.sq_train(x, getattr(self._train_cfg, "sq_type", "SQ8") or "SQ8")
-            if self._sq.sq_type != "SQ8":
-                # graph kernel decodes SQ8; other widths fall back to SQ8 rate
-                self._sq = Q.sq_train(x, "SQ8")
-            self._payload = {"codes": Q.sq_encode(self._sq, x)}
+            if self._sq.sq_type in ("FP16", "BF16"):
+                import ml_dtypes
+
+                self._payload = {"data": x.astype(ml_dtypes.bfloat16)}
+            else:
+                self._payload = {"codes": Q.sq_encode(self._sq, x)}
         elif self.VARIANT == "lvq":
             # SVS LVQ semantics (svs_vamana.cc storage kinds): per-vector grid
             # over the mean-centred residual; 1 byte/dim + 2 f32/vector
@@ -354,12 +360,16 @@ class HnswIndexNode(IndexNode):
             self._data_dev_prebuilt = None
             self._kind = "raw"
         elif self.VARIANT == "sq":
-            self._store = {
-                "codes": jax.device_put(self._payload["codes"]),
-                "vmin": jax.device_put(self._sq.vmin),
-                "vdiff": jax.device_put(self._sq.vdiff),
-            }
-            self._kind = "sq"
+            if "data" in self._payload:  # FP16/BF16: raw bf16 store
+                self._store = {"data": jax.device_put(self._payload["data"])}
+                self._kind = "raw"
+            else:
+                self._store = {
+                    "codes": jax.device_put(self._payload["codes"]),
+                    "vmin": jax.device_put(self._sq.vmin),
+                    "vdiff": jax.device_put(self._sq.vdiff),
+                }
+                self._kind = {"SQ8": "sq", "SQ6": "sq6", "SQ4": "sq4"}[self._sq.sq_type]
         elif self.VARIANT == "lvq":
             self._store = {
                 "codes": jax.device_put(self._payload["codes"]),
@@ -588,9 +598,14 @@ class HnswIndexNode(IndexNode):
                 [self._payload["data"], x_new.astype(self._payload["data"].dtype)]
             )
         elif self.VARIANT == "sq":
-            self._payload["codes"] = np.concatenate(
-                [self._payload["codes"], Q.sq_encode(self._sq, x_new)]
-            )
+            if "data" in self._payload:  # FP16/BF16 raw store
+                self._payload["data"] = np.concatenate(
+                    [self._payload["data"], x_new.astype(self._payload["data"].dtype)]
+                )
+            else:
+                self._payload["codes"] = np.concatenate(
+                    [self._payload["codes"], Q.sq_encode(self._sq, x_new)]
+                )
         elif self.VARIANT == "lvq":
             # mean stays as trained (reference: Add encodes with Train's codec)
             lvq = Q.LVQCodec(mean=self._payload["lvq_mean"])
@@ -881,6 +896,8 @@ class HnswIndexNode(IndexNode):
         if "refine" in self._payload and self._refine_cfg == "raw":
             return self._payload["refine"]
         if self.VARIANT == "sq":
+            if "data" in self._payload:  # FP16/BF16 raw store
+                return np.asarray(self._payload["data"], dtype=np.float32)
             return np.asarray(
                 Q.sq_decode_dev(
                     self._sq,
@@ -1154,8 +1171,9 @@ class HnswIndexNode(IndexNode):
             }
             if self._sq is not None:
                 meta["sq_type"] = self._sq.sq_type
-                arrays["sq_vmin"] = self._sq.vmin
-                arrays["sq_vdiff"] = self._sq.vdiff
+                if self._sq.vmin is not None:  # FP16/BF16 codecs carry no grid
+                    arrays["sq_vmin"] = self._sq.vmin
+                    arrays["sq_vdiff"] = self._sq.vdiff
             if self._pq is not None:
                 arrays["pq_codebooks"] = self._pq.codebooks
                 meta["pq_nbits"] = self._pq.nbits
@@ -1193,7 +1211,10 @@ class HnswIndexNode(IndexNode):
                 self._payload["data"] = self._raw_host
             if "sq_type" in meta:
                 self._sq = Q.SQCodec(
-                    meta["sq_type"], np.asarray(arrays["sq_vmin"]), np.asarray(arrays["sq_vdiff"]), dim=self._dim
+                    meta["sq_type"],
+                    np.asarray(arrays["sq_vmin"]) if "sq_vmin" in arrays else None,
+                    np.asarray(arrays["sq_vdiff"]) if "sq_vdiff" in arrays else None,
+                    dim=self._dim,
                 )
             if "pq_codebooks" in arrays:
                 books = np.asarray(arrays["pq_codebooks"])

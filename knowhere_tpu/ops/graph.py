@@ -493,9 +493,17 @@ def beam_search(
         safe = jnp.clip(ids_flat, 0)
         if kind == "raw":
             return jnp.take(store["data"], safe, axis=0).astype(jnp.float32)
-        if kind == "sq":  # SQ8 codes
+        if kind in ("sq", "sq6"):  # byte-grid SQ8 (256 levels) / SQ6 (64)
+            levels = 256.0 if kind == "sq" else 64.0
             codes = jnp.take(store["codes"], safe, axis=0).astype(jnp.float32)
-            return store["vmin"][None, :] + (codes + 0.5) / 256.0 * store["vdiff"][None, :]
+            return store["vmin"][None, :] + (codes + 0.5) / levels * store["vdiff"][None, :]
+        if kind == "sq4":  # two 4-bit codes per byte
+            packed = jnp.take(store["codes"], safe, axis=0)
+            lo = (packed & 0xF).astype(jnp.float32)
+            hi = (packed >> 4).astype(jnp.float32)
+            d = store["vmin"].shape[0]
+            q4 = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)[:, :d]
+            return store["vmin"][None, :] + (q4 + 0.5) / 16.0 * store["vdiff"][None, :]
         if kind == "lvq":  # per-vector grid (SVS LVQ-8 semantics)
             codes = jnp.take(store["codes"], safe, axis=0).astype(jnp.float32)
             off = jnp.take(store["off"], safe)[:, None]
