@@ -721,6 +721,12 @@ def bench_gist(rows):
                 search_extra=extra, knobs=("nprobe", frac_ladder), return_index=True,
             )
             grow, _idx, chosen = out
+            # a GIST-1M family holds ~5GB HBM; free it before the next build
+            # (observed: IVF_PQ allocations failed with IVF_FLAT resident)
+            del _idx, out
+            import gc
+
+            gc.collect()
             if chosen is not None:
                 cpu = cpu_baseline_for(base_kind, GIST_NB, GIST_DIM, 1024, chosen, base_extra)
                 if cpu > 0:
@@ -731,6 +737,7 @@ def bench_gist(rows):
         grow["dataset"] = f"GIST-like {GIST_NB}x{GIST_DIM}"
         rows.append(grow)
         print(json.dumps(grow), file=sys.stderr, flush=True)
+    del gxb, gxq, gbase, gquery, ggt
 
 
 def main():
@@ -774,6 +781,32 @@ def main():
         kept[name] = idx
         print(json.dumps(row), file=sys.stderr, flush=True)
 
+    # ---- FLAT exact row (reference benchmark config: Flat BF SIFT1M) ----
+    if os.environ.get("KNOWHERE_BENCH_SKIP_FLAT") != "1":
+        try:
+            fidx = kt.IndexFactory.Instance().Create("FLAT").value()
+            t0 = time.perf_counter()
+            st = fidx.Build(base_ds, {"metric_type": "L2"})
+            fbuild = time.perf_counter() - t0
+            nqf = min(2000, NQ)
+            qf = kt.GenDataSetFromArray(xq[:nqf])
+            fidx.Search(qf, {"metric_type": "L2", "k": K})  # warm
+            t0 = time.perf_counter()
+            r = fidx.Search(qf, {"metric_type": "L2", "k": K})
+            frow = {
+                "index": "FLAT",
+                "recall": round(recall_at_k(gt_ids[:nqf], r.value().ids.reshape(nqf, K), K), 4),
+                "qps": round(nqf / (time.perf_counter() - t0), 1),
+                "build_s": round(fbuild, 1),
+                **_mem_fields(fidx),
+            }
+            del fidx
+        except Exception as e:  # pragma: no cover
+            frow = {"index": "FLAT", "error": repr(e)}
+        frow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
+        rows.append(frow)
+        print(json.dumps(frow), file=sys.stderr, flush=True)
+
     # ---- bitset-filtered leg (reuses the HNSW index) ----
     if kept.get("HNSW") is not None and os.environ.get("KNOWHERE_BENCH_SKIP_FILTERED") != "1":
         try:
@@ -809,6 +842,9 @@ def main():
 
     kept.clear()
     del xb, xq, base_ds, query_ds, gt_ids
+    import gc
+
+    gc.collect()
 
     # ---- sparse legs (IP hybrid + BM25) ----
     try:

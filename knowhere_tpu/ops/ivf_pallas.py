@@ -90,33 +90,19 @@ def _topk_rows(scores, payload, k: int):
 
 
 def task_kk(k: int, B: int) -> int:
-    """Per-task top-k width. Exact (k) up to 32 — the union of per-chunk
-    top-j contains the block's true top-j for j<=32, so results stay exact.
-    Above 32 (refine pools: k_coarse = k*refine_k), widen to 32 candidates
-    per 128-column chunk via _topk_rows_wide: same VPU cost as one 32-pass
-    over the full block, but a block can now contribute up to B//128 * 32
-    candidates — without this, a query whose true neighbors concentrate in
-    its home list lost them to the per-task cap no matter how large nprobe
-    grew (round-2 GIST-960 recall plateau at 0.899)."""
-    if k <= 32:
-        return k
-    return 32 * min(B // 128, -(-k // 32))
+    """Per-task top-k width, capped at 32.
 
-
-def _topk_rows_wide(scores, payload, kk: int):
-    """_topk_rows when kk <= 32; otherwise top-32 of each of kk//32 column
-    chunks (results unsorted across chunks — downstream merges re-sort)."""
-    R, C = scores.shape
-    if kk <= 32:
-        return _topk_rows(scores, payload, kk)
-    nch = kk // 32
-    w = C // nch
-    vs, ps = [], []
-    for i in range(nch):
-        v, p = _topk_rows(scores[:, i * w : (i + 1) * w], payload[:, i * w : (i + 1) * w], 32)
-        vs.append(v)
-        ps.append(p)
-    return jnp.concatenate(vs, 1), jnp.concatenate(ps, 1)
+    NEGATIVE RESULT (round 3): widening beyond 32 via chunked column top-k
+    (_topk_rows over 128-col slices, kk in {64, 96, 128}) ABORTS Mosaic's
+    ApplyVectorLayoutPass on v5e for every tested (Qg, kk>32, d) shape
+    ('Check failed: limits[i] <= dim(i)', vector_extract_strided_slice), and
+    the motivating theory was wrong anyway: round-2's GIST recall plateau at
+    0.899 was the nprobe LADDER capping at nlist/2 (coverage), not the
+    per-task candidate cap — the XLA fallback scan (kk = min(k, B)) serves
+    the wide-pool cases and the 32-cap measured no recall loss at SIFT
+    k_coarse=80 (r2: 0.9822). Kept as the single width policy so the
+    kernels and their callers stay in one place."""
+    return min(k, 32)
 
 
 def _scan_kernel(
@@ -174,7 +160,7 @@ def _scan_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
-    s, p = _topk_rows_wide(score, gpos, kk)
+    s, p = _topk_rows(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 
@@ -300,7 +286,7 @@ def _sq_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
-    s, p = _topk_rows_wide(score, gpos, kk)
+    s, p = _topk_rows(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 
@@ -499,7 +485,7 @@ def _adc_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[t] * B
-    s, p = _topk_rows_wide(score, gpos, kk)
+    s, p = _topk_rows(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 
@@ -604,6 +590,12 @@ def pallas_adc_available(
         return False
     if nq_pad and nq_pad * d * 4 > _Q_VMEM_BYTES:
         return False  # query table must stay VMEM-resident
+    books = store.get("books_bd")
+    if books is not None and books.shape[1] > 8192:
+        # per-task QLUT is (Qg, m*ksub) f32 in VMEM: m*ksub=24576 (GIST
+        # m=96) aborts Mosaic's layout pass at any Qg (r3 shape matrix);
+        # m<=32 @ ksub=256 compiles — larger LUTs take the XLA scan
+        return False
     # k may exceed the per-task top-k width (32): each task contributes its
     # best 32 per block and the cross-block merge produces the requested k
     if d % 128 != 0 or k < 1:
@@ -685,7 +677,7 @@ def _rbq_kernel(
     if has_mask:
         score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
     gpos = col + blk_ref[ti] * B
-    s, p = _topk_rows_wide(score, gpos, kk)
+    s, p = _topk_rows(score, gpos, kk)
     out_s_ref[0] = s
     out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
 

@@ -482,6 +482,12 @@ def ivf_scan_search(
             touched = np.unique(probes[probes >= 0])
             avg = valid_pairs / max(len(touched), 1)
             cap = 128
+        # Mosaic VMEM guard (measured r3 shape matrix): Qg=256 at d=1024
+        # aborts the layout pass while Qg=128 compiles — bound the per-task
+        # query scratch (Qg x d x 4B) to 512KB
+        d_q = int(q_dev.shape[1])
+        while cap > 32 and cap * d_q * 4 > (512 << 10):
+            cap //= 2
         Qg = 32
         while Qg < min(avg, cap):
             Qg *= 2

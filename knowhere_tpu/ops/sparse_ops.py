@@ -577,12 +577,27 @@ def hybrid_bm25_slab(h: HybridSlab, k1: float, b: float, avgdl: float) -> np.nda
     return np.where(tf > 0, out, 0.0).astype(np.float32)
 
 
+def _densify_head(slab, qh_idx, qh_val):
+    """(nqc, W) (slot, val) pairs -> (nqc, F) dense head queries ON DEVICE:
+    the dense Qh was the h2d bottleneck (nqc x F x 4B per chunk through a
+    ~50MB/s tunnel vs W<=128 pairs per query)."""
+    F = slab.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, qh_idx.shape, 0)
+    safe = jnp.where(qh_idx >= 0, qh_idx, F)
+    return (
+        jnp.zeros((qh_idx.shape[0], F + 1), jnp.float32)
+        .at[row, safe]
+        .add(qh_val)[:, :F]
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "has_mask", "has_tail"))
 def _hybrid_topk_kernel(
     slab,  # (F, nb_pad) f32 device (metric-transformed)
     tail_doc_ids,  # (nnz_t,) i32 device
     tail_vals,  # (nnz_t,) f32 device (metric-transformed)
-    Qh,  # (nqc, F) f32
+    qh_idx,  # (nqc, W) i32 head slots, -1 padded
+    qh_val,  # (nqc, W) f32 head weights
     entry_idx,  # (P,) i32 into tail postings
     qid,  # (P,) i32
     w,  # (P,) f32
@@ -592,6 +607,7 @@ def _hybrid_topk_kernel(
     has_mask: bool,
     has_tail: bool,
 ):
+    Qh = _densify_head(slab, qh_idx, qh_val)
     scores = jax.lax.dot_general(
         Qh, slab, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -607,6 +623,33 @@ def _hybrid_topk_kernel(
     s, i = jax.lax.top_k(scores, k)
     i = jnp.where(s == -jnp.inf, -1, i)
     return jnp.concatenate([jax.lax.bitcast_convert_type(s, jnp.int32), i], axis=1)
+
+
+def _pack_head_pairs(head_pairs, nqc_pad):
+    """[(slot, val)] per query -> (nqc_pad, W) i32/-1 + f32 arrays, W on a
+    pow2 ladder so jit shapes are reused."""
+    wmax = max((len(hp) for hp in head_pairs), default=0)
+    W = 8
+    while W < wmax:
+        W *= 2
+    qh_idx = np.full((nqc_pad, W), -1, np.int32)
+    qh_val = np.zeros((nqc_pad, W), np.float32)
+    for ci, hp in enumerate(head_pairs):
+        for j, (slot, v) in enumerate(hp):
+            qh_idx[ci, j] = slot
+            qh_val[ci, j] = v
+    return qh_idx, qh_val
+
+
+def _upload_head_pairs(qh_idx, qh_val):
+    """ONE h2d for both arrays (bitcast-packed)."""
+    packed = np.concatenate([qh_idx.reshape(-1), qh_val.reshape(-1).view(np.int32)])
+    dev = jax.device_put(packed)
+    n = qh_idx.size
+    return (
+        dev[:n].reshape(qh_idx.shape),
+        jax.lax.bitcast_convert_type(dev[n:].reshape(qh_val.shape), jnp.float32),
+    )
 
 
 def sparse_search_hybrid(
@@ -635,13 +678,14 @@ def sparse_search_hybrid(
             cancel_check()
         e0 = min(s0 + q_chunk, nq)
         nqc_pad = _nqc_ladder(e0 - s0)
-        Qh = np.zeros((nqc_pad, h.F), np.float32)
+        head_pairs = []  # per-query [(slot, val)] -- densified ON DEVICE
         entry_list, qid_list, w_list = [], [], []
         for ci, qi in enumerate(range(s0, e0)):
+            hp = []
             for d, v in _drop_items(q_rows[qi], drop_ratio_search):
                 slot = h.head_map.get(int(d))
                 if slot is not None:
-                    Qh[ci, slot] += v
+                    hp.append((slot, v))
                     continue
                 rng = h.tail.dim_start.get(int(d))
                 if rng is None:
@@ -650,6 +694,8 @@ def sparse_search_hybrid(
                 entry_list.append(np.arange(st, en, dtype=np.int32))
                 qid_list.append(np.full(en - st, ci, np.int32))
                 w_list.append(np.full(en - st, v, np.float32))
+            head_pairs.append(hp)
+        qh_idx, qh_val = _pack_head_pairs(head_pairs, nqc_pad)
         has_tail = bool(entry_list)
         if has_tail:
             entry_idx = np.concatenate(entry_list)
@@ -671,9 +717,10 @@ def sparse_search_hybrid(
         else:
             e_dev = q_dev = jnp.zeros((1,), jnp.int32)
             w_dev = jnp.zeros((1,), jnp.float32)
+        qi_dev, qv_dev = _upload_head_pairs(qh_idx, qh_val)
         packed = _hybrid_topk_kernel(
             slab_dev, tail_doc_ids_dev, tail_vals_dev,
-            jax.device_put(Qh), e_dev, q_dev, w_dev,
+            qi_dev, qv_dev, e_dev, q_dev, w_dev,
             maskf if maskf is not None else jnp.zeros((), jnp.float32),
             k=kk, has_mask=maskf is not None, has_tail=has_tail,
         )
@@ -685,9 +732,10 @@ def sparse_search_hybrid(
 
 @partial(jax.jit, static_argnames=("has_mask", "has_tail"))
 def _hybrid_full_kernel(
-    slab, tail_doc_ids, tail_vals, Qh, entry_idx, qid, w, maskf,
+    slab, tail_doc_ids, tail_vals, qh_idx, qh_val, entry_idx, qid, w, maskf,
     *, has_mask: bool, has_tail: bool,
 ):
+    Qh = _densify_head(slab, qh_idx, qh_val)
     scores = jax.lax.dot_general(
         Qh, slab, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -725,13 +773,14 @@ def sparse_full_scores_hybrid(
             cancel_check()
         e0 = min(s0 + q_chunk, nq)
         nqc_pad = _nqc_ladder(e0 - s0)
-        Qh = np.zeros((nqc_pad, h.F), np.float32)
+        head_pairs = []  # per-query [(slot, val)] -- densified ON DEVICE
         entry_list, qid_list, w_list = [], [], []
         for ci, qi in enumerate(range(s0, e0)):
+            hp = []
             for d, v in _drop_items(q_rows[qi], drop_ratio_search):
                 slot = h.head_map.get(int(d))
                 if slot is not None:
-                    Qh[ci, slot] += v
+                    hp.append((slot, v))
                     continue
                 rng = h.tail.dim_start.get(int(d))
                 if rng is None:
@@ -740,6 +789,8 @@ def sparse_full_scores_hybrid(
                 entry_list.append(np.arange(st, en, dtype=np.int32))
                 qid_list.append(np.full(en - st, ci, np.int32))
                 w_list.append(np.full(en - st, v, np.float32))
+            head_pairs.append(hp)
+        qh_idx, qh_val = _pack_head_pairs(head_pairs, nqc_pad)
         has_tail = bool(entry_list)
         if has_tail:
             entry_idx = np.concatenate(entry_list)
@@ -760,9 +811,10 @@ def sparse_full_scores_hybrid(
         else:
             e_dev = q_dev = jnp.zeros((1,), jnp.int32)
             w_dev = jnp.zeros((1,), jnp.float32)
+        qi_dev, qv_dev = _upload_head_pairs(qh_idx, qh_val)
         scores = _hybrid_full_kernel(
             slab_dev, tail_doc_ids_dev, tail_vals_dev,
-            jax.device_put(Qh), e_dev, q_dev, w_dev,
+            qi_dev, qv_dev, e_dev, q_dev, w_dev,
             maskf if maskf is not None else jnp.zeros((), jnp.float32),
             has_mask=maskf is not None, has_tail=has_tail,
         )

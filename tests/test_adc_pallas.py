@@ -340,3 +340,28 @@ def test_rbq_kernel_matches_estimator_oracle(metric):
             np.testing.assert_allclose(
                 np.sort(s[t, qi])[::-1], gt_top[qi], rtol=2e-2, atol=2e-2
             )
+
+
+def test_task_kk_cap():
+    """Per-task width caps at 32 (kk>32 chunked column top-k is a recorded
+    NEGATIVE result: Mosaic layout aborts on every tested shape; wide pools
+    ride the XLA fallback instead — ops/ivf_pallas.task_kk docstring)."""
+    from knowhere_tpu.ops.ivf_pallas import task_kk
+
+    for k in (1, 10, 32, 33, 80, 320, 2560):
+        assert task_kk(k, 512) == min(k, 32)
+
+
+def test_adc_unavailable_for_large_lut():
+    """m*ksub > 8192 (e.g. GIST m=96) must NOT select the Pallas ADC kernel
+    (per-task QLUT exceeds VMEM; Mosaic aborts)."""
+    import numpy as np
+    from knowhere_tpu.ops.ivf_pallas import pallas_adc_available
+
+    offsets = np.array([0, 512, 1024], np.int64)
+    store = {
+        "codes_t": np.zeros((96, 1024), np.int32),
+        "clut": np.zeros((2, 96 * 256), np.float32),
+        "books_bd": np.zeros((1024, 96 * 256), np.float32),
+    }
+    assert not pallas_adc_available(store, 1024, 10, offsets, False, nq_pad=256, interpret=True)
