@@ -457,7 +457,15 @@ class SparseInvertedIndexNode(IndexNode):
             if p is None:
                 self._caches["padded"] = (None, None)
                 return None
-            self._caches["padded"] = (p, _jax.device_put(p.dims_pad))
+            dims_dev = _jax.device_put(p.dims_pad)
+            # resident-memory hygiene: the device copy is the engine; the
+            # host (nb_pad, L) matrices only feed metric re-transforms, so
+            # demote them to disk-backed memmaps (utils/spill)
+            from ..utils.spill import spill_array as _spill
+
+            p.dims_pad = _spill(p.dims_pad)
+            p.vals_pad = _spill(p.vals_pad)
+            self._caches["padded"] = (p, dims_dev)
             got = self._caches["padded"]
         p, dims_dev = got
         if p is None:
@@ -495,7 +503,15 @@ class SparseInvertedIndexNode(IndexNode):
             if h is None:
                 self._caches["hybrid"] = (None, None)
                 return None
-            self._caches["hybrid"] = (h, _jax.device_put(h.tail.doc_ids))
+            tail_dev = _jax.device_put(h.tail.doc_ids)
+            # the (F, nb_pad) head slab host copy only feeds metric
+            # re-transforms after the device upload: spill it (the reference
+            # keeps postings compressed/mmap'd, not duplicated —
+            # block_inverted_index.h)
+            from ..utils.spill import spill_array as _spill
+
+            h.slab = _spill(h.slab)
+            self._caches["hybrid"] = (h, tail_dev)
             got = self._caches["hybrid"]
         h, tail_ids_dev = got
         if h is None:
