@@ -692,7 +692,16 @@ class HnswIndexNode(IndexNode):
                 dists, ids = self._brute_force(xq, k, bitset)
                 return expected.Ok(GenResultDataSet(nq, k, ids, dists))
 
-            dists, ids = self._graph_search(xq, k, ef, bitset, refine_k=int(cfg.get("refine_k", 1) or 1))
+            # re-searching the same DataSet (knob ladders, repeat calls) must
+            # not re-upload the queries: ~50MB/s + ~30ms flat per h2d here
+            q_pad_dev = dataset.cached_device(
+                f"hnsw_qpad:{self._metric}:{self.data_type}",
+                lambda: jax.device_put(self._pad_q(xq)),
+            )
+            dists, ids = self._graph_search(
+                xq, k, ef, bitset, refine_k=int(cfg.get("refine_k", 1) or 1),
+                q_pad_dev=q_pad_dev,
+            )
             # under filters the walk may strand some queries: exact-fill them
             if not bitset.empty_view():
                 n_valid = self.Count() - bitset.count()
@@ -708,9 +717,11 @@ class HnswIndexNode(IndexNode):
 
         return pad_rows_ladder(a)
 
-    def _graph_search(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1):
+    def _graph_search(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1,
+                      q_pad_dev=None):
         if self._inline is not None:
-            return self._graph_search_inline(xq, k, ef, bitset, refine_k)
+            return self._graph_search_inline(xq, k, ef, bitset, refine_k,
+                                             q_pad_dev=q_pad_dev)
         nq = xq.shape[0]
         is_l2 = self._is_l2_like()
         internal = self._internal_metric()
@@ -744,21 +755,27 @@ class HnswIndexNode(IndexNode):
         prec = matmul_precision_name()
         from ..comp import check_current_cancellation
 
+        from ..ops.ivf_scan import pack_results, unpack_results
+
         scores_l, ids_l = [], []
         for s0 in range(0, nq, chunk):
             check_current_cancellation()  # per-chunk (ivf.cc:962 analog)
             xc = xq[s0 : s0 + chunk]
-            xq_pad = (
-                self._pad_q(xc)
-                if nq <= chunk
-                else np.concatenate(
-                    [xc, np.zeros((chunk - xc.shape[0], d), xc.dtype)]
+            if s0 == 0 and nq <= chunk and q_pad_dev is not None:
+                qc_dev = q_pad_dev  # cached upload (knob ladders, re-search)
+            else:
+                xq_pad = (
+                    self._pad_q(xc)
+                    if nq <= chunk
+                    else np.concatenate(
+                        [xc, np.zeros((chunk - xc.shape[0], d), xc.dtype)]
+                    )
+                    if xc.shape[0] < chunk
+                    else xc
                 )
-                if xc.shape[0] < chunk
-                else xc
-            )
+                qc_dev = jax.device_put(xq_pad)
             sc, ic = beam_search(
-                jax.device_put(xq_pad),
+                qc_dev,
                 self._store,
                 self._graph_dev,
                 entry_dev,
@@ -777,8 +794,11 @@ class HnswIndexNode(IndexNode):
                 n_seed=n_seed,
                 compact_ratio=GRAPH_COMPACT_RATIO if W > 1 else 1.0,
             )
-            scores_l.append(np.asarray(sc)[: xc.shape[0]])
-            ids_l.append(np.asarray(ic)[: xc.shape[0]])
+            # scores+ids cross to the host in ONE packed transfer (~30ms
+            # flat per d2h sync on this platform)
+            sh, ih = unpack_results(np.asarray(pack_results(sc, ic)))
+            scores_l.append(sh[: xc.shape[0]])
+            ids_l.append(ih[: xc.shape[0]])
         scores = np.concatenate(scores_l) if len(scores_l) > 1 else scores_l[0][:nq]
         ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0][:nq]
         if self._refine_store is not None:
@@ -797,11 +817,13 @@ class HnswIndexNode(IndexNode):
         dists = np.where(invalid, np.float32(np.inf if is_l2 else -np.inf), dists)
         return dists, ids.astype(np.int64)
 
-    def _graph_search_inline(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1):
+    def _graph_search_inline(self, xq, k, ef, bitset: BitsetView, refine_k: int = 1,
+                             q_pad_dev=None):
         """Inline-neighborhood walk (ops/graph_inline.py). Scores returned are
         EXACT under the stored values (raw f32 / SQ8 decode) via the built-in
         final rerank, so downstream dist conversion matches the general path."""
         from ..ops.graph_inline import beam_search_inline
+        from ..ops.ivf_scan import pack_results, unpack_results
 
         inline = self._inline
         nq, d = xq.shape
@@ -831,16 +853,20 @@ class HnswIndexNode(IndexNode):
             self._entry_dev = jax.device_put(self._entry)
         if self._entry_cents_dev is None:
             self._entry_cents_dev = jax.device_put(self._entry_cents)
-        outs_s, outs_i = [], []
+        outs = []
         for s0 in range(0, nq, chunk):
             xc = xq[s0 : s0 + chunk]
-            if nq <= chunk:
-                xc = self._pad_q(xc)
-            elif xc.shape[0] < chunk:
-                xc = np.concatenate([xc, np.zeros((chunk - xc.shape[0], d), xc.dtype)])
+            if s0 == 0 and nq <= chunk and q_pad_dev is not None:
+                qc_dev = q_pad_dev  # cached upload (knob ladders, re-search)
+            else:
+                if nq <= chunk:
+                    xc = self._pad_q(xc)
+                elif xc.shape[0] < chunk:
+                    xc = np.concatenate([xc, np.zeros((chunk - xc.shape[0], d), xc.dtype)])
+                qc_dev = jax.device_put(xc)
             rs, ri = beam_search_inline(
                 inline.table,
-                jax.device_put(xc),
+                qc_dev,
                 inline.rerank0, inline.rerank1, inline.rerank2,
                 self._entry_dev,
                 self._entry_cents_dev,
@@ -850,10 +876,12 @@ class HnswIndexNode(IndexNode):
                 n_seed=n_seed, k=k_out, is_l2=is_l2, has_mask=keep is not None,
                 rerank_kind=inline.rerank_kind, bits=inline.bits,
             )
-            outs_s.append(rs)
-            outs_i.append(ri)  # async across chunks; one sync below
-        scores = np.concatenate([np.asarray(s) for s in outs_s])[:nq]
-        ids = np.concatenate([np.asarray(i) for i in outs_i])[:nq]
+            outs.append(pack_results(rs, ri))  # async across chunks
+        # ONE host transfer per chunk (scores+ids bit-packed; ~30ms flat per
+        # d2h sync on this platform, so never two)
+        parts = [unpack_results(np.asarray(p)) for p in outs]
+        scores = np.concatenate([s for s, _ in parts])[:nq]
+        ids = np.concatenate([i for _, i in parts])[:nq]
         if self._refine_store is not None:
             dists, ids = refine_topk(jax.device_put(xq), self._refine_store, ids, k, is_l2)
             invalid = ids < 0

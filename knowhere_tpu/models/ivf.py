@@ -215,6 +215,9 @@ class IvfIndexNode(IndexNode):
         self._refine_store: Optional[RefineStore] = None
         self._sq_levels = 0
         self._sq_packed4 = False
+        # fused-search jit cache, keyed by static search config; rebound by
+        # _upload so epoch snapshots keep a cache consistent with their store
+        self._fused_cache: Dict[tuple, "object"] = {}
 
     # --- helpers ---------------------------------------------------------
     def _is_binary(self) -> bool:
@@ -706,6 +709,16 @@ class IvfIndexNode(IndexNode):
                 self._refine_store = RefineStore(
                     "raw", jax.device_put(cpad(self._sorted_payload["refine"]))
                 )
+        # device list geometry for the on-device task builder (one h2d per
+        # upload, not per search), and a fresh fused-search cache bound to
+        # this store epoch
+        self._store["offsets_dev"] = jax.device_put(
+            np.asarray(self._offsets, dtype=np.int32)
+        )
+        self._store["lens_dev"] = jax.device_put(
+            np.asarray(self._lengths, dtype=np.int32)
+        )
+        self._fused_cache = {}
         # demote resident host payloads to disk-backed memmaps: the device
         # store is the search structure; host arrays only feed Serialize /
         # GetVectorByIds / epoch re-merges (equal-memory north star)
@@ -726,6 +739,93 @@ class IvfIndexNode(IndexNode):
         if q.shape[1] != d_dev:
             q = np.pad(q, ((0, 0), (0, d_dev - q.shape[1])))
         return q
+
+    def _fused_search_fn(
+        self, nprobe_cur: int, k_scan: int, scan_prec: str, has_mask: bool,
+        is_jac: bool, mode_tag: str, k_final: int,
+    ):
+        """ONE-dispatch search: coarse probe -> on-device task build
+        (build_scan_tasks_jax) -> scan kernels -> merge -> (refine) -> packed
+        results, all inside a single jit. Every separate dispatch costs ~20ms
+        flat over the axon tunnel (measured r3 phase profile: the unfused
+        path paid it ~10-15x per search), so the whole search compiles into
+        one XLA program and the host reads back exactly once."""
+        key = (nprobe_cur, k_scan, scan_prec, has_mask, is_jac, mode_tag, k_final)
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+        from ..ops.ivf_scan import coarse_probe as _cp, ivf_scan_search as _scan
+        from ..ops.ivf_scan import pack_results as _pack
+        from ..ops.refine import RefineStore as _RS, refine_topk_device as _ref
+
+        kind = self._kind
+        offsets, lens = self._offsets, self._lengths
+        sq_levels, sq_packed4 = self._sq_levels, self._sq_packed4
+        is_l2 = self._is_l2_like()
+        refine_kind = None if self._refine_store is None else self._refine_store.kind
+
+        def run(q_pad_dev, store, keep_sorted, r_data, r_vmin, r_vdiff):
+            q_scan = q_pad_dev
+            if kind == "rabitq":
+                q_scan = jnp.dot(q_pad_dev, store["rot_t"])
+            probes = _cp(
+                q_pad_dev, store["centroids"], nprobe=nprobe_cur, is_l2=is_l2
+            )
+            s, p = _scan(
+                q_scan, store, kind, probes, offsets, k_scan, is_l2,
+                keep_sorted=keep_sorted if has_mask else None,
+                sq_levels=sq_levels, sq_packed4=sq_packed4,
+                is_jaccard=is_jac, prec=scan_prec, return_device=True,
+                list_lengths=lens,
+            )
+            if mode_tag == "two_stage":
+                s, p = _ref(q_pad_dev, _RS("raw", store["data"]), p, k_final, is_l2)
+            elif mode_tag == "refine":
+                s, p = _ref(
+                    q_pad_dev, _RS(refine_kind, r_data, r_vmin, r_vdiff), p,
+                    k_final, is_l2,
+                )
+            return _pack(s, p)
+
+        fn = jax.jit(run)
+        self._fused_cache[key] = fn
+        return fn
+
+    def _fused_eligible(self, k_scan: int, nq_pad: int, scan_prec: str,
+                        has_mask: bool, is_jac: bool) -> bool:
+        """Fuse when the scan will take a Pallas kernel path (the XLA decode
+        fallback can expand to hundreds of inlined dispatches for huge-m PQ,
+        where one program would compile forever)."""
+        import os as _os
+
+        if _os.environ.get("KNOWHERE_FORCE_FUSED") == "1":
+            return True
+        if _os.environ.get("KNOWHERE_DISABLE_FUSED") == "1":
+            return False
+        from ..ops.ivf_pallas import (
+            pallas_adc_available, pallas_rbq_available, pallas_scan_available,
+            pallas_sq_available,
+        )
+
+        st = self._store
+        if self._kind == "pq" and scan_prec != "exact":
+            return pallas_adc_available(
+                st, self._d_dev, k_scan, self._offsets, has_mask, nq_pad=nq_pad
+            )
+        if self._kind == "raw" and st["data"].dtype == jnp.float32:
+            return pallas_scan_available(
+                "raw", self._d_dev, k_scan, nq_pad, self._offsets, has_mask,
+                is_jac, scan_prec,
+            )
+        if self._kind == "rabitq" and scan_prec != "exact":
+            return pallas_rbq_available(st, self._d_dev, k_scan, nq_pad, self._offsets)
+        if self._kind == "sq":
+            return pallas_sq_available(
+                self._d_dev, st["codes"].shape[1], k_scan, nq_pad,
+                self._offsets, has_mask, self._sq_levels, self._sq_packed4,
+                scan_prec,
+            )
+        return False
 
     def _search_batch(
         self,
@@ -800,7 +900,11 @@ class IvfIndexNode(IndexNode):
 
         def _run_scan_device(probes_sub):
             """probes (nq,-) or None (full scan) -> device results."""
-            if probes_sub is not None and probes_sub.shape[0] != nq_pad:
+            if (
+                probes_sub is not None
+                and not isinstance(probes_sub, jax.Array)
+                and probes_sub.shape[0] != nq_pad
+            ):
                 probes_sub = np.concatenate(
                     [probes_sub, np.full((nq_pad - probes_sub.shape[0], probes_sub.shape[1]), -1, np.int32)]
                 )
@@ -856,20 +960,40 @@ class IvfIndexNode(IndexNode):
         from ..ops.ivf_scan import coarse_probe_host
 
         nprobe_cur = min(max(1, nprobe), self._nlist)
-        if nprobe_cur >= self._nlist:
-            # full probe: no coarse assignment needed at all — the scan uses
-            # the deterministic full-scan task layout (one sync per search)
-            probes = None
-        elif nq * self._nlist * max(self._dim, 1) <= 1 << 24:
-            # host sgemm only when it is genuinely tiny (1 vCPU host: a
-            # 2k x 512 x 1024 probe is ~2 GFLOP = hundreds of ms there)
-            probes = coarse_probe_host(xq, self._centroids, nprobe_cur, is_l2)
-        else:
-            probes = np.asarray(
-                coarse_probe(q_pad_dev[:nq], self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2)
+        mode_tag = (
+            "two_stage"
+            if two_stage
+            else ("refine" if self._refine_store is not None else "plain")
+        )
+        if nprobe_cur < self._nlist and self._fused_eligible(
+            k_scan, nq_pad, scan_prec, keep_sorted is not None,
+            internal == M.JACCARD,
+        ):
+            from ..ops.ivf_scan import unpack_results as _unpack
+
+            k_final = k_coarse if two_stage else k
+            fn = self._fused_search_fn(
+                nprobe_cur, k_scan, scan_prec, keep_sorted is not None,
+                internal == M.JACCARD, mode_tag, k_final,
             )
-        s_dev, p_dev, mode = _run_scan_device(probes)
-        best_s, best_p = _to_host(s_dev, p_dev)
+            rs = self._refine_store
+            packed = np.asarray(
+                fn(
+                    q_pad_dev, self._store, keep_sorted,
+                    rs.data if rs is not None else None,
+                    rs.vmin if rs is not None else None,
+                    rs.vdiff if rs is not None else None,
+                )
+            )
+            sh, ph = _unpack(packed)
+            best_s, best_p = sh[:nq].copy(), ph[:nq].copy()
+            mode = "score" if mode_tag == "plain" else "dist"
+        else:
+            probes = self._probes_for(
+                xq, q_pad_dev, nprobe_cur, is_l2, coarse_probe_host
+            )
+            s_dev, p_dev, mode = _run_scan_device(probes)
+            best_s, best_p = _to_host(s_dev, p_dev)
 
         # ensure_topk_full: widen nprobe for unfilled queries only (rare path;
         # its extra syncs only happen when the first pass under-filled)
@@ -909,6 +1033,28 @@ class IvfIndexNode(IndexNode):
             best_p = np.pad(best_p, ((0, 0), (0, padw)), constant_values=-1)
         ids = np.where(best_p >= 0, self._row_ids[np.clip(best_p, 0, nb - 1)], -1)
         return dists, ids
+
+    def _probes_for(self, xq, q_pad_dev, nprobe_cur, is_l2, coarse_probe_host):
+        nq = xq.shape[0]
+        if nprobe_cur >= self._nlist:
+            # full probe: no coarse assignment needed at all — the scan uses
+            # the deterministic full-scan task layout (one sync per search)
+            probes = None
+        elif nq * self._nlist * max(self._dim, 1) <= 1 << 24:
+            # host sgemm only when it is genuinely tiny (1 vCPU host: a
+            # 2k x 512 x 1024 probe is ~2 GFLOP = hundreds of ms there)
+            probes = coarse_probe_host(xq, self._centroids, nprobe_cur, is_l2)
+        else:
+            # device probe kept ON device: the task build also runs on device
+            # (build_scan_tasks_jax), so NOTHING crosses the tunnel between
+            # the query upload and the packed result readback (measured r3:
+            # probe d2h + host task build + task h2d was ~200ms of a 308ms
+            # nprobe=16 search at 1M x 128). Padded query rows are zeros —
+            # their probes add ~2% tasks whose results are discarded at [:nq]
+            probes = coarse_probe(
+                q_pad_dev, self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2
+            )
+        return probes
 
     def _rescan_subset(
         self, xq_sub, probes_sub, k_scan, k, k_coarse, keep_sorted,

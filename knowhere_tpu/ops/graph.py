@@ -57,6 +57,7 @@ def _approx_knn_graph(
     metric: str,
     centroids: Optional[np.ndarray] = None,
     assign: Optional[np.ndarray] = None,
+    x_dev: Optional[jax.Array] = None,
 ) -> np.ndarray:
     """(nb, k) neighbor ids (self excluded) via batched exact/IVF kNN."""
     from . import topk as T
@@ -116,17 +117,29 @@ def _approx_knn_graph(
         }
         is_l2 = metric == "L2"
         ids = np.empty((nb, k + 1), dtype=np.int64)
-        # 16384 keeps the query table within the Pallas kernel's VMEM budget
-        # (32768 x 128 x 4B would exceed it and fall back to the XLA scan)
-        chunk = 16384
+        # query chunks SLICE the resident corpus (zero h2d per chunk; the old
+        # per-chunk upload cost ~160ms + probes synced to host + host task
+        # build — ~60% of a 1M build); probes stay on device and the task
+        # build runs on device too (build_scan_tasks_jax)
+        chunk = 32768
+        if x_dev is None:
+            x_dev = jax.device_put(x.astype(np.float32))
+        from .ivf_scan import pack_results, unpack_results
+
+        packed_chunks = []
+        spans = []
         for s in range(0, nb, chunk):
             e = min(s + chunk, nb)
-            q_dev = jax.device_put(x[s:e])
-            probes = np.asarray(coarse_probe(q_dev, store["centroids"], nprobe=12, is_l2=is_l2))
-            _, pos = ivf_scan_search(
+            q_dev = x_dev[s:e]
+            probes = coarse_probe(q_dev, store["centroids"], nprobe=12, is_l2=is_l2)
+            sc, pos = ivf_scan_search(
                 q_dev, store, "raw", probes, offsets, k + 1, is_l2,
-                list_lengths=counts,
+                list_lengths=counts, return_device=True,
             )
+            packed_chunks.append(pack_results(sc, pos))  # async across chunks
+            spans.append((s, e))
+        for (s, e), pk in zip(spans, packed_chunks):
+            _, pos = unpack_results(np.asarray(pk))
             ids[s:e] = np.where(
                 pos >= 0, row_ids[np.clip(pos, 0, nb_pad - 1)], -1
             )
@@ -318,16 +331,24 @@ def build_graph(
     nb, d = x.shape
     inter = intermediate_deg or min(max(2 * deg, 32), max(nb - 1, 1))
     inter = min(inter, nb - 1)
-    knn = _approx_knn_graph(x, inter, metric, centroids=centroids, assign=assign)
+    if x_dev is None:  # resident once; ALL build phases slice/gather from it
+        # (a 512MB corpus upload costs ~5-30s through the tunnel)
+        x_dev = jax.device_put(x.astype(np.float32))
+    knn = _approx_knn_graph(
+        x, inter, metric, centroids=centroids, assign=assign, x_dev=x_dev
+    )
     _mark("approx-knn")
     is_l2 = metric.upper() != "IP"  # cosine data comes pre-normalized; L2 rule ok
 
     graph = np.full((nb, deg), -1, dtype=np.int32)
-    chunk = min(2048, nb)
-    if x_dev is None:  # resident once; chunks gather on device. A 512MB
-        # corpus upload costs ~5-30s through the tunnel, so callers pass a
-        # shared resident copy (models/hnsw uploads the corpus ONCE per build)
-        x_dev = jax.device_put(x.astype(np.float32))
+    # chunk sized by the prune's (chunk, K, K) pair matrix + (chunk, K, d)
+    # gathers (~512MB transient); bigger chunks = fewer dispatches (~20ms
+    # flat each over the tunnel)
+    K_c = knn.shape[1]
+    chunk = min(nb, max(1024, int((256 << 20) // max(K_c * (K_c + d) * 4, 1)) // 512 * 512))
+    # the kNN table uploads ONCE and chunks slice it on device: the old
+    # per-chunk device_put paid ~25-50ms x nb/2048 chunks (~20s of a 1M build)
+    knn_dev = jax.device_put(np.ascontiguousarray(knn))
     starts = list(range(0, max(nb - chunk, 0) + 1, chunk))
     if starts[-1] + chunk < nb:
         starts.append(nb - chunk)  # overlapping tail keeps one jit shape
@@ -336,7 +357,7 @@ def build_graph(
         outs.append(
             _prune_chunk(
                 x_dev,
-                jax.device_put(knn[s : s + chunk]),
+                jax.lax.dynamic_slice(knn_dev, (s, 0), (chunk, K_c)),
                 jnp.int32(s),
                 deg=deg,
                 is_l2=is_l2,
@@ -346,6 +367,7 @@ def build_graph(
     # one sync for all chunks (each np.asarray costs a ~30ms device round-trip)
     for s, out in zip(starts, np.asarray(jnp.stack(outs))):
         graph[s : s + chunk] = out
+    knn_dev.delete()
     _mark("prune")
 
     if add_reverse:

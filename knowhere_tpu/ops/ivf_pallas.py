@@ -51,9 +51,6 @@ NEG_INF = -1e38
 # (models/ivf.py LIST_ALIGN == this value; serialization keeps true lengths)
 LIST_ALIGN = 512
 
-# query table must fit VMEM next to the double-buffered (B, d) blocks
-_Q_VMEM_BYTES = 8 * 1024 * 1024
-
 _ON_TPU: Optional[bool] = None
 
 
@@ -108,10 +105,9 @@ def task_kk(k: int, B: int) -> int:
 def _scan_kernel(
     blk_ref,  # (Tc,) scalar prefetch: block index of each task
     nrow_ref,  # (Tc,) scalar prefetch: valid rows in the block
-    qids_ref,  # (Tc*Qg,) scalar prefetch: query ids, -1 padded
-    q_ref,  # (nq_pad, d) VMEM-resident query table
+    qt_ref,  # (1, Qg, d) — this task's PRE-GATHERED query group
     rows_ref,  # (B, d) current list block
-    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p
     B: int,
     Qg: int,
     kk: int,
@@ -119,16 +115,18 @@ def _scan_kernel(
     three_pass: bool,
     has_mask: bool,
 ):
+    # Query groups arrive pre-gathered into task-major HBM layout (one XLA
+    # gather per search) and stream in as dense (1, Qg, d) blocks. The
+    # previous in-kernel form — Qg sequential scalar-indexed row copies from
+    # a VMEM-resident query table — serialized ~Qg dependent ops per task and
+    # dominated the kernel (measured r3: ~21-30us/task; compute is <1us).
     if has_mask:
-        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
+        keep_ref, out_s_ref, out_p_ref = rest
     else:
         keep_ref = None
-        out_s_ref, out_p_ref, qs_scratch = rest
+        out_s_ref, out_p_ref = rest
     t = pl.program_id(0)
-    for j in range(Qg):
-        qid = jnp.maximum(qids_ref[t * Qg + j], 0)
-        qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
-    qs = qs_scratch[...]
+    qs = qt_ref[0]
     rows = rows_ref[...]
 
     if three_pass:
@@ -171,8 +169,7 @@ def _scan_kernel(
 def pallas_scan_tasks(
     blk: jax.Array,  # (Tc,) int32
     nrows: jax.Array,  # (Tc,) int32
-    qids_flat: jax.Array,  # (Tc*Qg,) int32
-    q: jax.Array,  # (nq_pad, d) f32
+    q_task: jax.Array,  # (Tc, Qg, d) f32 — pre-gathered per-task query groups
     data: jax.Array,  # (nb_pad, d) f32, nb_pad % B == 0
     keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32 bitset blocks
     *,
@@ -184,26 +181,24 @@ def pallas_scan_tasks(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (Tc,Qg,kk), positions (Tc,Qg,kk) into padded storage)."""
-    Tc = blk.shape[0]
-    nq_pad, d = q.shape
+    Tc, _, d = q_task.shape
     has_mask = keep is not None
     in_specs = [
-        pl.BlockSpec((nq_pad, d), lambda t, b, n, qd: (0, 0)),
-        pl.BlockSpec((B, d), lambda t, b, n, qd: (b[t], 0)),
+        pl.BlockSpec((1, Qg, d), lambda t, b, n: (t, 0, 0)),
+        pl.BlockSpec((B, d), lambda t, b, n: (b[t], 0)),
     ]
-    inputs = [blk, nrows, qids_flat, q, data]
+    inputs = [blk, nrows, q_task, data]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, qd: (b[t], 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n: (b[t], 0, 0)))
         inputs.append(keep)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(Tc,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n: (t, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((Qg, d), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(
@@ -233,12 +228,11 @@ def pallas_scan_tasks(
 def _sq_kernel(
     blk_ref,  # (Tc,) scalar prefetch
     nrow_ref,  # (Tc,)
-    qids_ref,  # (Tc*Qg,)
-    q_ref,  # (nq_pad, d) VMEM query table
+    qt_ref,  # (1, Qg, d) — this task's PRE-GATHERED query group
     vminv_ref,  # (1, d) f32
     vdiffv_ref,  # (1, d) f32
     codes_ref,  # (B, d) u8 current block
-    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p
     B: int,
     Qg: int,
     kk: int,
@@ -248,15 +242,12 @@ def _sq_kernel(
     has_mask: bool,
 ):
     if has_mask:
-        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
+        keep_ref, out_s_ref, out_p_ref = rest
     else:
         keep_ref = None
-        out_s_ref, out_p_ref, qs_scratch = rest
+        out_s_ref, out_p_ref = rest
     t = pl.program_id(0)
-    for j in range(Qg):
-        qid = jnp.maximum(qids_ref[t * Qg + j], 0)
-        qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
-    qs = qs_scratch[...]
+    qs = qt_ref[0]
     # u8 -> i32 -> f32: Mosaic has no direct u8->f32 cast on this backend
     codes = codes_ref[...].astype(jnp.int32).astype(jnp.float32)
     rows = vminv_ref[...] + (codes + 0.5) * (1.0 / levels) * vdiffv_ref[...]
@@ -298,8 +289,7 @@ def _sq_kernel(
 def pallas_sq_tasks(
     blk: jax.Array,
     nrows: jax.Array,
-    qids_flat: jax.Array,
-    q: jax.Array,  # (nq_pad, d) f32
+    q_task: jax.Array,  # (Tc, Qg, d) f32 — pre-gathered per-task query groups
     vmin: jax.Array,  # (1, d) f32
     vdiff: jax.Array,  # (1, d) f32
     codes: jax.Array,  # (nb_pad, d) u8
@@ -313,28 +303,26 @@ def pallas_sq_tasks(
     three_pass: bool,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    Tc = blk.shape[0]
-    nq_pad, d = q.shape
+    Tc, _, d = q_task.shape
     has_mask = keep is not None
     in_specs = [
-        pl.BlockSpec((nq_pad, d), lambda t, b, n, qd: (0, 0)),
-        pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
-        pl.BlockSpec((1, d), lambda t, b, n, qd: (0, 0)),
-        pl.BlockSpec((B, d), lambda t, b, n, qd: (b[t], 0)),
+        pl.BlockSpec((1, Qg, d), lambda t, b, n: (t, 0, 0)),
+        pl.BlockSpec((1, d), lambda t, b, n: (0, 0)),
+        pl.BlockSpec((1, d), lambda t, b, n: (0, 0)),
+        pl.BlockSpec((B, d), lambda t, b, n: (b[t], 0)),
     ]
-    inputs = [blk, nrows, qids_flat, q, vmin, vdiff, codes]
+    inputs = [blk, nrows, q_task, vmin, vdiff, codes]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, qd: (b[t], 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n: (b[t], 0, 0)))
         inputs.append(keep)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(Tc,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, qd: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n: (t, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((Qg, d), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(
@@ -374,8 +362,6 @@ def pallas_sq_available(
     # per-task top-k caps at 32; the cross-block merge produces any k
     if d % 128 != 0 or k < 1:
         return False
-    if nq_pad * d * 4 > _Q_VMEM_BYTES:
-        return False
     offsets = np.asarray(offsets)
     if offsets.size < 2 or offsets[-1] == 0:
         return False
@@ -414,13 +400,12 @@ def _adc_kernel(
     blk_ref,  # (Tc,) scalar prefetch: block index of each task
     nrow_ref,  # (Tc,) scalar prefetch: valid rows
     lid_ref,  # (Tc,) scalar prefetch: list id
-    qids_ref,  # (Tc*Qg,) scalar prefetch: query ids, -1 pad
-    q_ref,  # (nq_pad, d) f32 VMEM query table
+    qt_ref,  # (1, Qg, d) — this task's PRE-GATHERED query group
     books_ref,  # (d, m*ksub) bf16 VMEM block-diagonal codebooks
     clut_ref,  # (1, 1, m*ksub) bf16 — this task's list CLUT row
     cent_ref,  # (1, 1, d) f32 — this task's centroid row
     codes_ref,  # (m_pad, B) i32 — this task's transposed code block
-    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p
     B: int,
     Qg: int,
     kk: int,
@@ -431,15 +416,12 @@ def _adc_kernel(
     has_mask: bool,
 ):
     if has_mask:
-        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
+        keep_ref, out_s_ref, out_p_ref = rest
     else:
         keep_ref = None
-        out_s_ref, out_p_ref, qs_scratch = rest
+        out_s_ref, out_p_ref = rest
     t = pl.program_id(0)
-    for j in range(Qg):
-        qid = jnp.maximum(qids_ref[t * Qg + j], 0)
-        qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
-    qs = qs_scratch[...]
+    qs = qt_ref[0]
     # QLUT = f * qs @ books_bd (f=2 for L2), hi/lo split on qs so LUT error
     # is bounded by the books' bf16 rounding (below PQ reconstruction error)
     bd = books_ref[...]
@@ -498,8 +480,7 @@ def pallas_adc_tasks(
     blk: jax.Array,  # (Tc,) int32
     nrows: jax.Array,  # (Tc,) int32
     lids: jax.Array,  # (Tc,) int32
-    qids_flat: jax.Array,  # (Tc*Qg,) int32, slab-relative
-    q: jax.Array,  # (nq_pad, d) f32
+    q_task: jax.Array,  # (Tc, Qg, d) f32 — pre-gathered per-task query groups
     books_bd: jax.Array,  # (d, m*ksub) bf16 block-diagonal codebooks
     clut: jax.Array,  # (nlist, m*ksub) bf16
     cents: jax.Array,  # (nlist, d) f32
@@ -517,8 +498,7 @@ def pallas_adc_tasks(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (Tc,Qg,kk) == 2<q,x>-|x|^2 for L2 / <q,x> for IP,
     positions (Tc,Qg,kk) into padded sorted storage)."""
-    Tc = blk.shape[0]
-    nq_pad, d = q.shape
+    Tc, _, d = q_task.shape
     mk = m * ksub
     m_pad = codes_t.shape[0]
     has_mask = keep is not None
@@ -528,26 +508,23 @@ def pallas_adc_tasks(
     clut3 = clut.reshape(clut.shape[0], 1, mk)
     cents3 = cents.reshape(cents.shape[0], 1, d)
     in_specs = [
-        pl.BlockSpec((nq_pad, d), lambda t, b, n, l, qd: (0, 0)),
-        pl.BlockSpec((d, mk), lambda t, b, n, l, qd: (0, 0)),
-        pl.BlockSpec((1, 1, mk), lambda t, b, n, l, qd: (l[t], 0, 0)),
-        pl.BlockSpec((1, 1, d), lambda t, b, n, l, qd: (l[t], 0, 0)),
-        pl.BlockSpec((m_pad, B), lambda t, b, n, l, qd: (0, b[t])),
+        pl.BlockSpec((1, Qg, d), lambda t, b, n, l: (t, 0, 0)),
+        pl.BlockSpec((d, mk), lambda t, b, n, l: (0, 0)),
+        pl.BlockSpec((1, 1, mk), lambda t, b, n, l: (l[t], 0, 0)),
+        pl.BlockSpec((1, 1, d), lambda t, b, n, l: (l[t], 0, 0)),
+        pl.BlockSpec((m_pad, B), lambda t, b, n, l: (0, b[t])),
     ]
-    inputs = [blk, nrows, lids, qids_flat, q, books_bd, clut3, cents3, codes_t]
+    inputs = [blk, nrows, lids, q_task, books_bd, clut3, cents3, codes_t]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, l: (b[t], 0, 0)))
         inputs.append(keep)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(Tc,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Qg, d), jnp.float32),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l: (t, 0, 0)),
         ],
     )
     return pl.pallas_call(
@@ -588,8 +565,6 @@ def pallas_adc_available(
         return False
     if "codes_t" not in store or "clut" not in store or "books_bd" not in store:
         return False
-    if nq_pad and nq_pad * d * 4 > _Q_VMEM_BYTES:
-        return False  # query table must stay VMEM-resident
     books = store.get("books_bd")
     if books is not None and books.shape[1] > 8192:
         # per-task QLUT is (Qg, m*ksub) f32 in VMEM: m*ksub=24576 (GIST
@@ -623,13 +598,12 @@ def _rbq_kernel(
     blk_ref,  # (Tc,) scalar prefetch
     nrow_ref,  # (Tc,)
     lid_ref,  # (Tc,)
-    qids_ref,  # (Tc*Qg,)
-    q_ref,  # (nq_pad, d) f32 ROTATED queries
+    qt_ref,  # (1, Qg, d) — this task's PRE-GATHERED ROTATED query group
     cent_ref,  # (1, 1, d) f32 — this task's ROTATED centroid row
     signs_ref,  # (B, d) i8 current block (+-1)
     rn_ref,  # (1, 1, B) f32 residual norms
     t_ref,  # (1, 1, B) f32 alignment
-    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, qs_scratch
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p
     B: int,
     Qg: int,
     kk: int,
@@ -638,15 +612,12 @@ def _rbq_kernel(
     has_mask: bool,
 ):
     if has_mask:
-        keep_ref, out_s_ref, out_p_ref, qs_scratch = rest
+        keep_ref, out_s_ref, out_p_ref = rest
     else:
         keep_ref = None
-        out_s_ref, out_p_ref, qs_scratch = rest
+        out_s_ref, out_p_ref = rest
     ti = pl.program_id(0)
-    for j in range(Qg):
-        qid = jnp.maximum(qids_ref[ti * Qg + j], 0)
-        qs_scratch[pl.ds(j, 1), :] = q_ref[pl.ds(qid, 1), :]
-    qs = qs_scratch[...]
+    qs = qt_ref[0]
     d = qs.shape[1]
     c = cent_ref[0]  # (1, d)
     qr = qs - c  # rotated query residual (Qg, d)
@@ -689,8 +660,7 @@ def pallas_rbq_tasks(
     blk: jax.Array,
     nrows: jax.Array,
     lids: jax.Array,
-    qids_flat: jax.Array,
-    q: jax.Array,  # (nq_pad, d) f32 rotated
+    q_task: jax.Array,  # (Tc, Qg, d) f32 rotated, pre-gathered per task
     cents_rot: jax.Array,  # (nlist, d) f32 rotated centroids
     signs: jax.Array,  # (nb_pad+slack, d) i8
     rn_blk: jax.Array,  # (nb_pad//B, 1, B) f32
@@ -704,30 +674,28 @@ def pallas_rbq_tasks(
     three_pass: bool,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    Tc = blk.shape[0]
-    nq_pad, d = q.shape
+    Tc, _, d = q_task.shape
     has_mask = keep is not None
     cents3 = cents_rot.reshape(cents_rot.shape[0], 1, d)
     in_specs = [
-        pl.BlockSpec((nq_pad, d), lambda t, b, n, l, qd: (0, 0)),
-        pl.BlockSpec((1, 1, d), lambda t, b, n, l, qd: (l[t], 0, 0)),
-        pl.BlockSpec((B, d), lambda t, b, n, l, qd: (b[t], 0)),
-        pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)),
-        pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)),
+        pl.BlockSpec((1, Qg, d), lambda t, b, n, l: (t, 0, 0)),
+        pl.BlockSpec((1, 1, d), lambda t, b, n, l: (l[t], 0, 0)),
+        pl.BlockSpec((B, d), lambda t, b, n, l: (b[t], 0)),
+        pl.BlockSpec((1, 1, B), lambda t, b, n, l: (b[t], 0, 0)),
+        pl.BlockSpec((1, 1, B), lambda t, b, n, l: (b[t], 0, 0)),
     ]
-    inputs = [blk, nrows, lids, qids_flat, q, cents3, signs, rn_blk, t_blk]
+    inputs = [blk, nrows, lids, q_task, cents3, signs, rn_blk, t_blk]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, l, qd: (b[t], 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n, l: (b[t], 0, 0)))
         inputs.append(keep)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(Tc,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
-            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l, qd: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n, l: (t, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((Qg, d), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(
@@ -760,8 +728,6 @@ def pallas_rbq_available(
         return False
     if d % 128 != 0 or k < 1:
         return False
-    if nq_pad * d * 4 > _Q_VMEM_BYTES:
-        return False
     offsets = np.asarray(offsets)
     if offsets.size < 2 or offsets[-1] == 0:
         return False
@@ -791,8 +757,6 @@ def pallas_scan_available(
     # per-task top-k caps at 32; the cross-block merge produces any k
     if d % 128 != 0 or k < 1:
         return False
-    if nq_pad * d * 4 > _Q_VMEM_BYTES:
-        return False  # query table must stay VMEM-resident
     offsets = np.asarray(offsets)
     if offsets.size < 2 or offsets[-1] == 0:
         return False

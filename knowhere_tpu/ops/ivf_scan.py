@@ -223,6 +223,110 @@ def _build_tasks(probes, nq, list_offsets, B, Qg, list_lengths):
     return build_scan_tasks(probes, list_offsets, B, Qg, list_lengths=list_lengths)
 
 
+def device_task_bounds(
+    nq: int, nprobe: int, lens_arr: np.ndarray, B: int, Qg: int
+) -> Tuple[int, int, int]:
+    """Static upper bounds for the on-device task builder.
+
+    T = sum_l ceil(c_l/Qg) * blocks_l  <=  P*max_blocks/Qg + total_blocks
+    G = sum_l ceil(c_l/Qg)             <=  P/Qg + nlist (+1 sentinel)
+    S = max_q sum_{probed l} blocks_l  <=  min(nprobe*max_blocks, total_blocks)
+
+    All derive from build-time list geometry only, so jit shapes stay stable
+    per (nq, nprobe) and the builder needs NO host sync."""
+    lens = np.asarray(lens_arr, np.int64)
+    blocks = (lens + B - 1) // B
+    total_blocks = int(blocks.sum())
+    max_blocks = int(blocks.max()) if blocks.size else 1
+    P = nq * nprobe
+    T_max = (P * max_blocks + Qg - 1) // Qg + total_blocks + 1
+    G_max = P // Qg + int(lens.size) + 2
+    S_max = max(1, int(min(nprobe * max_blocks, total_blocks)))
+    return T_max, G_max, S_max
+
+
+@partial(jax.jit, static_argnames=("B", "Qg", "T_max", "G_max", "nlist"))
+def build_scan_tasks_jax(
+    probes: jax.Array,  # (nq, nprobe) int32, -1 padded
+    offsets: jax.Array,  # (nlist+1,) int32 block-aligned starts (CSR)
+    lens: jax.Array,  # (nlist,) int32 TRUE list lengths
+    *,
+    B: int,
+    Qg: int,
+    T_max: int,
+    G_max: int,
+    nlist: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """DEVICE-side mirror of build_scan_tasks: (query, probed-list) pairs ->
+    dense (list-block x query-group) tasks, entirely in XLA.
+
+    The host inversion + packed task h2d cost 50-170ms + ~10MB/50MBps per
+    search over the axon tunnel (measured r3: 80ms build at nprobe=16 on 1
+    vCPU; every h2d ~30ms flat + ~50MB/s) — on device the whole build is a
+    sort + cumsums costing ~1ms and NOTHING crosses the PCIe/tunnel boundary.
+    Trailing tasks beyond the true count have nrows=0 / qids=-1 (the kernels
+    already mask padded tasks). Returns (row_start, nrows, list_id, qids
+    (T_max,Qg), slots (T_max,Qg))."""
+    nq, nprobe = probes.shape
+    P = nq * nprobe
+    flat_l = probes.reshape(-1).astype(jnp.int32)
+    flat_q = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), nprobe)
+    lens_ext = jnp.concatenate(
+        [lens.astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+    )  # sentinel list `nlist` has length 0
+    safe_l = jnp.clip(flat_l, 0, nlist - 1)
+    valid = (flat_l >= 0) & (lens_ext[safe_l] > 0)
+    key_l = jnp.where(valid, flat_l, nlist)  # invalid pairs sort to the end
+
+    order = jnp.argsort(key_l, stable=True)
+    sl = key_l[order]
+    sq = jnp.where(valid[order], flat_q[order], -1)
+
+    pair_blocks = (lens_ext[sl] + (B - 1)) // B  # 0 for the sentinel
+
+    idx = jnp.arange(P, dtype=jnp.int32)
+    lchange = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    last_start = jax.lax.cummax(jnp.where(lchange, idx, -1))
+    rank = idx - last_start  # rank of the pair within its list run
+    g = rank // Qg
+    col = rank % Qg
+    gchange = lchange | jnp.concatenate([jnp.ones((1,), bool), g[1:] != g[:-1]])
+    pg = jnp.cumsum(gchange.astype(jnp.int32)) - 1  # pair-group index
+    pg = jnp.minimum(pg, G_max - 1)
+
+    # per-query merge-slot bases: exclusive cumsum of pair blocks in the
+    # ORIGINAL query-major order (each query's pairs are contiguous there)
+    pb_orig = jnp.where(valid, (lens_ext[safe_l] + (B - 1)) // B, 0).reshape(nq, nprobe)
+    cs = jnp.cumsum(pb_orig, axis=1)
+    slot_sorted = (cs - pb_orig).reshape(-1)[order]
+
+    group_list = jnp.full((G_max,), nlist, jnp.int32).at[pg].set(sl)
+    group_blocks = jnp.zeros((G_max,), jnp.int32).at[pg].set(
+        pair_blocks.astype(jnp.int32)
+    )
+    qids_g = jnp.full((G_max, Qg), -1, jnp.int32).at[pg, col].set(sq)
+    slots_g = jnp.zeros((G_max, Qg), jnp.int32).at[pg, col].set(
+        slot_sorted.astype(jnp.int32)
+    )
+
+    gb_csum = jnp.cumsum(group_blocks)
+    gb_excl = gb_csum - group_blocks
+    T_total = gb_csum[-1]
+    t_idx = jnp.arange(T_max, dtype=jnp.int32)
+    tg = jnp.minimum(
+        jnp.searchsorted(gb_csum, t_idx, side="right").astype(jnp.int32), G_max - 1
+    )
+    valid_t = t_idx < T_total
+    task_b = t_idx - gb_excl[tg]
+    task_list = jnp.minimum(group_list[tg], nlist)
+    row_start = jnp.where(valid_t, offsets[task_list].astype(jnp.int32) + task_b * B, 0)
+    nrows = jnp.where(valid_t, jnp.clip(lens_ext[task_list] - task_b * B, 0, B), 0)
+    qids_t = jnp.where(valid_t[:, None], qids_g[tg], -1)
+    slots_t = jnp.where(valid_t[:, None], slots_g[tg] + task_b[:, None], 0)
+    list_t = jnp.where(valid_t, jnp.minimum(task_list, nlist - 1), 0)
+    return row_start, nrows, list_t, qids_t, slots_t
+
+
 def _pad_pow2(n: int, minimum: int = 16) -> int:
     p = minimum
     while p < n:
@@ -465,6 +569,7 @@ def ivf_scan_search(
     tunnel degrades after the first d2h), so the caller should keep chaining
     device work and sync exactly once."""
     nq = q_dev.shape[0]
+    device_probes = probes is not None and isinstance(probes, jax.Array)
     lens_arr = (
         np.asarray(list_lengths, dtype=np.int64)
         if list_lengths is not None
@@ -477,6 +582,10 @@ def ivf_scan_search(
         if probes is None:  # full probe: every query touches every list
             avg = nq
             cap = 256  # wider groups amortize block DMA across more queries
+        elif device_probes:
+            # no host sync to inspect the probes: expected queries per list
+            avg = nq * probes.shape[1] / max(len(lens_arr), 1)
+            cap = 128
         else:
             valid_pairs = int((probes >= 0).sum())
             touched = np.unique(probes[probes >= 0])
@@ -561,45 +670,53 @@ def ivf_scan_search(
             # by PADDED bytes (~2GB)
             m = store["codes"].shape[1]
             task_chunk = min(task_chunk, max(32, (1 << 22) // max(B * m // 128, 1) // 128))
-    batch = _build_tasks(probes, nq, list_offsets, B, Qg, list_lengths)
-    if batch is None:
-        s_empty = np.full((nq, k), NEG_INF, np.float32)
-        p_empty = np.full((nq, k), -1, np.int32)
-        if return_device:
-            return jax.device_put(s_empty), jax.device_put(p_empty)
-        return s_empty, p_empty
     kk = min(k, B)
-    T = batch.row_start.shape[0]
+    if device_probes:
+        (
+            rs_dev, nr_dev, li_dev, all_q, all_slot, total, Tc, n_chunks, S,
+        ) = _device_tasks_chunked(
+            probes, store, list_offsets, lens_arr, B, Qg, task_chunk
+        )
+    else:
+        batch = _build_tasks(probes, nq, list_offsets, B, Qg, list_lengths)
+        if batch is None:
+            s_empty = np.full((nq, k), NEG_INF, np.float32)
+            p_empty = np.full((nq, k), -1, np.int32)
+            if return_device:
+                return jax.device_put(s_empty), jax.device_put(p_empty)
+            return s_empty, p_empty
+        T = batch.row_start.shape[0]
 
-    # every device_put costs ~28ms flat once the process is past its first
-    # d2h, so ALL chunks' task arrays ship in ONE packed transfer and are
-    # sliced on device (uniform chunk padding keeps jit shapes reusable)
-    n_chunks = (T + task_chunk - 1) // task_chunk
-    Tc = _pad_pow2(min(task_chunk, T))
-    total = n_chunks * Tc
+        # every device_put costs ~28ms flat once the process is past its first
+        # d2h, so ALL chunks' task arrays ship in ONE packed transfer and are
+        # sliced on device (uniform chunk padding keeps jit shapes reusable)
+        n_chunks = (T + task_chunk - 1) // task_chunk
+        Tc = _pad_pow2(min(task_chunk, T))
+        total = n_chunks * Tc
+        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
 
-    def padded_all(a, fill):
-        out = np.full((total, *a.shape[1:]), fill, a.dtype)
-        for c in range(n_chunks):
-            s0, e0 = c * task_chunk, min((c + 1) * task_chunk, T)
-            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
-        return out
+        def padded_all(a, fill):
+            out = np.full((total, *a.shape[1:]), fill, a.dtype)
+            for c in range(n_chunks):
+                s0, e0 = c * task_chunk, min((c + 1) * task_chunk, T)
+                out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+            return out
 
-    packed_h = np.concatenate(
-        [
-            padded_all(batch.row_start, 0),
-            padded_all(batch.nrows, 0),
-            padded_all(batch.list_id, 0),
-            padded_all(batch.qids, -1).reshape(-1),
-            padded_all(batch.slots, 0).reshape(-1),
-        ]
-    ).astype(np.int32)
-    packed_dev = jax.device_put(packed_h)  # the ONE h2d for task data
-    rs_dev = packed_dev[:total]
-    nr_dev = packed_dev[total : 2 * total]
-    li_dev = packed_dev[2 * total : 3 * total]
-    all_q = packed_dev[3 * total : 3 * total + total * Qg].reshape(total, Qg)
-    all_slot = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
+        packed_h = np.concatenate(
+            [
+                padded_all(batch.row_start, 0),
+                padded_all(batch.nrows, 0),
+                padded_all(batch.list_id, 0),
+                padded_all(batch.qids, -1).reshape(-1),
+                padded_all(batch.slots, 0).reshape(-1),
+            ]
+        ).astype(np.int32)
+        packed_dev = jax.device_put(packed_h)  # the ONE h2d for task data
+        rs_dev = packed_dev[:total]
+        nr_dev = packed_dev[total : 2 * total]
+        li_dev = packed_dev[2 * total : 3 * total]
+        all_q = packed_dev[3 * total : 3 * total + total * Qg].reshape(total, Qg)
+        all_slot = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
 
     score_chunks, pos_chunks = [], []
     for c in range(n_chunks):
@@ -628,7 +745,6 @@ def ivf_scan_search(
     all_s = jnp.concatenate(score_chunks) if n_chunks > 1 else score_chunks[0]
     all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
 
-    S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
     best_s, best_p = _merge_tasks(all_s, all_p, all_q, all_slot, nq=nq, S=S, kk=kk, k=k)
     if return_device:
         return best_s, best_p
@@ -657,6 +773,47 @@ def _mask_blocks(keep_sorted: jax.Array, nb_pad: int, B: int) -> jax.Array:
     """Bitset keep mask (bool, sorted storage order) -> (nb_pad//B, 1, B) i32
     blocks the Pallas kernels stream alongside each task's list block."""
     return keep_sorted[:nb_pad].astype(jnp.int32).reshape(nb_pad // B, 1, B)
+
+
+def _store_geom(store, list_offsets, lens_arr):
+    """Device copies of the list geometry, cached in the node's store dict so
+    the h2d (~30ms flat on this tunnel) happens once per index, not per
+    search."""
+    if "offsets_dev" not in store:
+        store["offsets_dev"] = jax.device_put(
+            np.asarray(list_offsets, dtype=np.int32)
+        )
+        store["lens_dev"] = jax.device_put(np.asarray(lens_arr, dtype=np.int32))
+    return store["offsets_dev"], store["lens_dev"]
+
+
+def _device_tasks_chunked(
+    probes_dev: jax.Array,
+    store: Dict[str, jax.Array],
+    list_offsets: np.ndarray,
+    lens_arr: np.ndarray,
+    B: int,
+    Qg: int,
+    chunk: int,
+):
+    """Run the on-device task builder with chunk-aligned static bounds.
+
+    Returns (row_start, nrows, list_id, qids (total,Qg), slots (total,Qg),
+    total, Tc, n_chunks, S) — all device arrays sized to n_chunks*Tc so the
+    caller's per-chunk slicing needs no host-side task count."""
+    nq_p, nprobe = probes_dev.shape
+    T_max, G_max, S_max = device_task_bounds(nq_p, nprobe, lens_arr, B, Qg)
+    Tc = (min(chunk, T_max) + 7) // 8 * 8
+    n_chunks = (T_max + Tc - 1) // Tc
+    total = n_chunks * Tc
+    off_dev, lens_dev = _store_geom(store, list_offsets, lens_arr)
+    nlist = len(lens_arr)
+    row_start, nrows, list_t, qids_t, slots_t = build_scan_tasks_jax(
+        probes_dev, off_dev, lens_dev,
+        B=B, Qg=Qg, T_max=total, G_max=G_max, nlist=nlist,
+    )
+    S = _pad_pow2(S_max, minimum=1)
+    return row_start, nrows, list_t, qids_t, slots_t, total, Tc, n_chunks, S
 
 
 def _pallas_adc_search(
@@ -690,43 +847,54 @@ def _pallas_adc_search(
     m, ksub, _sub = books.shape
     B = LIST_ALIGN
     kk = task_kk(k, B)
+    # chunk bound: the pre-gathered q_task buffer is (chunk, Qg, d) f32 —
+    # cap it at ~512MB transient HBM (qids left SMEM with the query-table
+    # gather, so the old 480KB scalar-prefetch bound no longer applies)
+    d_chunk = int(q_dev.shape[1])
+    chunk = max(8, min(16384, (512 << 20) // max(Qg * d_chunk * 4, 1)) // 8 * 8)
 
-    batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
-    if batch is None:
-        s_empty = np.full((nq, k), NEG_INF, np.float32)
-        p_empty = np.full((nq, k), -1, np.int32)
-        if return_device:
-            return jax.device_put(s_empty), jax.device_put(p_empty)
-        return s_empty, p_empty
+    if isinstance(probes, jax.Array):
+        (
+            rs_dev, nrow_dev, lid_dev, qids2_dev, slots_dev, total, Tc, n_chunks, S,
+        ) = _device_tasks_chunked(probes, store, list_offsets, lens_arr, B, Qg, chunk)
+        blk_dev = rs_dev // B
+        qids_dev = qids2_dev.reshape(-1)
+    else:
+        batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
+        if batch is None:
+            s_empty = np.full((nq, k), NEG_INF, np.float32)
+            p_empty = np.full((nq, k), -1, np.int32)
+            if return_device:
+                return jax.device_put(s_empty), jax.device_put(p_empty)
+            return s_empty, p_empty
 
-    T = batch.row_start.shape[0]
-    # chunk so the scalar-prefetched qids stay within SMEM (~480KB)
-    chunk = max(8, (122880 // Qg) // 8 * 8)
-    n_chunks = (T + chunk - 1) // chunk
-    Tc = (min(chunk, T) + 7) // 8 * 8
-    total = n_chunks * Tc
+        T = batch.row_start.shape[0]
+        n_chunks = (T + chunk - 1) // chunk
+        Tc = (min(chunk, T) + 7) // 8 * 8
+        total = n_chunks * Tc
+        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
 
-    def padded_all(a, fill):
-        out = np.full((total, *a.shape[1:]), fill, a.dtype)
-        for c in range(n_chunks):
-            s0, e0 = c * chunk, min((c + 1) * chunk, T)
-            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
-        return out
+        def padded_all(a, fill):
+            out = np.full((total, *a.shape[1:]), fill, a.dtype)
+            for c in range(n_chunks):
+                s0, e0 = c * chunk, min((c + 1) * chunk, T)
+                out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+            return out
 
-    blk_h = padded_all((batch.row_start // B).astype(np.int32), 0)
-    nrow_h = padded_all(batch.nrows, 0)
-    lid_h = padded_all(batch.list_id, 0)
-    qids_h = padded_all(batch.qids, -1)
-    slots_h = padded_all(batch.slots, 0)
-    packed_h = np.concatenate(
-        [blk_h, nrow_h, lid_h, qids_h.reshape(-1), slots_h.reshape(-1)]
-    ).astype(np.int32)
-    packed_dev = jax.device_put(packed_h)  # the ONE h2d
-    blk_dev = packed_dev[:total]
-    nrow_dev = packed_dev[total : 2 * total]
-    lid_dev = packed_dev[2 * total : 3 * total]
-    qids_dev = packed_dev[3 * total : 3 * total + total * Qg]
-    slots_dev = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
+        blk_h = padded_all((batch.row_start // B).astype(np.int32), 0)
+        nrow_h = padded_all(batch.nrows, 0)
+        lid_h = padded_all(batch.list_id, 0)
+        qids_h = padded_all(batch.qids, -1)
+        slots_h = padded_all(batch.slots, 0)
+        packed_h = np.concatenate(
+            [blk_h, nrow_h, lid_h, qids_h.reshape(-1), slots_h.reshape(-1)]
+        ).astype(np.int32)
+        packed_dev = jax.device_put(packed_h)  # the ONE h2d
+        blk_dev = packed_dev[:total]
+        nrow_dev = packed_dev[total : 2 * total]
+        lid_dev = packed_dev[2 * total : 3 * total]
+        qids_dev = packed_dev[3 * total : 3 * total + total * Qg]
+        slots_dev = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
 
     s_stack = adc_s_stack(m, ksub)
     nb_pad = int(list_offsets[-1])
@@ -737,12 +905,13 @@ def _pallas_adc_search(
     )
     score_chunks, pos_chunks = [], []
     for c in range(n_chunks):
+        qids_c = qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg].reshape(Tc, Qg)
+        q_task = jnp.take(q_dev, jnp.clip(qids_c, 0), axis=0)
         scores, pos = pallas_adc_tasks(
             blk_dev[c * Tc : (c + 1) * Tc],
             nrow_dev[c * Tc : (c + 1) * Tc],
             lid_dev[c * Tc : (c + 1) * Tc],
-            qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
-            q_dev,
+            q_task,
             store["books_bd"],
             store["clut"],
             store["centroids"],
@@ -758,7 +927,6 @@ def _pallas_adc_search(
     all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
     all_q = qids_dev.reshape(total, Qg)
 
-    S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
     best_s, best_p = _merge_tasks(all_s, all_p, all_q, slots_dev, nq=nq, S=S, kk=kk, k=k)
     if return_device:
         return best_s, best_p
@@ -787,42 +955,52 @@ def _pallas_rbq_search(
     nq = q_dev.shape[0]
     B = LIST_ALIGN
     kk = task_kk(k, B)
-    batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
-    if batch is None:
-        s_empty = np.full((nq, k), NEG_INF, np.float32)
-        p_empty = np.full((nq, k), -1, np.int32)
-        if return_device:
-            return jax.device_put(s_empty), jax.device_put(p_empty)
-        return s_empty, p_empty
+    d_chunk = int(q_dev.shape[1])
+    chunk = max(8, min(16384, (512 << 20) // max(Qg * d_chunk * 4, 1)) // 8 * 8)
 
-    T = batch.row_start.shape[0]
-    chunk = max(8, (122880 // Qg) // 8 * 8)
-    n_chunks = (T + chunk - 1) // chunk
-    Tc = (min(chunk, T) + 7) // 8 * 8
-    total = n_chunks * Tc
+    if isinstance(probes, jax.Array):
+        (
+            rs_dev, nrow_dev, lid_dev, qids2_dev, slots_dev, total, Tc, n_chunks, S,
+        ) = _device_tasks_chunked(probes, store, list_offsets, lens_arr, B, Qg, chunk)
+        blk_dev = rs_dev // B
+        qids_dev = qids2_dev.reshape(-1)
+    else:
+        batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
+        if batch is None:
+            s_empty = np.full((nq, k), NEG_INF, np.float32)
+            p_empty = np.full((nq, k), -1, np.int32)
+            if return_device:
+                return jax.device_put(s_empty), jax.device_put(p_empty)
+            return s_empty, p_empty
 
-    def padded_all(a, fill):
-        out = np.full((total, *a.shape[1:]), fill, a.dtype)
-        for c in range(n_chunks):
-            s0, e0 = c * chunk, min((c + 1) * chunk, T)
-            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
-        return out
+        T = batch.row_start.shape[0]
+        n_chunks = (T + chunk - 1) // chunk
+        Tc = (min(chunk, T) + 7) // 8 * 8
+        total = n_chunks * Tc
+        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
 
-    packed_h = np.concatenate(
-        [
-            padded_all((batch.row_start // B).astype(np.int32), 0),
-            padded_all(batch.nrows, 0),
-            padded_all(batch.list_id, 0),
-            padded_all(batch.qids, -1).reshape(-1),
-            padded_all(batch.slots, 0).reshape(-1),
-        ]
-    ).astype(np.int32)
-    packed_dev = jax.device_put(packed_h)  # the ONE h2d
-    blk_dev = packed_dev[:total]
-    nrow_dev = packed_dev[total : 2 * total]
-    lid_dev = packed_dev[2 * total : 3 * total]
-    qids_dev = packed_dev[3 * total : 3 * total + total * Qg]
-    slots_dev = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
+        def padded_all(a, fill):
+            out = np.full((total, *a.shape[1:]), fill, a.dtype)
+            for c in range(n_chunks):
+                s0, e0 = c * chunk, min((c + 1) * chunk, T)
+                out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+            return out
+
+        packed_h = np.concatenate(
+            [
+                padded_all((batch.row_start // B).astype(np.int32), 0),
+                padded_all(batch.nrows, 0),
+                padded_all(batch.list_id, 0),
+                padded_all(batch.qids, -1).reshape(-1),
+                padded_all(batch.slots, 0).reshape(-1),
+            ]
+        ).astype(np.int32)
+        packed_dev = jax.device_put(packed_h)  # the ONE h2d
+        blk_dev = packed_dev[:total]
+        nrow_dev = packed_dev[total : 2 * total]
+        lid_dev = packed_dev[2 * total : 3 * total]
+        qids_dev = packed_dev[3 * total : 3 * total + total * Qg]
+        slots_dev = packed_dev[3 * total + total * Qg :].reshape(total, Qg)
 
     nb_pad = int(list_offsets[-1])
     keep_blk = (
@@ -833,12 +1011,13 @@ def _pallas_rbq_search(
     three_pass = prec == "fast"
     score_chunks, pos_chunks = [], []
     for c in range(n_chunks):
+        qids_c = qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg].reshape(Tc, Qg)
+        q_task = jnp.take(q_dev, jnp.clip(qids_c, 0), axis=0)
         scores, pos = pallas_rbq_tasks(
             blk_dev[c * Tc : (c + 1) * Tc],
             nrow_dev[c * Tc : (c + 1) * Tc],
             lid_dev[c * Tc : (c + 1) * Tc],
-            qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
-            q_dev,
+            q_task,
             store["centroids_rot"],
             store["signs"],
             store["rn_blk"],
@@ -854,7 +1033,6 @@ def _pallas_rbq_search(
     all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
     all_q = qids_dev.reshape(total, Qg)
 
-    S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
     best_s, best_p = _merge_tasks(all_s, all_p, all_q, slots_dev, nq=nq, S=S, kk=kk, k=k)
     if return_device:
         return best_s, best_p
@@ -882,46 +1060,58 @@ def _pallas_scan_search(
 
     nq = q_dev.shape[0]
     B = LIST_ALIGN
-    batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
-    if batch is None:
-        s_empty = np.full((nq, k), NEG_INF, np.float32)
-        p_empty = np.full((nq, k), -1, np.int32)
-        if return_device:
-            return jax.device_put(s_empty), jax.device_put(p_empty)
-        return s_empty, p_empty
-
     kk = task_kk(k, B)  # per-task top-k width; the merge produces the full k
-    T = batch.row_start.shape[0]
-    blk_all = (batch.row_start // B).astype(np.int32)  # exact: aligned storage
     three_pass = prec == "fast"
-    # chunk so the scalar-prefetched qids stay within SMEM (~480KB proven on
-    # v5e); each pallas_call is cheap but every device_put costs ~28ms flat
-    # once the process is past its first d2h — so ALL chunks' task arrays
-    # ship in ONE packed transfer and are sliced on device.
-    chunk = max(8, (122880 // Qg) // 8 * 8)
-    n_chunks = (T + chunk - 1) // chunk
-    Tc = (min(chunk, T) + 7) // 8 * 8  # uniform per-chunk task count
-    total = n_chunks * Tc
+    # chunk bound: the pre-gathered q_task buffer is (chunk, Qg, d) f32 —
+    # cap it at ~512MB transient HBM (qids left SMEM with the query-table
+    # gather, so the old 480KB scalar-prefetch bound no longer applies)
+    d_chunk = int(q_dev.shape[1])
+    chunk = max(8, min(16384, (512 << 20) // max(Qg * d_chunk * 4, 1)) // 8 * 8)
 
-    def padded_all(a, fill):
-        out = np.full((total, *a.shape[1:]), fill, a.dtype)
-        for c in range(n_chunks):
-            s0, e0 = c * chunk, min((c + 1) * chunk, T)
-            out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
-        return out
+    if isinstance(probes, jax.Array):
+        # fully-fused path: probes stay on device, tasks are BUILT on device
+        # (build_scan_tasks_jax) — nothing crosses the tunnel between the
+        # query upload and the packed result readback
+        (
+            rs_dev, nrows_dev, _lid, qids2_dev, slots_dev, total, Tc, n_chunks, S,
+        ) = _device_tasks_chunked(probes, store, list_offsets, lens_arr, B, Qg, chunk)
+        blk_dev = rs_dev // B
+        qids_dev = qids2_dev.reshape(-1)
+    else:
+        batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
+        if batch is None:
+            s_empty = np.full((nq, k), NEG_INF, np.float32)
+            p_empty = np.full((nq, k), -1, np.int32)
+            if return_device:
+                return jax.device_put(s_empty), jax.device_put(p_empty)
+            return s_empty, p_empty
 
-    blk_h = padded_all(blk_all, 0)
-    nrows_h = padded_all(batch.nrows, 0)
-    qids_h = padded_all(batch.qids, -1)
-    slots_h = padded_all(batch.slots, 0)
-    packed_h = np.concatenate(
-        [blk_h, nrows_h, qids_h.reshape(-1), slots_h.reshape(-1)]
-    ).astype(np.int32)
-    packed_dev = jax.device_put(packed_h)  # the ONE h2d for task data
-    blk_dev = packed_dev[:total]
-    nrows_dev = packed_dev[total : 2 * total]
-    qids_dev = packed_dev[2 * total : 2 * total + total * Qg]
-    slots_dev = packed_dev[2 * total + total * Qg :].reshape(total, Qg)
+        T = batch.row_start.shape[0]
+        blk_all = (batch.row_start // B).astype(np.int32)  # exact: aligned storage
+        n_chunks = (T + chunk - 1) // chunk
+        Tc = (min(chunk, T) + 7) // 8 * 8  # uniform per-chunk task count
+        total = n_chunks * Tc
+        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+
+        def padded_all(a, fill):
+            out = np.full((total, *a.shape[1:]), fill, a.dtype)
+            for c in range(n_chunks):
+                s0, e0 = c * chunk, min((c + 1) * chunk, T)
+                out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+            return out
+
+        blk_h = padded_all(blk_all, 0)
+        nrows_h = padded_all(batch.nrows, 0)
+        qids_h = padded_all(batch.qids, -1)
+        slots_h = padded_all(batch.slots, 0)
+        packed_h = np.concatenate(
+            [blk_h, nrows_h, qids_h.reshape(-1), slots_h.reshape(-1)]
+        ).astype(np.int32)
+        packed_dev = jax.device_put(packed_h)  # the ONE h2d for task data
+        blk_dev = packed_dev[:total]
+        nrows_dev = packed_dev[total : 2 * total]
+        qids_dev = packed_dev[2 * total : 2 * total + total * Qg]
+        slots_dev = packed_dev[2 * total + total * Qg :].reshape(total, Qg)
 
     nb_pad = int(list_offsets[-1])
     keep_blk = (
@@ -931,11 +1121,12 @@ def _pallas_scan_search(
     )
     score_chunks, pos_chunks = [], []
     for c in range(n_chunks):
+        qids_c = qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg].reshape(Tc, Qg)
+        q_task = jnp.take(q_dev, jnp.clip(qids_c, 0), axis=0)
         args = (
             blk_dev[c * Tc : (c + 1) * Tc],
             nrows_dev[c * Tc : (c + 1) * Tc],
-            qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg],
-            q_dev,
+            q_task,
         )
         if kind == "sq":
             scores, pos = pallas_sq_tasks(
@@ -965,7 +1156,6 @@ def _pallas_scan_search(
     all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
     all_q = qids_dev.reshape(total, Qg)
 
-    S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
     best_s, best_p = _merge_tasks(all_s, all_p, all_q, slots_dev, nq=nq, S=S, kk=kk, k=k)
     if return_device:
         return best_s, best_p

@@ -86,8 +86,7 @@ def test_adc_kernel_matches_decode_oracle(metric, m, ksub):
         jax.device_put(blk),
         jax.device_put(nrows),
         jax.device_put(lids),
-        jax.device_put(qids.reshape(-1)),
-        jax.device_put(q),
+        jax.device_put(q[np.clip(qids, 0, None)]),
         _books_bd(books),
         clut_dev,
         jax.device_put(cents),
@@ -154,8 +153,7 @@ def test_sq_kernel_matches_decode_oracle(metric):
     s, p = pallas_sq_tasks(
         jax.device_put(blk),
         jax.device_put(nrows),
-        jax.device_put(qids.reshape(-1)),
-        jax.device_put(q),
+        jax.device_put(q[np.clip(qids, 0, None)]),
         jax.device_put(vmin.reshape(1, -1)),
         jax.device_put(vdiff.reshape(1, -1)),
         jax.device_put(codes),
@@ -210,7 +208,7 @@ def test_pallas_kernels_respect_bitset_mask(kernel):
         keep2 = rng.random(codes_t.shape[1]) > 0.5
         s, p = pallas_adc_tasks(
             jax.device_put(blk), jax.device_put(nrows), jax.device_put(lids),
-            jax.device_put(qids.reshape(-1)), jax.device_put(q2), _books_bd(books),
+            jax.device_put(q2[np.clip(qids, 0, None)]), _books_bd(books),
             clut_dev, jax.device_put(cents), jax.device_put(codes_t),
             jax.device_put(keep2.astype(np.int32).reshape(-1, 1, B)),
             B=B, Qg=Qg, kk=kk, m=m, ksub=ksub,
@@ -224,7 +222,7 @@ def test_pallas_kernels_respect_bitset_mask(kernel):
         codes = rng.integers(0, levels, size=(2 * B, d)).astype(np.uint8)
         s, p = pallas_sq_tasks(
             jax.device_put(blk), jax.device_put(nrows),
-            jax.device_put(qids.reshape(-1)), jax.device_put(q),
+            jax.device_put(q[np.clip(qids, 0, None)]),
             jax.device_put(vmin.reshape(1, -1)), jax.device_put(vdiff.reshape(1, -1)),
             jax.device_put(codes), keep_blk,
             B=B, Qg=Qg, kk=kk, levels=levels, is_l2=True, three_pass=False,
@@ -234,7 +232,7 @@ def test_pallas_kernels_respect_bitset_mask(kernel):
         data = rng.standard_normal((2 * B, d)).astype(np.float32)
         s, p = pallas_scan_tasks(
             jax.device_put(blk), jax.device_put(nrows),
-            jax.device_put(qids.reshape(-1)), jax.device_put(q),
+            jax.device_put(q[np.clip(qids, 0, None)]),
             jax.device_put(data), keep_blk,
             B=B, Qg=Qg, kk=kk, is_l2=True, three_pass=False, interpret=True,
         )
@@ -323,7 +321,7 @@ def test_rbq_kernel_matches_estimator_oracle(metric):
         qids[t] = np.arange(nq)
     s, p = pallas_rbq_tasks(
         jax.device_put(blk), jax.device_put(nrows), jax.device_put(lids),
-        jax.device_put(qids.reshape(-1)), jax.device_put(q),
+        jax.device_put(q[np.clip(qids, 0, None)]),
         jax.device_put(cents), jax.device_put(signs),
         jax.device_put(r_norm.reshape(nlist, 1, B)),
         jax.device_put(tval.reshape(nlist, 1, B)),
