@@ -3,15 +3,37 @@
 
 Protocol parity with the reference harness
 (reference: benchmark/hdf5/benchmark_float_qps.cpp:80-161): for each family,
-sweep the search knob (nprobe / ef) to the smallest value whose recall@10
-reaches the target, then report nq/elapsed on the warm full query set.
+binary-search the smallest search knob (nprobe / ef / search_list_size) whose
+recall@10 reaches the target (the reference's own protocol is a binary search,
+benchmark_float_qps.cpp:96-119), then report nq/elapsed on the warm full
+query set.
+
+Round-4 operability redesign (VERDICT r3 #1 — the r3 run timed out at 2/14
+rows):
+  * a GLOBAL wall-clock budget (KNOWHERE_BENCH_BUDGET_S, default 1500s):
+    every leg is gated on remaining budget and emits an explicit
+    {"leg": ..., "skipped": "budget"} row instead of dying mid-flight;
+  * SIGTERM/SIGALRM handler + try/finally: the final JSON line is ALWAYS
+    printed with whatever rows completed;
+  * a persistent on-disk corpus/GT/index cache (.bench_cache/, gitignored)
+    keyed by (seed, nb, dim, build cfg, cache epoch): reruns skip corpus
+    generation, exact-GT recomputation and index builds (build_s is then the
+    measured wall-clock of the build that POPULATED the cache, on identical
+    hardware, flagged "build_cached": true);
+  * knob ladders run on a 2048-query prefix subsample; only the final QPS
+    row touches the full query set; best-of-3 only for north-star rows;
+  * every row carries "elapsed_s" (leg wall-clock) so overruns are
+    diagnosable from the artifact;
+  * legs ordered by information value: north-star trio -> FLAT -> sparse ->
+    filtered/range -> DISKANN -> GIST-1M -> Deep10M.
 
 Rows (all through the public Index API):
   - IVF_FLAT / IVF_PQ / HNSW         SIFT1M-like 1M x 128 fp32 (north star)
+  - FLAT exact                       2k-query QPS
+  - SPARSE_INVERTED_INDEX IP + BM25  synthetic 200k docs, 30k vocab
   - HNSW bitset-filtered             filter ratios 0.5 / 0.9 / 0.99
   - IVF_FLAT range search            radius from the kNN distance sample
   - DISKANN                          search_list_size ladder (disk build)
-  - SPARSE_INVERTED_INDEX IP + BM25  synthetic 200k docs, 30k vocab
   - IVF_FLAT + IVF_PQ GIST-960-like  1M x 960 fp32 (high-dim evidence)
   - SHARDED_IVF_PQ Deep10M-like      10M x 96 fp32 (>=10M-scale evidence)
 
@@ -20,8 +42,7 @@ chunked device scans at 10M). Headline value = min QPS across the three
 SIFT-leg north-star families. vs_baseline = QPS / (2 x CPU baseline), where
 the CPU baseline is a cost model at the SAME operating point anchored by
 MEASURED single-core sgemm / PQ-ADC rates on this host, scaled by an assumed
-32-core AVX512 server (cpu_baseline_for; VERDICT r2 asked the hardcoded 15k
-estimate be replaced by a measurement). Rows carry bytes_per_vector +
+32-core AVX512 server (cpu_baseline_for). Rows carry bytes_per_vector +
 host/mmap/HBM MB from MemoryStats (equal-memory north star).
 
 Datasets: ann-benchmarks HDF5 is not fetchable here (zero egress); a
@@ -34,6 +55,7 @@ Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", "rows": [...]}.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -83,22 +105,20 @@ def _probe_backend(
 
 _probe_backend()
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 # persistent compile cache: kernel shapes recompile only once across rounds
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import knowhere_tpu as kt  # noqa: E402
 from knowhere_tpu.ops.distances import DistancePrecision, set_distance_precision  # noqa: E402
 
 # Dense CPU baseline: MEASURED on this host at the bench's own operating
-# point (dense_cpu_baseline_qps below), scaled by a stated 32-core AVX512
-# server. The round-2 hardcoded 15k estimate is kept only as a fallback when
-# the measurement fails (VERDICT r2 weak #3: "bound the baseline").
+# point (cpu_baseline_for below), scaled by a stated 32-core AVX512 server.
 CPU_BASELINE_QPS_FALLBACK = 15000.0
 CPU_CORES_ASSUMED = int(os.environ.get("KNOWHERE_BENCH_CPU_CORES", "32"))
+
 
 def _env_int(name, default):
     return int(os.environ.get(name, default))
@@ -109,8 +129,9 @@ DIM = 128
 NQ = _env_int("KNOWHERE_BENCH_NQ", 10_000)
 K = 10
 RECALL_TARGET = 0.95
+SUB_NQ = _env_int("KNOWHERE_BENCH_SUB_NQ", 2_048)  # ladder subsample (pow2 pad)
 
-# high-dim leg (GIST-960-like) at the north-star 1M scale (VERDICT r2 #1)
+# high-dim leg (GIST-960-like) at the north-star 1M scale
 GIST_NB = _env_int("KNOWHERE_BENCH_GIST_NB", 1_000_000)
 GIST_DIM = 960
 GIST_NQ = _env_int("KNOWHERE_BENCH_GIST_NQ", 2_000)
@@ -119,7 +140,6 @@ SPARSE_NB = _env_int("KNOWHERE_BENCH_SPARSE_NB", 200_000)
 SPARSE_NQ = _env_int("KNOWHERE_BENCH_SPARSE_NQ", 2_000)
 SPARSE_VOCAB = 30_000
 
-# DISKANN leg (reference benchmark_hdf5/ref_logs/Makefile diskann targets)
 DISKANN_NB = _env_int("KNOWHERE_BENCH_DISKANN_NB", 250_000)
 
 # beyond-HBM / sharded leg: Deep10M-like 96-d (BASELINE.md north star)
@@ -128,11 +148,8 @@ DEEP_DIM = 96
 DEEP_NQ = _env_int("KNOWHERE_BENCH_DEEP_NQ", 500)
 
 KNOBS = {
-    "IVF_FLAT": ("nprobe", [1, 2, 3, 4, 6, 8, 16, 32, 64, 128, 256]),
-    "IVF_PQ": ("nprobe", [1, 2, 3, 4, 6, 8, 16, 32, 64, 128, 256]),
-    # denser rungs between the reference's pow2 ladder: the protocol is
-    # "smallest knob whose recall reaches target", so a finer ladder only
-    # finds a more honest operating point (ef=32 overshot 0.95 at 0.977)
+    "IVF_FLAT": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
+    "IVF_PQ": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
     "HNSW": ("ef", [16, 20, 24, 28, 32, 48, 64, 96, 128, 256, 512]),
 }
 
@@ -144,6 +161,162 @@ BUILD_CFG = {
 
 SEARCH_EXTRA = {"IVF_PQ": {"refine_k": 8}}
 
+# ---------------------------------------------------------------------------
+# budget + cache infrastructure (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+BUDGET_S = float(os.environ.get("KNOWHERE_BENCH_BUDGET_S", "1500"))
+CACHE_DIR = os.environ.get(
+    "KNOWHERE_BENCH_CACHE", os.path.join(_REPO, ".bench_cache")
+)
+# bump when serialized index formats / corpus generators change incompatibly
+CACHE_EPOCH = os.environ.get("KNOWHERE_BENCH_CACHE_EPOCH", "r4a")
+FRESH = os.environ.get("KNOWHERE_BENCH_FRESH") == "1"
+os.makedirs(CACHE_DIR, exist_ok=True)
+
+_T0 = time.perf_counter()
+ROWS = []
+_FINAL_PRINTED = False
+
+
+def elapsed_total():
+    return time.perf_counter() - _T0
+
+
+def remaining():
+    return BUDGET_S - elapsed_total()
+
+
+def emit(row):
+    row.setdefault("t_total_s", round(elapsed_total(), 1))
+    ROWS.append(row)
+    print(json.dumps(row), file=sys.stderr, flush=True)
+
+
+def allow_leg(leg, est_s):
+    """Gate a leg on remaining budget; emit an explicit skip row if gated."""
+    if remaining() >= est_s:
+        return True
+    emit({"leg": leg, "skipped": "budget", "est_s": est_s,
+          "remaining_s": round(remaining(), 1)})
+    return False
+
+
+def print_final():
+    """ALWAYS emit the one headline JSON line (also from the signal path)."""
+    global _FINAL_PRINTED
+    if _FINAL_PRINTED:
+        return
+    _FINAL_PRINTED = True
+    ns = {r["index"]: r for r in ROWS
+          if r.get("index") in ("IVF_FLAT", "IVF_PQ", "HNSW")
+          and r.get("dataset", "").startswith("SIFT") and "qps" in r}
+    names = ("IVF_FLAT", "IVF_PQ", "HNSW")
+    value = min((ns[n]["qps"] for n in names if n in ns), default=0.0)
+    vs = min((ns[n].get("vs_baseline", 0.0) for n in names if n in ns), default=0.0)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"min QPS over IVF_FLAT/IVF_PQ/HNSW @ recall10>={RECALL_TARGET} "
+                    f"SIFT1M-like (full 10k-query exact GT; vs_baseline = QPS / "
+                    f"(2 x measured-same-host CPU model x{CPU_CORES_ASSUMED} cores))"
+                ),
+                "value": round(value, 1),
+                "unit": "QPS/chip",
+                "vs_baseline": round(vs, 3),
+                "elapsed_s": round(elapsed_total(), 1),
+                "budget_s": BUDGET_S,
+                "rows": ROWS,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _term_handler(signum, frame):  # pragma: no cover
+    emit({"leg": "ALL", "skipped": f"signal {signum}"})
+    print_final()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _term_handler)
+signal.signal(signal.SIGALRM, _term_handler)
+# hard backstop 60s before the self-budget would matter anyway: guarantees a
+# final line even if a single device call wedges past every leg gate
+signal.alarm(int(BUDGET_S + 120))
+
+
+def cached_npy(tag, gen_fn, mmap=False):
+    """Corpus/GT disk cache. gen_fn() -> np.ndarray. Keyed by tag + epoch."""
+    path = os.path.join(CACHE_DIR, f"{CACHE_EPOCH}_{tag}.npy")
+    if not FRESH and os.path.exists(path):
+        return np.load(path, mmap_mode="r" if mmap else None)
+    arr = gen_fn()
+    tmp = path + ".tmp.npy"  # np.save appends .npy unless present
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+    if mmap:
+        del arr
+        return np.load(path, mmap_mode="r")
+    return arr
+
+
+def _binset_dir(key):
+    return os.path.join(CACHE_DIR, f"{CACHE_EPOCH}_idx_{key}")
+
+
+def save_index_cache(key, idx, meta):
+    d = _binset_dir(key)
+    tmpd = d + ".tmp"
+    os.makedirs(tmpd, exist_ok=True)
+    bs = kt.BinarySet()
+    st = idx.Serialize(bs)
+    if st != kt.Status.success:
+        return False
+    names = []
+    for name in list(bs):
+        b = bs.GetByName(name)
+        fn = f"blob_{len(names)}.bin"
+        with open(os.path.join(tmpd, fn), "wb") as f:
+            f.write(b.tobytes())
+        names.append({"name": name, "file": fn})
+    with open(os.path.join(tmpd, "meta.json"), "w") as f:
+        json.dump({"blobs": names, "meta": meta}, f)
+    if os.path.exists(d):
+        import shutil
+
+        shutil.rmtree(d)
+    os.replace(tmpd, d)
+    return True
+
+
+def load_index_cache(key, name, deser_cfg, data_type="fp32"):
+    """-> (idx, meta) or (None, None). Blobs are mmapped (zero host copy)."""
+    d = _binset_dir(key)
+    mp = os.path.join(d, "meta.json")
+    if FRESH or not os.path.exists(mp):
+        return None, None
+    try:
+        with open(mp) as f:
+            info = json.load(f)
+        bs = kt.BinarySet()
+        for b in info["blobs"]:
+            mm = np.memmap(os.path.join(d, b["file"]), dtype=np.uint8, mode="r")
+            bs.Append(b["name"], memoryview(mm))
+        idx = kt.IndexFactory.Instance().Create(name, data_type=data_type).value()
+        st = idx.Deserialize(bs, deser_cfg)
+        if st != kt.Status.success:
+            return None, None
+        return idx, info["meta"]
+    except Exception:  # stale/corrupt cache -> rebuild
+        return None, None
+
+
+# ---------------------------------------------------------------------------
+# corpora
+# ---------------------------------------------------------------------------
+
 
 def gen_corpus(nb, nq, dim, n_clusters=500, intrinsic_dim=48, seed=0,
                center_scale=(0.9, 1.6)):
@@ -152,22 +325,12 @@ def gen_corpus(nb, nq, dim, n_clusters=500, intrinsic_dim=48, seed=0,
     for quantizers due to distance concentration). Queries are fresh draws
     from the same mixture, never perturbed base rows.
 
-    Difficulty calibration (VERDICT r2 weak #4). A HOMOGENEOUS mixture has a
-    razor-sharp easy/hard phase transition in center_scale (measured recall-
-    vs-nprobe at 200k/nlist=1024: scale 2.0 -> nprobe@0.95=2, 1.5 -> 64,
-    1.25 -> 512), so no single scale reproduces SIFT's smooth curve and the
-    operating point is seed-fragile. Instead each cluster draws its OWN
-    center scale from U(center_scale): separated clusters give the easy head,
-    overlapping ones the hard tail — the aggregate recall curve is smooth and
-    seed-stable. Measured at (48, U(0.9,1.6)), 100-200k rows, nlist=1024,
-    exact-within-probed-lists simulation over 3 seeds:
-      nprobe:  1     4     16    32    64
-      recall:  0.64  0.84  0.90  0.93  0.96
-    i.e. nprobe@0.95 in [32,64] (real SIFT1M: ~8-16; denser corpora relax
-    it, so the 1M bench leg lands at or slightly above the SIFT point —
-    calibrated to the HARD side so QPS rows never benefit from an easy
-    corpus). `center_scale` may also be a scalar for a homogeneous mixture
-    (the Deep10M leg keeps the easy separable regime explicitly)."""
+    Difficulty calibration (VERDICT r2 weak #4): each cluster draws its OWN
+    center scale from U(center_scale) — separated clusters give the easy
+    head, overlapping ones the hard tail; the aggregate recall curve is
+    smooth and seed-stable, with nprobe@0.95 in [16,64] at nlist=1024
+    (real SIFT1M: ~8-16 — calibrated to the HARD side so QPS rows never
+    benefit from an easy corpus)."""
     rng = np.random.default_rng(seed)
     if np.isscalar(center_scale):
         scales = np.full(n_clusters, float(center_scale), np.float32)
@@ -186,9 +349,7 @@ def gen_corpus(nb, nq, dim, n_clusters=500, intrinsic_dim=48, seed=0,
 
 
 def gen_sparse_corpus(nb, nq, vocab, seed=7):
-    """Zipf-distributed term ids with lognormal weights (SPLADE-like shape).
-    Vectorized (one zipf draw + one lognormal draw for the whole corpus):
-    the per-row Python loop took minutes of driver wall-clock on 1 vCPU."""
+    """Zipf-distributed term ids with lognormal weights (SPLADE-like shape)."""
     rng = np.random.default_rng(seed)
 
     def rows(n, avg_nnz):
@@ -200,8 +361,6 @@ def gen_sparse_corpus(nb, nq, vocab, seed=7):
         out = []
         for i in range(n):
             s, e = bounds[i], bounds[i + 1]
-            # dict comprehension dedups repeated zipf draws (last value wins),
-            # matching the previous np.unique row semantics in support
             out.append({int(t): float(v) for t, v in zip(terms[s:e], vals[s:e])})
         return out
 
@@ -238,17 +397,45 @@ def _mem_fields(idx):
         return {}
 
 
-def bench_dense(
-    name, base_ds, query_ds, gt_ids, nq, build_cfg, metric="L2", search_extra=None,
-    knobs=None, return_index=False,
-):
-    """One dense row. Returns a dict; on failure carries an 'error' key."""
+def smallest_knob(ladder, eval_fn, target=RECALL_TARGET, min_remaining=45.0):
+    """Binary-search the smallest ladder value whose recall reaches target
+    (recall is monotone in nprobe/ef/search_list_size). Protocol parity:
+    the reference harness binary-searches the same way
+    (benchmark/hdf5/benchmark_float_qps.cpp:96-119). Returns
+    (knob, recall, reached). Budget-aware: bails to the best known rung
+    when the global budget runs low."""
+    results = {}
+
+    def ev(i):
+        if i not in results:
+            results[i] = eval_fn(ladder[i])
+        return results[i]
+
+    lo, hi = 0, len(ladder) - 1
+    if ev(hi) < target:
+        return ladder[hi], results[hi], False
+    while lo < hi:
+        if remaining() < min_remaining:
+            break
+        mid = (lo + hi) // 2
+        if ev(mid) >= target:
+            hi = mid
+        else:
+            lo = mid + 1
+    return ladder[hi], ev(hi), True
+
+
+# ---------------------------------------------------------------------------
+# dense benches
+# ---------------------------------------------------------------------------
+
+
+def build_dense(name, base_ds, build_cfg, metric="L2"):
+    """Fresh build with phase profiling -> (idx, profile) or (None, errrow)."""
     idx = kt.IndexFactory.Instance().Create(name).value()
     profile = {}
     t0 = time.perf_counter()
     if name.startswith("IVF"):
-        # train/add profiled separately: reconciles the round-1 500s-vs-88s
-        # build discrepancy (VERDICT Weak #2) by committing phase timings
         st = idx.Train(base_ds, {"metric_type": metric, **build_cfg})
         profile["train_s"] = round(time.perf_counter() - t0, 1)
         if st == kt.Status.success:
@@ -257,173 +444,78 @@ def bench_dense(
             profile["add_s"] = round(time.perf_counter() - t1, 1)
     else:
         st = idx.Build(base_ds, {"metric_type": metric, **build_cfg})
-    build_s = time.perf_counter() - t0
+    profile["build_s"] = round(time.perf_counter() - t0, 1)
     if st != kt.Status.success:
-        err = {"index": name, "error": st.name}
-        return (err, None, None) if return_index else err
+        return None, {"index": name, "error": st.name}
+    return idx, profile
 
+
+def get_dense_index(name, cache_key, base_ds, build_cfg, metric="L2"):
+    """Index cache wrapper: deserialize from .bench_cache when possible;
+    otherwise build fresh and populate the cache. build_s in the returned
+    profile is ALWAYS a real measured build on this hardware (flagged
+    build_cached when it came from the cache's metadata)."""
+    deser = {"metric_type": metric, **build_cfg}
+    idx, meta = load_index_cache(cache_key, name, deser)
+    if idx is not None:
+        return idx, {**meta, "build_cached": True}, None
+    idx, profile = build_dense(name, base_ds, build_cfg, metric)
+    if idx is None:
+        return None, None, profile  # profile is the error row
+    save_index_cache(cache_key, idx, profile)
+    return idx, profile, None
+
+
+def bench_dense(
+    name, idx, profile, query_sub_ds, query_full_ds, gt_ids, nq_sub, nq_full,
+    metric="L2", search_extra=None, knobs=None, best_of=1,
+):
+    """Knob ladder on the subsample, final QPS on the full query set."""
+    leg_t0 = time.perf_counter()
     knob, ladder = knobs if knobs is not None else KNOBS[name]
     extra = SEARCH_EXTRA.get(name, {}) if search_extra is None else search_extra
 
-    def search(v):
+    def search(q_ds, v):
         cfg = {"metric_type": metric, "k": K, knob: v, **extra}
-        return idx.Search(query_ds, cfg)
+        return idx.Search(q_ds, cfg)
 
-    chosen, achieved = None, 0.0
-    for v in ladder:
-        r = search(v)
+    def eval_rung(v):
+        r = search(query_sub_ds, v)
         if not r.has_value():
-            continue
-        rec = recall_at_k(gt_ids, r.value().ids.reshape(nq, K), K)
-        chosen, achieved = v, rec
-        if rec >= RECALL_TARGET:
-            break
-    if chosen is None:
-        err = {"index": name, "error": "all knob values failed"}
-        return (err, None, None) if return_index else err
+            return -1.0
+        return recall_at_k(gt_ids[:nq_sub], r.value().ids.reshape(nq_sub, K), K)
 
-    search(chosen)  # warm
-    elapsed = float("inf")
-    for _ in range(3):  # best-of-3: axon tunnel latency varies run to run
-        t0 = time.perf_counter()
-        r = search(chosen)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+    chosen, achieved, reached = smallest_knob(ladder, eval_rung)
+    if achieved < 0:
+        return {"index": name, "error": "all knob values failed"}
+
+    # final measurement on the FULL query set (recall re-verified at full nq)
+    r = search(query_full_ds, chosen)
     if not r.has_value():
-        err = {"index": name, "error": r.what()}
-        return (err, None, None) if return_index else err
+        return {"index": name, "error": r.what()}
+    full_recall = recall_at_k(gt_ids, r.value().ids.reshape(nq_full, K), K)
+    elapsed = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        r = search(query_full_ds, chosen)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     row = {
         "index": name,
         "knob": f"{knob}={chosen}",
-        "recall": round(achieved, 4),
-        "qps": round(nq / elapsed, 1),
-        "build_s": round(build_s, 1),
+        "recall": round(full_recall, 4),
+        "qps": round(nq_full / elapsed, 1),
         **profile,
         **_mem_fields(idx),
+        "elapsed_s": round(time.perf_counter() - leg_t0, 1),
     }
-    if return_index:
-        return row, idx, chosen
-    return row
+    if not reached:
+        row["recall_target_missed"] = True
+    return row, chosen
 
 
-def sparse_cpu_baseline_qps(xb, xq, vocab, n_sample=64, cores=32):
-    """MEASURED sparse CPU baseline (VERDICT r2: 'bound the baseline with a
-    measurement'): scipy CSR exhaustive dot + argpartition top-k on this
-    host's single core, scaled by a stated typical AVX512 server core count.
-    The reference's WAND prunes this work per-query, so treat the returned
-    number as a measured FLOOR for reference-CPU QPS, not an exact stand-in
-    (reference: src/index/sparse/searcher/daat_wand.h)."""
-    import scipy.sparse as sp
-
-    def to_csr(rows):
-        indptr = [0]
-        idxs, vals = [], []
-        for r in rows:
-            for d, v in r.items():
-                idxs.append(d)
-                vals.append(v)
-            indptr.append(len(idxs))
-        return sp.csr_matrix(
-            (np.asarray(vals, np.float32), np.asarray(idxs, np.int64), indptr),
-            shape=(len(rows), vocab),
-        )
-
-    mat = to_csr(xb).T.tocsr()  # (vocab, nb) for q @ mat
-    qm = to_csr(xq[:n_sample])
-    _ = (qm[:8] @ mat).toarray()  # warm
-    t0 = time.perf_counter()
-    scores = (qm @ mat).toarray()
-    np.argpartition(-scores, K, axis=1)[:, :K]
-    dt = time.perf_counter() - t0
-    return n_sample / dt * cores
-
-
-def bench_sparse():
-    xb, xq = gen_sparse_corpus(SPARSE_NB, SPARSE_NQ, SPARSE_VOCAB)
-    base = kt.GenSparseDataSet(xb, SPARSE_VOCAB)
-    queries = kt.GenSparseDataSet(xq, SPARSE_VOCAB)
-
-    try:
-        cpu_qps = sparse_cpu_baseline_qps(xb, xq, SPARSE_VOCAB)
-    except Exception:  # pragma: no cover
-        cpu_qps = 0.0
-
-    rows = []
-    for metric, mcfg in (
-        ("IP", {}),
-        ("BM25", {"bm25_k1": 1.2, "bm25_b": 0.75, "bm25_avgdl": 40.0}),
-    ):
-        g = kt.BruteForce.SearchSparse(
-            base, queries, {"metric_type": metric, "k": K, **mcfg}
-        )
-        gt_ids = g.value().ids.reshape(SPARSE_NQ, K)
-
-        idx = kt.IndexFactory.Instance().Create(
-            "SPARSE_INVERTED_INDEX", data_type="sparse"
-        ).value()
-        t0 = time.perf_counter()
-        st = idx.Build(base, {"metric_type": metric, **mcfg})
-        build_s = time.perf_counter() - t0
-        if st != kt.Status.success:
-            rows.append({"index": "SPARSE_INVERTED_INDEX", "metric": metric, "error": st.name})
-            continue
-
-        def search(drop, algo=None):
-            cfg = {"metric_type": metric, "k": K, "drop_ratio_search": drop, **mcfg}
-            if drop > 0:
-                cfg["refine_factor"] = 4
-            if algo:
-                cfg["search_algo"] = algo
-            return idx.Search(queries, cfg)
-
-        chosen, achieved = None, 0.0
-        for drop in (0.6, 0.4, 0.2, 0.0):
-            r = search(drop)
-            if not r.has_value():
-                continue
-            rec = recall_at_k(gt_ids, r.value().ids.reshape(SPARSE_NQ, K), K)
-            chosen, achieved = drop, rec
-            if rec >= RECALL_TARGET:
-                break
-        if chosen is None:
-            rows.append({"index": "SPARSE_INVERTED_INDEX", "metric": metric,
-                         "error": "all drop ratios failed"})
-            continue
-        search(chosen)  # warm
-        elapsed = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = search(chosen)
-            elapsed = min(elapsed, time.perf_counter() - t0)
-        if not r.has_value():
-            rows.append({"index": "SPARSE_INVERTED_INDEX", "metric": metric, "error": r.what()})
-            continue
-        qps = SPARSE_NQ / elapsed
-        engine = (getattr(idx.node, "_last_search_stats", None) or {}).get(
-            "engine", "postings"
-        )
-        row = {
-            "index": "SPARSE_INVERTED_INDEX",
-            "metric": metric,
-            "knob": f"drop_ratio_search={chosen}",
-            "engine": engine,
-            "recall": round(achieved, 4),
-            "qps": round(qps, 1),
-            "build_s": round(build_s, 1),
-            "nb": SPARSE_NB,
-        }
-        if metric == "IP":
-            # exhaustive padded engine at the same operating point (the
-            # round-2 headline was this engine; show the hybrid speedup)
-            r2 = search(chosen, algo="TAAT_NAIVE")
-            if r2.has_value():
-                t0 = time.perf_counter()
-                search(chosen, algo="TAAT_NAIVE")
-                row["qps_exhaustive"] = round(SPARSE_NQ / (time.perf_counter() - t0), 1)
-            if cpu_qps > 0:
-                row["cpu_qps_measured_x32core"] = round(cpu_qps, 1)
-                row["vs_baseline"] = round(qps / (2.0 * cpu_qps), 3)
-        rows.append(row)
-    return rows
+# ---------------------------------------------------------------------------
+# CPU baselines (measured cost models — see VERDICT r2 weak #3)
+# ---------------------------------------------------------------------------
 
 
 def measured_cpu_gemm_gflops(d, rows=50_000, q=64):
@@ -455,10 +547,12 @@ def measured_cpu_adc_geps(m=16, ksub=256, rows=200_000):
 
 
 def cpu_baseline_for(kind, nb, d, nlist, nprobe_chosen, extra=None, cores=CPU_CORES_ASSUMED):
-    """MEASURED CPU baseline QPS at the SAME operating point this bench
-    found (VERDICT r2 weak #3): per-query FLOP/entry count of the faiss-CPU
-    algorithm x measured single-core rate x assumed core count. A cost model
-    anchored by measurement — not a hardcoded estimate."""
+    """MEASURED CPU baseline QPS at the operating point the CPU ALGORITHM
+    needs for the same recall (per-system knobs is the reference protocol —
+    each system binary-searches its own knob, benchmark_float_qps.cpp:96).
+    nprobe_chosen must be the knob a PLAIN faiss-style index requires on
+    this corpus; pass cpu_knob from the vanilla ladder when the TPU index
+    uses candidate-quality tricks the CPU reference lacks."""
     try:
         if kind == "ivf_flat":
             rate = measured_cpu_gemm_gflops(d) * 1e9  # FLOP/s, 1 core
@@ -500,6 +594,37 @@ def cpu_baseline_for(kind, nb, d, nlist, nprobe_chosen, extra=None, cores=CPU_CO
     return 0.0
 
 
+def sparse_cpu_baseline_qps(xb, xq, vocab, n_sample=64, cores=32):
+    """MEASURED sparse CPU baseline: scipy CSR exhaustive dot + argpartition
+    top-k on this host's single core, scaled by a stated AVX512 server core
+    count. The reference's WAND prunes this work per-query, so treat the
+    returned number as a measured FLOOR for reference-CPU QPS
+    (reference: src/index/sparse/searcher/daat_wand.h)."""
+    import scipy.sparse as sp
+
+    def to_csr(rows):
+        indptr = [0]
+        idxs, vals = [], []
+        for r in rows:
+            for dd, v in r.items():
+                idxs.append(dd)
+                vals.append(v)
+            indptr.append(len(idxs))
+        return sp.csr_matrix(
+            (np.asarray(vals, np.float32), np.asarray(idxs, np.int64), indptr),
+            shape=(len(rows), vocab),
+        )
+
+    mat = to_csr(xb).T.tocsr()  # (vocab, nb) for q @ mat
+    qm = to_csr(xq[:n_sample])
+    _ = (qm[:8] @ mat).toarray()  # warm
+    t0 = time.perf_counter()
+    scores = (qm @ mat).toarray()
+    np.argpartition(-scores, K, axis=1)[:, :K]
+    dt = time.perf_counter() - t0
+    return n_sample / dt * cores
+
+
 def exact_gt_chunked(xb, xq, k, chunk=1_000_000):
     """Exact L2 top-k over an arbitrarily large host corpus: device scan in
     chunks with a running merge (the 10M-leg GT path)."""
@@ -519,12 +644,12 @@ def exact_gt_chunked(xb, xq, k, chunk=1_000_000):
         s, i = jax.lax.top_k(-d2, k)
         return s, i + base0
 
-    q_dev = jax.device_put(xq.astype(np.float32))
+    q_dev = jax.device_put(np.ascontiguousarray(xq).astype(np.float32))
     best_s = np.full((xq.shape[0], k), -np.inf, np.float32)
     best_i = np.full((xq.shape[0], k), -1, np.int64)
     for s0 in range(0, xb.shape[0], chunk):
         e0 = min(s0 + chunk, xb.shape[0])
-        s, i = topk_chunk(q_dev, jax.device_put(xb[s0:e0]), s0, k)
+        s, i = topk_chunk(q_dev, jax.device_put(np.ascontiguousarray(xb[s0:e0])), s0, k)
         s, i = np.asarray(s), np.asarray(i, dtype=np.int64)
         cat_s = np.concatenate([best_s, s], 1)
         cat_i = np.concatenate([best_i, i], 1)
@@ -534,7 +659,12 @@ def exact_gt_chunked(xb, xq, k, chunk=1_000_000):
     return best_i
 
 
-def bench_filtered(idx, base_ds, xq, nq_all, nb, build_row):
+# ---------------------------------------------------------------------------
+# auxiliary legs
+# ---------------------------------------------------------------------------
+
+
+def bench_filtered(idx, base_ds, xq, nq_all, nb):
     """Bitset-filtered leg on the already-built HNSW index (reference
     benchmark/hdf5/benchmark_float_bitset.cpp): filter ratios spanning the
     graph->brute-force fallback crossover."""
@@ -543,39 +673,41 @@ def bench_filtered(idx, base_ds, xq, nq_all, nb, build_row):
     nqs = min(1000, nq_all)
     q_ds = kt.GenDataSetFromArray(xq[:nqs])
     for frac in (0.5, 0.9, 0.99):
+        t0 = time.perf_counter()
         bits = rng.random(nb) < frac  # True = filtered OUT
         bs = kt.BitsetView(np.packbits(bits, bitorder="little"), nb)
         g = kt.BruteForce.Search(base_ds, q_ds, {"metric_type": "L2", "k": K}, bs)
         gt = g.value().ids.reshape(nqs, K)
 
-        chosen, achieved = None, 0.0
-        for ef in (16, 32, 64, 128, 256, 512):
+        def ev(ef):
             r = idx.Search(q_ds, {"metric_type": "L2", "k": K, "ef": ef}, bs)
             if not r.has_value():
-                continue
-            rec = recall_at_k(gt, r.value().ids.reshape(nqs, K), K)
-            chosen, achieved = ef, rec
-            if rec >= RECALL_TARGET:
-                break
+                return -1.0
+            return recall_at_k(gt, r.value().ids.reshape(nqs, K), K)
+
+        chosen, achieved, reached = smallest_knob([16, 32, 64, 128, 256, 512], ev)
         row = {"index": "HNSW", "leg": "bitset_filtered", "filter_ratio": frac}
-        if chosen is None:
-            row["error"] = "no ef reached target"
+        if achieved < 0:
+            row["error"] = "all ef failed"
         else:
             idx.Search(q_ds, {"metric_type": "L2", "k": K, "ef": chosen}, bs)
-            t0 = time.perf_counter()
+            t1 = time.perf_counter()
             r = idx.Search(q_ds, {"metric_type": "L2", "k": K, "ef": chosen}, bs)
             row.update(
                 knob=f"ef={chosen}", recall=round(achieved, 4),
-                qps=round(nqs / (time.perf_counter() - t0), 1),
+                qps=round(nqs / (time.perf_counter() - t1), 1),
             )
+            if not reached:
+                row["recall_target_missed"] = True
+        row["elapsed_s"] = round(time.perf_counter() - t0, 1)
         rows.append(row)
     return rows
 
 
 def bench_range(idx, base_ds, xq, nq_all):
     """Range-search leg on the already-built IVF_FLAT index (reference
-    benchmark/hdf5/benchmark_float_range.cpp): radius set from the sampled
-    k-NN distance distribution, QPS on 1000 queries, recall vs exact range."""
+    benchmark/hdf5/benchmark_float_range.cpp)."""
+    t_leg = time.perf_counter()
     nqs = min(200, nq_all)
     q_small = kt.GenDataSetFromArray(xq[:nqs])
     bf = kt.BruteForce.Search(base_ds, q_small, {"metric_type": "L2", "k": K})
@@ -591,14 +723,13 @@ def bench_range(idx, base_ds, xq, nq_all):
     t0 = time.perf_counter()
     r = idx.RangeSearch(q_ds, cfg, kt.BitsetView())
     qps = nqr / (time.perf_counter() - t0)
-    # exactness vs brute-force range on the small sample
     bf_r = kt.BruteForce.RangeSearch(base_ds, q_small, {"metric_type": "L2", "radius": radius})
     rec = -1.0
     if bf_r.has_value():
         def sets(ds, n):
             lims = np.asarray(ds.lims).astype(np.int64)
             ids = np.asarray(ds.ids).astype(np.int64)
-            return [set(ids[lims[i]:lims[i+1]].tolist()) for i in range(n)]
+            return [set(ids[lims[i]:lims[i + 1]].tolist()) for i in range(n)]
         got = sets(r.value(), nqs)
         want = sets(bf_r.value(), nqs)
         per_q = [len(a & b) / max(len(b), 1) for a, b in zip(got, want) if len(b) > 0]
@@ -607,180 +738,352 @@ def bench_range(idx, base_ds, xq, nq_all):
         "index": "IVF_FLAT", "leg": "range", "radius": round(radius, 3),
         "qps": round(qps, 1), "recall_vs_exact_range": round(rec, 4),
         "avg_hits": round(float(np.asarray(r.value().lims)[-1]) / nqr, 1),
+        "elapsed_s": round(time.perf_counter() - t_leg, 1),
     }
+
+
+class _DiskannFM:
+    def LoadFile(self, path):
+        return True
+
+    def AddFile(self, path):
+        return os.path.exists(path)
 
 
 def bench_diskann(xb, xq, gt_ids, nq):
     """DISKANN leg (reference ref_logs/Makefile diskann rungs): bin-file
-    build -> Deserialize -> search_list_size ladder, driver-captured."""
-    import tempfile
-
-    class _FM:
-        def LoadFile(self, path):
-            return True
-
-        def AddFile(self, path):
-            return os.path.exists(path)
-
-    tmp = tempfile.mkdtemp(prefix="knowhere_diskann_")
-    data_path = os.path.join(tmp, "raw.bin")
-    with open(data_path, "wb") as f:
-        np.asarray(xb.shape, dtype=np.int32).tofile(f)
-        xb.astype(np.float32).tofile(f)
+    build -> Deserialize -> search_list_size ladder. The on-disk index dir
+    persists in the bench cache so reruns skip the build."""
+    t_leg = time.perf_counter()
+    dkey = f"diskann_{xb.shape[0]}x{xb.shape[1]}"
+    tmp = os.path.join(CACHE_DIR, f"{CACHE_EPOCH}_{dkey}")
+    os.makedirs(tmp, exist_ok=True)
     prefix = os.path.join(tmp, "idx")
-    idx = kt.IndexFactory.Instance().Create("DISKANN", object=_FM()).value()
-    t0 = time.perf_counter()
-    st = idx.Build(kt.DataSet(), {
-        "metric_type": "L2", "index_prefix": prefix, "data_path": data_path,
-        "max_degree": 56, "search_list_size": 128,
-        "pq_code_budget_gb": 32 * xb.shape[0] / 1e9,
-        "build_dram_budget_gb": 16.0,
-    })
-    build_s = time.perf_counter() - t0
-    if st != kt.Status.success:
-        return {"index": "DISKANN", "error": st.name}
-    idx2 = kt.IndexFactory.Instance().Create("DISKANN", object=_FM()).value()
+    meta_p = os.path.join(tmp, "build_meta.json")
+    built = (not FRESH) and os.path.exists(meta_p)
+    cached_meta = {}
+    if built:
+        with open(meta_p) as f:
+            cached_meta = json.load(f)
+    if not built:
+        data_path = os.path.join(tmp, "raw.bin")
+        with open(data_path, "wb") as f:
+            np.asarray(xb.shape, dtype=np.int32).tofile(f)
+            np.ascontiguousarray(xb).astype(np.float32).tofile(f)
+        idx = kt.IndexFactory.Instance().Create("DISKANN", object=_DiskannFM()).value()
+        t0 = time.perf_counter()
+        st = idx.Build(kt.DataSet(), {
+            "metric_type": "L2", "index_prefix": prefix, "data_path": data_path,
+            "max_degree": 56, "search_list_size": 128,
+            "pq_code_budget_gb": 32 * xb.shape[0] / 1e9,
+            "build_dram_budget_gb": 16.0,
+        })
+        cached_meta = {"build_s": round(time.perf_counter() - t0, 1)}
+        if st != kt.Status.success:
+            return {"index": "DISKANN", "error": st.name}
+        with open(meta_p, "w") as f:
+            json.dump(cached_meta, f)
+    idx2 = kt.IndexFactory.Instance().Create("DISKANN", object=_DiskannFM()).value()
     st = idx2.Deserialize(kt.BinarySet(), {"metric_type": "L2", "index_prefix": prefix})
     if st != kt.Status.success:
         return {"index": "DISKANN", "error": "deserialize: " + st.name}
     q_ds = kt.GenDataSetFromArray(xq[:nq])
 
-    chosen, achieved = None, 0.0
-    for sls in (16, 32, 64, 128, 256, 512):
+    def ev(sls):
         r = idx2.Search(q_ds, {"metric_type": "L2", "k": K, "search_list_size": sls})
         if not r.has_value():
-            continue
-        rec = recall_at_k(gt_ids[:nq], r.value().ids.reshape(nq, K), K)
-        chosen, achieved = sls, rec
-        if rec >= RECALL_TARGET:
-            break
-    if chosen is None:
-        return {"index": "DISKANN", "error": "no search_list_size reached target", "build_s": round(build_s, 1)}
+            return -1.0
+        return recall_at_k(gt_ids[:nq], r.value().ids.reshape(nq, K), K)
+
+    chosen, achieved, reached = smallest_knob([16, 32, 64, 128, 256, 512], ev)
+    if achieved < 0:
+        return {"index": "DISKANN", "error": "ladder failed", **cached_meta}
     idx2.Search(q_ds, {"metric_type": "L2", "k": K, "search_list_size": chosen})
     t0 = time.perf_counter()
     r = idx2.Search(q_ds, {"metric_type": "L2", "k": K, "search_list_size": chosen})
-    return {
+    row = {
         "index": "DISKANN", "knob": f"search_list_size={chosen}",
         "recall": round(achieved, 4),
         "qps": round(nq / (time.perf_counter() - t0), 1),
-        "build_s": round(build_s, 1),
+        **cached_meta,
+        "build_cached": built,
         **_mem_fields(idx2),
+        "elapsed_s": round(time.perf_counter() - t_leg, 1),
     }
+    if not reached:
+        row["recall_target_missed"] = True
+    return row
+
+
+def bench_sparse():
+    t_gen = time.perf_counter()
+    xb, xq = gen_sparse_corpus(SPARSE_NB, SPARSE_NQ, SPARSE_VOCAB)
+    base = kt.GenSparseDataSet(xb, SPARSE_VOCAB)
+    queries = kt.GenSparseDataSet(xq, SPARSE_VOCAB)
+    gen_s = round(time.perf_counter() - t_gen, 1)
+
+    try:
+        cpu_qps = sparse_cpu_baseline_qps(xb, xq, SPARSE_VOCAB)
+    except Exception:  # pragma: no cover
+        cpu_qps = 0.0
+
+    rows = []
+    for metric, mcfg in (
+        ("IP", {}),
+        ("BM25", {"bm25_k1": 1.2, "bm25_b": 0.75, "bm25_avgdl": 40.0}),
+    ):
+        t_leg = time.perf_counter()
+        g = kt.BruteForce.SearchSparse(
+            base, queries, {"metric_type": metric, "k": K, **mcfg}
+        )
+        gt_ids = g.value().ids.reshape(SPARSE_NQ, K)
+
+        idx = kt.IndexFactory.Instance().Create(
+            "SPARSE_INVERTED_INDEX", data_type="sparse"
+        ).value()
+        t0 = time.perf_counter()
+        st = idx.Build(base, {"metric_type": metric, **mcfg})
+        build_s = time.perf_counter() - t0
+        if st != kt.Status.success:
+            rows.append({"index": "SPARSE_INVERTED_INDEX", "metric": metric, "error": st.name})
+            continue
+
+        def search(drop, algo=None):
+            cfg = {"metric_type": metric, "k": K, "drop_ratio_search": drop, **mcfg}
+            if drop > 0:
+                cfg["refine_factor"] = 4
+            if algo:
+                cfg["search_algo"] = algo
+            return idx.Search(queries, cfg)
+
+        chosen, achieved = None, 0.0
+        for drop in (0.6, 0.4, 0.2, 0.0):
+            r = search(drop)
+            if not r.has_value():
+                continue
+            rec = recall_at_k(gt_ids, r.value().ids.reshape(SPARSE_NQ, K), K)
+            chosen, achieved = drop, rec
+            if rec >= RECALL_TARGET:
+                break
+        if chosen is None:
+            rows.append({"index": "SPARSE_INVERTED_INDEX", "metric": metric,
+                         "error": "all drop ratios failed"})
+            continue
+        search(chosen)  # warm
+        elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = search(chosen)
+            elapsed = min(elapsed, time.perf_counter() - t0)
+        if not r.has_value():
+            rows.append({"index": "SPARSE_INVERTED_INDEX", "metric": metric, "error": r.what()})
+            continue
+        qps = SPARSE_NQ / elapsed
+        engine = (getattr(idx.node, "_last_search_stats", None) or {}).get(
+            "engine", "postings"
+        )
+        row = {
+            "index": "SPARSE_INVERTED_INDEX",
+            "metric": metric,
+            "knob": f"drop_ratio_search={chosen}",
+            "engine": engine,
+            "recall": round(achieved, 4),
+            "qps": round(qps, 1),
+            "build_s": round(build_s, 1),
+            "gen_s": gen_s,
+            "nb": SPARSE_NB,
+            "elapsed_s": round(time.perf_counter() - t_leg, 1),
+        }
+        if metric == "IP":
+            if cpu_qps > 0:
+                row["cpu_qps_measured_x32core"] = round(cpu_qps, 1)
+                row["vs_baseline"] = round(qps / (2.0 * cpu_qps), 3)
+        rows.append(row)
+    return rows
 
 
 def bench_deep10m():
-    """Deep10M-like leg: SHARDED_IVF_PQ at 10M x 96 on the available device
-    mesh — the >=10M-scale evidence (BASELINE.md Deep10M north star). GT is
-    exact via chunked device scans on a 500-query sample."""
-    gen_t0 = time.perf_counter()
-    # this leg's purpose is >=10M-SCALE evidence, not operating-point
-    # difficulty (the SIFT/GIST legs carry that): Deep1B-like separability
-    xb, xq = gen_corpus(
-        DEEP_NB, DEEP_NQ, DEEP_DIM, n_clusters=2000, seed=11,
-        intrinsic_dim=32, center_scale=2.0,
-    )
-    gt = exact_gt_chunked(xb, xq, K)
-    gen_s = round(time.perf_counter() - gen_t0, 1)
+    """Deep10M-like leg: SHARDED_IVF_PQ at 10M x 96 — the >=10M-scale
+    evidence. Corpus/GT/index all cached; GT exact via chunked device scans
+    on a 500-query sample."""
+    t_leg = time.perf_counter()
 
-    idx = kt.IndexFactory.Instance().Create("SHARDED_IVF_PQ").value()
+    def gen():
+        xb, _ = gen_corpus(DEEP_NB, 1, DEEP_DIM, n_clusters=2000, seed=11,
+                           intrinsic_dim=32, center_scale=2.0)
+        return xb
+
+    def genq():
+        _, xq = gen_corpus(2, DEEP_NQ, DEEP_DIM, n_clusters=2000, seed=11,
+                           intrinsic_dim=32, center_scale=2.0)
+        return xq
+
+    xb = cached_npy(f"deep_{DEEP_NB}x{DEEP_DIM}_xb", gen, mmap=True)
+    xq = cached_npy(f"deep_{DEEP_NB}x{DEEP_DIM}_xq_{DEEP_NQ}", genq)
+    gt = cached_npy(
+        f"deep_{DEEP_NB}x{DEEP_DIM}_gt_{DEEP_NQ}x{K}",
+        lambda: exact_gt_chunked(xb, xq, K),
+    )
+    gen_s = round(time.perf_counter() - t_leg, 1)
+
     bcfg = {"metric_type": "L2", "nlist": 4096, "m": 16, "nbits": 8,
             "refine": True, "refine_type": "FP16"}
-    t0 = time.perf_counter()
-    st = idx.Build(kt.GenDataSetFromArray(xb), bcfg)
-    build_s = time.perf_counter() - t0
-    if st != kt.Status.success:
-        return {"index": "SHARDED_IVF_PQ", "error": st.name}
+    key = f"deep_sharded_ivfpq_{DEEP_NB}x{DEEP_DIM}"
+    idx, meta = load_index_cache(key, "SHARDED_IVF_PQ", bcfg)
+    prof = {}
+    if idx is not None:
+        prof = {**meta, "build_cached": True}
+    else:
+        idx = kt.IndexFactory.Instance().Create("SHARDED_IVF_PQ").value()
+        t0 = time.perf_counter()
+        st = idx.Build(kt.GenDataSetFromArray(np.ascontiguousarray(xb)), bcfg)
+        prof = {"build_s": round(time.perf_counter() - t0, 1)}
+        if st != kt.Status.success:
+            return {"index": "SHARDED_IVF_PQ", "error": st.name}
+        save_index_cache(key, idx, prof)
     q_ds = kt.GenDataSetFromArray(xq)
 
-    chosen, achieved = None, 0.0
-    for nprobe in (8, 16, 32, 64, 128, 256, 512, 1024):
-        r = idx.Search(q_ds, {"metric_type": "L2", "k": K, "nprobe": nprobe, "refine_k": 8}, kt.BitsetView())
+    def ev(nprobe):
+        r = idx.Search(q_ds, {"metric_type": "L2", "k": K, "nprobe": nprobe,
+                              "refine_k": 8}, kt.BitsetView())
         if not r.has_value():
-            continue
-        rec = recall_at_k(gt, r.value().ids.reshape(DEEP_NQ, K), K)
-        chosen, achieved = nprobe, rec
-        if rec >= RECALL_TARGET:
-            break
-    row = {"index": "SHARDED_IVF_PQ", "build_s": round(build_s, 1),
-           "gt_gen_s": gen_s, "nb": DEEP_NB, **_mem_fields(idx)}
-    if chosen is None:
-        row["error"] = "no nprobe reached target"
-        row["best_recall"] = round(achieved, 4)
+            return -1.0
+        return recall_at_k(gt, r.value().ids.reshape(DEEP_NQ, K), K)
+
+    chosen, achieved, reached = smallest_knob([8, 16, 32, 64, 128, 256, 512, 1024], ev)
+    row = {"index": "SHARDED_IVF_PQ", **prof, "corpus_s": gen_s, "nb": DEEP_NB,
+           **_mem_fields(idx)}
+    if achieved < 0:
+        row["error"] = "ladder failed"
         return row
     cfgq = {"metric_type": "L2", "k": K, "nprobe": chosen, "refine_k": 8}
     idx.Search(q_ds, cfgq, kt.BitsetView())
     t0 = time.perf_counter()
     r = idx.Search(q_ds, cfgq, kt.BitsetView())
     row.update(knob=f"nprobe={chosen}", recall=round(achieved, 4),
-               qps=round(DEEP_NQ / (time.perf_counter() - t0), 1))
+               qps=round(DEEP_NQ / (time.perf_counter() - t0), 1),
+               elapsed_s=round(time.perf_counter() - t_leg, 1))
+    if not reached:
+        row["recall_target_missed"] = True
     return row
 
 
-def bench_gist(rows):
-    """High-dim leg at 1M x 960 (VERDICT r2 #1): IVF_FLAT (the TPU-first
-    answer — raw bf16 MXU scan; PQ-ADC one-hot costs ksub/sub_dim ~ 25x the
-    raw-scan MACs at m=96) and IVF_PQ m=96 (the faiss GIST regime) with a
-    refine ladder. vs_baseline is a MEASURED same-operating-point CPU model."""
-    gxb, gxq = gen_corpus(GIST_NB, GIST_NQ, GIST_DIM, intrinsic_dim=64, seed=3, center_scale=1.25)
-    gbase = kt.GenDataSetFromArray(gxb)
-    gquery = kt.GenDataSetFromArray(gxq)
-    ggt = exact_gt(gbase, gquery, GIST_NQ, K)
+def bench_gist():
+    """High-dim leg at 1M x 960: IVF_FLAT (the TPU-first answer — raw bf16
+    MXU scan) and IVF_PQ m=96 (the faiss GIST regime) with a refine ladder."""
+    t_gen = time.perf_counter()
 
-    frac_ladder = [64, 128, 192, 256, 384, 512, 768, 1024]
-    for name, bcfg, extra, base_kind, base_extra in (
-        ("IVF_FLAT", {"nlist": 1024}, {}, "ivf_flat", None),
+    def gen():
+        xb, xq = gen_corpus(GIST_NB, GIST_NQ, GIST_DIM, intrinsic_dim=64,
+                            seed=3, center_scale=1.25)
+        return np.concatenate([xq, xb], 0)  # one file: queries first
+
+    both = cached_npy(f"gist_{GIST_NB}x{GIST_DIM}_{GIST_NQ}", gen, mmap=True)
+    gxq = np.ascontiguousarray(both[:GIST_NQ])
+    gxb = both[GIST_NQ:]
+    ggt = cached_npy(
+        f"gist_{GIST_NB}x{GIST_DIM}_gt_{GIST_NQ}x{K}",
+        lambda: exact_gt_chunked(gxb, gxq, K, chunk=250_000),
+    )
+    gen_s = round(time.perf_counter() - t_gen, 1)
+    gbase = kt.GenDataSetFromArray(np.ascontiguousarray(gxb))
+    gquery = kt.GenDataSetFromArray(gxq)
+    sub = min(GIST_NQ, 1024)
+    gq_sub = kt.GenDataSetFromArray(gxq[:sub])
+
+    frac_ladder = [16, 32, 64, 128, 192, 256, 384, 512, 768, 1024]
+    for name, bcfg, extra, base_kind, base_extra, est in (
+        ("IVF_FLAT", {"nlist": 1024}, {}, "ivf_flat", None, 280),
         (
             "IVF_PQ",
             {"nlist": 1024, "m": 96, "nbits": 8, "refine": True, "refine_type": "FP16"},
             {"refine_k": 32},
             "ivf_pq",
             {"m": 96, "refine_pool": 32 * K},
+            380,
         ),
     ):
+        if not allow_leg(f"gist_{name}", est):
+            continue
         try:
-            out = bench_dense(
-                name, gbase, gquery, ggt, GIST_NQ, bcfg,
-                search_extra=extra, knobs=("nprobe", frac_ladder), return_index=True,
+            idx, profile, err = get_dense_index(
+                name, f"gist_{name}_{GIST_NB}", gbase, bcfg
             )
-            grow, _idx, chosen = out
+            if err is not None:
+                grow = err
+            else:
+                out = bench_dense(
+                    name, idx, profile, gq_sub, gquery, ggt, sub, GIST_NQ,
+                    search_extra=extra, knobs=("nprobe", frac_ladder),
+                )
+                if isinstance(out, tuple):
+                    grow, chosen = out
+                    cpu = cpu_baseline_for(base_kind, GIST_NB, GIST_DIM, 1024,
+                                           chosen, base_extra)
+                    if cpu > 0:
+                        grow["cpu_qps_measured_x32core"] = round(cpu, 1)
+                        grow["vs_baseline"] = round(grow["qps"] / (2.0 * cpu), 3)
+                else:
+                    grow = out
             # a GIST-1M family holds ~5GB HBM; free it before the next build
-            # (observed: IVF_PQ allocations failed with IVF_FLAT resident)
-            del _idx, out
+            del idx
             import gc
 
             gc.collect()
-            if chosen is not None:
-                cpu = cpu_baseline_for(base_kind, GIST_NB, GIST_DIM, 1024, chosen, base_extra)
-                if cpu > 0:
-                    grow["cpu_qps_measured_x32core"] = round(cpu, 1)
-                    grow["vs_baseline"] = round(grow["qps"] / (2.0 * cpu), 3)
         except Exception as e:  # pragma: no cover
             grow = {"index": name, "error": repr(e)}
         grow["dataset"] = f"GIST-like {GIST_NB}x{GIST_DIM}"
-        rows.append(grow)
-        print(json.dumps(grow), file=sys.stderr, flush=True)
-    del gxb, gxq, gbase, gquery, ggt
+        grow["corpus_s"] = gen_s
+        emit(grow)
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
 
 
 def main():
-    rows = []
-
     # ---- SIFT1M-like dense leg (north-star families) ----
-    xb, xq = gen_corpus(NB, NQ, DIM)
+    t0 = time.perf_counter()
+
+    def gen():
+        xb, xq = gen_corpus(NB, NQ, DIM)
+        return np.concatenate([xq, xb], 0)
+
+    both = cached_npy(f"sift_{NB}x{DIM}_{NQ}", gen)
+    xq, xb = np.ascontiguousarray(both[:NQ]), np.ascontiguousarray(both[NQ:])
+    del both
     base_ds = kt.GenDataSetFromArray(xb)
     query_ds = kt.GenDataSetFromArray(xq)
-    gt_ids = exact_gt(base_ds, query_ds, NQ, K)  # full 10k-query ground truth
+    query_sub_ds = kt.GenDataSetFromArray(xq[:SUB_NQ])
+    gt_ids = cached_npy(
+        f"sift_{NB}x{DIM}_gt_{NQ}x{K}",
+        lambda: exact_gt_chunked(xb, xq, K),
+    )
+    emit({"leg": "sift_setup", "elapsed_s": round(time.perf_counter() - t0, 1)})
 
-    north_star = {}
     kept = {}
-    baseline_qps = {}
-    for name in ("IVF_FLAT", "IVF_PQ", "HNSW"):
+    for name, est in (("IVF_FLAT", 260), ("IVF_PQ", 280), ("HNSW", 420)):
+        if not allow_leg(name, est):
+            continue
         try:
-            row, idx, chosen = bench_dense(
-                name, base_ds, query_ds, gt_ids, NQ, BUILD_CFG[name], return_index=True
+            idx, profile, err = get_dense_index(
+                name, f"sift_{name}_{NB}", base_ds, BUILD_CFG[name]
             )
+            if err is not None:
+                row, chosen = err, None
+            else:
+                out = bench_dense(
+                    name, idx, profile, query_sub_ds, query_ds, gt_ids,
+                    SUB_NQ, NQ, best_of=3,
+                )
+                if isinstance(out, tuple):
+                    row, chosen = out
+                else:
+                    row, chosen = out, None
+                kept[name] = idx
         except Exception as e:  # pragma: no cover
-            row, idx, chosen = {"index": name, "error": repr(e)}, None, None
+            row, chosen = {"index": name, "error": repr(e)}, None
         row["dataset"] = f"SIFT1M-like {NB}x{DIM}"
         if chosen is not None:
             kind = {"IVF_FLAT": "ivf_flat", "IVF_PQ": "ivf_pq", "HNSW": "hnsw"}[name]
@@ -790,21 +1093,16 @@ def main():
                 else ({"ef": chosen, "M": 16} if name == "HNSW" else None)
             )
             nl = BUILD_CFG[name].get("nlist", 1024)
-            cpu = cpu_baseline_for(kind, NB, DIM, nl, chosen if name != "HNSW" else nl, extra)
-            if name == "HNSW":
-                cpu = cpu_baseline_for("hnsw", NB, DIM, nl, 0, extra)
+            cpu_knob = row.pop("cpu_knob", chosen)  # vanilla-index knob
+            cpu = cpu_baseline_for(kind, NB, DIM, nl, cpu_knob, extra)
             if cpu <= 0:
                 cpu = CPU_BASELINE_QPS_FALLBACK
-            baseline_qps[name] = cpu
             row["cpu_qps_measured_x32core"] = round(cpu, 1)
             row["vs_baseline"] = round(row.get("qps", 0.0) / (2.0 * cpu), 3)
-        rows.append(row)
-        north_star[name] = row
-        kept[name] = idx
-        print(json.dumps(row), file=sys.stderr, flush=True)
+        emit(row)
 
     # ---- FLAT exact row (reference benchmark config: Flat BF SIFT1M) ----
-    if os.environ.get("KNOWHERE_BENCH_SKIP_FLAT") != "1":
+    if allow_leg("FLAT", 60):
         try:
             fidx = kt.IndexFactory.Instance().Create("FLAT").value()
             t0 = time.perf_counter()
@@ -826,41 +1124,54 @@ def main():
         except Exception as e:  # pragma: no cover
             frow = {"index": "FLAT", "error": repr(e)}
         frow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
-        rows.append(frow)
-        print(json.dumps(frow), file=sys.stderr, flush=True)
+        emit(frow)
+
+    # ---- sparse legs (IP hybrid + BM25) — cheap, high information ----
+    if allow_leg("sparse", 150):
+        try:
+            srows = bench_sparse()
+        except Exception as e:  # pragma: no cover
+            srows = [{"index": "SPARSE_INVERTED_INDEX", "error": repr(e)}]
+        for srow in srows:
+            srow["dataset"] = f"synthetic-sparse {SPARSE_NB}x{SPARSE_VOCAB}"
+            emit(srow)
 
     # ---- bitset-filtered leg (reuses the HNSW index) ----
-    if kept.get("HNSW") is not None and os.environ.get("KNOWHERE_BENCH_SKIP_FILTERED") != "1":
+    if kept.get("HNSW") is None:
+        emit({"leg": "bitset_filtered", "skipped": "no HNSW index"})
+    elif allow_leg("bitset_filtered", 120):
         try:
-            for frow in bench_filtered(kept["HNSW"], base_ds, xq, NQ, NB, north_star["HNSW"]):
+            for frow in bench_filtered(kept["HNSW"], base_ds, xq, NQ, NB):
                 frow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
-                rows.append(frow)
-                print(json.dumps(frow), file=sys.stderr, flush=True)
+                emit(frow)
         except Exception as e:  # pragma: no cover
-            rows.append({"leg": "bitset_filtered", "error": repr(e)})
+            emit({"leg": "bitset_filtered", "error": repr(e)})
 
     # ---- range-search leg (reuses the IVF_FLAT index) ----
-    if kept.get("IVF_FLAT") is not None and os.environ.get("KNOWHERE_BENCH_SKIP_RANGE") != "1":
+    if kept.get("IVF_FLAT") is None:
+        emit({"leg": "range", "skipped": "no IVF_FLAT index"})
+    elif allow_leg("range", 60):
         try:
             rrow = bench_range(kept["IVF_FLAT"], base_ds, xq, NQ)
             rrow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
-            rows.append(rrow)
-            print(json.dumps(rrow), file=sys.stderr, flush=True)
+            emit(rrow)
         except Exception as e:  # pragma: no cover
-            rows.append({"leg": "range", "error": repr(e)})
+            emit({"leg": "range", "error": repr(e)})
 
     # ---- DISKANN leg ----
-    if os.environ.get("KNOWHERE_BENCH_SKIP_DISKANN") != "1":
+    if allow_leg("DISKANN", 240):
         try:
             dn = min(DISKANN_NB, NB)
             dq = min(2000, NQ)
-            dgt = gt_ids if dn == NB else exact_gt_chunked(xb[:dn], xq[:dq], K)
+            dgt = gt_ids if dn == NB else cached_npy(
+                f"diskann_{dn}x{DIM}_gt_{dq}x{K}",
+                lambda: exact_gt_chunked(xb[:dn], xq[:dq], K),
+            )
             drow = bench_diskann(xb[:dn], xq, dgt, dq)
         except Exception as e:  # pragma: no cover
             drow = {"index": "DISKANN", "error": repr(e)}
         drow["dataset"] = f"SIFT-like {min(DISKANN_NB, NB)}x{DIM}"
-        rows.append(drow)
-        print(json.dumps(drow), file=sys.stderr, flush=True)
+        emit(drow)
 
     kept.clear()
     del xb, xq, base_ds, query_ds, gt_ids
@@ -868,55 +1179,27 @@ def main():
 
     gc.collect()
 
-    # ---- sparse legs (IP hybrid + BM25) ----
-    try:
-        srows = bench_sparse()
-    except Exception as e:  # pragma: no cover
-        srows = [{"index": "SPARSE_INVERTED_INDEX", "error": repr(e)}]
-    for srow in srows:
-        srow["dataset"] = f"synthetic-sparse {SPARSE_NB}x{SPARSE_VOCAB}"
-        rows.append(srow)
-        print(json.dumps(srow), file=sys.stderr, flush=True)
-
     # ---- GIST-960-like high-dim leg at 1M ----
     if os.environ.get("KNOWHERE_BENCH_SKIP_GIST") != "1":
         try:
-            bench_gist(rows)
+            bench_gist()
         except Exception as e:  # pragma: no cover
-            rows.append({"leg": "gist", "error": repr(e)})
+            emit({"leg": "gist", "error": repr(e)})
 
     # ---- Deep10M-like sharded leg ----
-    if os.environ.get("KNOWHERE_BENCH_SKIP_DEEP") != "1":
+    if os.environ.get("KNOWHERE_BENCH_SKIP_DEEP") != "1" and allow_leg("deep10m", 420):
         try:
             deep = bench_deep10m()
         except Exception as e:  # pragma: no cover
             deep = {"index": "SHARDED_IVF_PQ", "error": repr(e)}
         deep["dataset"] = f"Deep10M-like {DEEP_NB}x{DEEP_DIM}"
-        rows.append(deep)
-        print(json.dumps(deep), file=sys.stderr, flush=True)
-
-    value = min(north_star[n].get("qps", 0.0) for n in ("IVF_FLAT", "IVF_PQ", "HNSW"))
-    vs = min(
-        (north_star[n].get("vs_baseline", 0.0) for n in ("IVF_FLAT", "IVF_PQ", "HNSW")),
-        default=0.0,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"min QPS over IVF_FLAT/IVF_PQ/HNSW @ recall10>={RECALL_TARGET} "
-                    f"SIFT1M-like (full 10k-query exact GT; vs_baseline = QPS / "
-                    f"(2 x measured-same-host CPU model x{CPU_CORES_ASSUMED} cores))"
-                ),
-                "value": round(value, 1),
-                "unit": "QPS/chip",
-                "vs_baseline": round(vs, 3),
-                "rows": rows,
-            }
-        ),
-        flush=True,
-    )
+        emit(deep)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover
+        emit({"leg": "MAIN", "error": repr(e)})
+    finally:
+        print_final()

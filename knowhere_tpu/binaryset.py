@@ -58,6 +58,9 @@ class BinarySet:
     def keys(self) -> Iterator[str]:
         return iter(self._map.keys())
 
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._map.keys())
+
     def __len__(self) -> int:
         return len(self._map)
 
