@@ -104,6 +104,10 @@ class IvfPqConfig(IvfConfig):
     refine = Entry(bool, default=False, stages=[Stage.TRAIN])
     refine_type = Entry(str, stages=[Stage.TRAIN], allow_empty=True)
     refine_k = Entry(int, default=1, range=(1, None), stages=[Stage.SEARCH])
+    # OPQ rotation before PQ (default ON — TPU-first: ADC candidate quality
+    # sets nprobe@recall, the QPS-dominant knob; the reference reaches OPQ
+    # only via faiss index-factory strings)
+    opq = Entry(bool, default=True, stages=[Stage.TRAIN])
 
 
 class ScannConfig(IvfConfig):
@@ -193,6 +197,7 @@ class IvfIndexNode(IndexNode):
         self._nlist = 0
         # codecs
         self._pq: Optional[Q.PQCodec] = None
+        self._opq_rot: Optional[np.ndarray] = None  # OPQ rotation (d, d)
         self._sq: Optional[Q.SQCodec] = None
         self._rbq: Optional[Q.RaBitQCodec] = None
         self._refine_cfg: Optional[str] = None  # refine store kind or None
@@ -309,7 +314,11 @@ class IvfIndexNode(IndexNode):
                 )
             nbits = match_nbits(rows, int(cfg.nbits))
             resid = x - centroids[assign_full]
-            self._pq = Q.pq_train(resid, int(m), nbits)
+            if cfg.get("opq", True) and rows >= 4 * (1 << nbits):
+                self._opq_rot, self._pq = Q.opq_train(resid, int(m), nbits)
+            else:
+                self._opq_rot = None
+                self._pq = Q.pq_train(resid, int(m), nbits)
             self._refine_cfg = self._refine_kind(cfg)
         elif self.VARIANT == "scann":
             sub_dim = int(cfg.sub_dim)
@@ -450,7 +459,10 @@ class IvfIndexNode(IndexNode):
                 self._sorted_payload = {"data": place(raw_sorted)}
             self._xb_raw = None  # reconstruct from sorted payload
         elif self.VARIANT in ("pq", "scann"):
-            codes = Q.pq_encode(self._pq, x - self._centroids[assign])
+            resid = x - self._centroids[assign]
+            if self._opq_rot is not None:
+                resid = resid @ self._opq_rot.T
+            codes = Q.pq_encode(self._pq, resid)
             self._sorted_payload = {"codes": place(codes[order])}
         elif self.VARIANT in ("sq", "sq_cc"):
             self._sorted_payload = {"codes": place(Q.sq_encode(self._sq, x_sorted))}
@@ -588,6 +600,7 @@ class IvfIndexNode(IndexNode):
             norms = np.sum(np.asarray(data, dtype=np.float64) ** 2, axis=1).astype(np.float32)
             self._store = {"data": pad(cpad(data)), "norms": pad(norms), "centroids": cents}
             self._kind = "raw"
+            self._build_int8_sidecar(data, cpad, pad)
         elif self.VARIANT in ("pq", "scann"):
             self._store = {
                 "codes": pad(self._sorted_payload["codes"]),
@@ -595,6 +608,19 @@ class IvfIndexNode(IndexNode):
                 "centroids": cents,
             }
             self._kind = "pq"
+            # OPQ: codes live in the ROTATED frame (y = (x-c) @ R.T). The
+            # whole scan runs there — queries rotate on device (rot_t), the
+            # centroid terms use rotated centroids (cent_scan) — while the
+            # coarse probe and exact refine stay in the original frame
+            # (rotation preserves L2/IP).
+            cents_scan_h = self._centroids
+            if self._opq_rot is not None:
+                cents_scan_h = (self._centroids @ self._opq_rot.T).astype(np.float32)
+                rot_t = self._opq_rot.T.astype(np.float32)
+                if dcol:
+                    rot_t = np.pad(rot_t, ((0, dcol), (0, dcol)))
+                self._store["rot_t"] = jax.device_put(rot_t)
+                self._store["cent_scan"] = jax.device_put(cpad(cents_scan_h))
             # block-aligned storage extras for the Pallas ADC kernel
             # (ops/ivf_pallas.pallas_adc_tasks): transposed codes so each task
             # block is one aligned (m_pad, B) slice, plus the per-list CLUT
@@ -618,7 +644,7 @@ class IvfIndexNode(IndexNode):
                 ksub = books.shape[1]
                 sub_dim = books.shape[2]
                 if self._is_l2_like():
-                    c3 = self._centroids.reshape(self._nlist, m, sub_dim)
+                    c3 = cents_scan_h.reshape(self._nlist, m, sub_dim)
                     clut = 2.0 * np.einsum(
                         "lms,mvs->lmv", c3.astype(np.float64), books.astype(np.float64)
                     ) + np.sum(books.astype(np.float64) ** 2, axis=-1)[None]
@@ -726,6 +752,50 @@ class IvfIndexNode(IndexNode):
 
         spill_dict(self._sorted_payload)
 
+    def _build_int8_sidecar(self, data: np.ndarray, cpad, pad) -> None:
+        """int8 fast-scan sidecar for raw f32 stores (ivf_pallas._int8_kernel):
+        per-dim symmetric codes (centered for L2) + exact centered norms per
+        block. v5e's MXU ranks int8 at 2x the bf16 rate (measured 247 TOP/s vs
+        151 TFLOP/s in the task shape), and the search re-ranks the merged
+        candidate pool exactly from the raw store, so recall at the same
+        nprobe is preserved (reference speed-family analog: IVF_SQ8,
+        src/index/ivf/ivf.cc). Derived data — rebuilt on every _upload, never
+        serialized."""
+        import os as _os
+
+        if _os.environ.get("KNOWHERE_DISABLE_INT8_SCAN") == "1":
+            return
+        if self._is_binary() or data.dtype != np.float32:
+            return
+        offs = self._offsets
+        from ..ops.ivf_pallas import LIST_ALIGN as _LA
+
+        if (
+            offs is None
+            or int(offs[-1]) == 0
+            or not (offs % _LA == 0).all()
+            or self._d_dev % 128 != 0
+        ):
+            return
+        nb_pad = int(offs[-1])
+        x = np.asarray(data[:nb_pad], dtype=np.float32)
+        n_true = int(np.asarray(self._lengths).sum())
+        if self._is_l2_like() and n_true > 0:
+            mu = (x.sum(0) / n_true).astype(np.float32)  # pad rows are zeros
+        else:
+            mu = np.zeros(x.shape[1], np.float32)
+        xc = x - mu[None, :]
+        s = np.abs(xc).max(0).astype(np.float32) / 127.0
+        s = np.maximum(s, 1e-12)
+        codes = np.clip(np.rint(xc / s), -127, 127).astype(np.int8)
+        nrm = np.sum(xc.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        self._store["data_i8"] = pad(cpad(codes))
+        self._store["i8_nrm_blk"] = jax.device_put(
+            nrm.reshape(nb_pad // _LA, 1, _LA)
+        )
+        self._store["i8_scale"] = jax.device_put(cpad(s))
+        self._store["i8_mu"] = jax.device_put(cpad(mu))
+
     # --- Search ---------------------------------------------------------------
     def _prep_queries(self, dataset: DataSet) -> np.ndarray:
         xq = self._prep_rows(np.asarray(dataset.tensor))
@@ -764,13 +834,18 @@ class IvfIndexNode(IndexNode):
         is_l2 = self._is_l2_like()
         refine_kind = None if self._refine_store is None else self._refine_store.kind
 
-        def run(q_pad_dev, store, keep_sorted, r_data, r_vmin, r_vdiff):
+        def run(q_pad_dev, n_valid, store, keep_sorted, r_data, r_vmin, r_vdiff):
             q_scan = q_pad_dev
-            if kind == "rabitq":
+            if "rot_t" in store:  # rabitq rotation / PQ OPQ frame
                 q_scan = jnp.dot(q_pad_dev, store["rot_t"])
             probes = _cp(
                 q_pad_dev, store["centroids"], nprobe=nprobe_cur, is_l2=is_l2
             )
+            # padded query rows would otherwise probe nprobe REAL lists each
+            # (pad_rows_ladder can nearly double small batches — ADVICE r3):
+            # mask them to -1 so the task builder drops the pairs
+            row = jax.lax.broadcasted_iota(jnp.int32, probes.shape, 0)
+            probes = jnp.where(row < n_valid, probes, -1)
             s, p = _scan(
                 q_scan, store, kind, probes, offsets, k_scan, is_l2,
                 keep_sorted=keep_sorted if has_mask else None,
@@ -788,6 +863,10 @@ class IvfIndexNode(IndexNode):
             return _pack(s, p)
 
         fn = jax.jit(run)
+        # bounded cache (ADVICE r3): knob-ladder sweeps within one store epoch
+        # would otherwise accumulate compiled executables without limit
+        while len(self._fused_cache) >= 32:
+            self._fused_cache.pop(next(iter(self._fused_cache)))
         self._fused_cache[key] = fn
         return fn
 
@@ -812,6 +891,10 @@ class IvfIndexNode(IndexNode):
             return pallas_adc_available(
                 st, self._d_dev, k_scan, self._offsets, has_mask, nq_pad=nq_pad
             )
+        if self._kind == "raw" and scan_prec == "int8":
+            from ..ops.ivf_pallas import pallas_int8_available
+
+            return pallas_int8_available(st, self._d_dev, k_scan, self._offsets)
         if self._kind == "raw" and st["data"].dtype == jnp.float32:
             return pallas_scan_available(
                 "raw", self._d_dev, k_scan, nq_pad, self._offsets, has_mask,
@@ -883,6 +966,22 @@ class IvfIndexNode(IndexNode):
         k_scan = k_coarse
         if two_stage:
             k_scan = min(max(4 * k_coarse, 32), max(nb, 1))
+        # int8 MXU candidate generation (r4): raw f32 stores carry an int8
+        # sidecar (_build_int8_sidecar); the scan ranks 8-bit at ~2x the bf16
+        # MXU rate and the widened candidate pool is re-ranked EXACTLY (either
+        # by the explicit refine store or the raw-store two_stage rerank), so
+        # returned distances are exact and recall at equal nprobe holds.
+        if (
+            scan_prec == "fast"
+            and self._kind == "raw"
+            and not self._is_binary()
+            and internal != M.JACCARD
+            and "data_i8" in self._store
+        ):
+            scan_prec = "int8"
+            if self._refine_store is None:
+                two_stage = True
+            k_scan = min(max(4 * k_coarse, 48), max(nb, 1))
 
         # Sync discipline: every device sync on this platform costs ~30ms flat
         # (the axon tunnel degrades after the first d2h of the process), so a
@@ -895,7 +994,7 @@ class IvfIndexNode(IndexNode):
             q_pad_dev = jax.device_put(self._pad_q_host(xq))  # async; overlaps host probe
         nq_pad = q_pad_dev.shape[0]
         q_scan_dev = q_pad_dev
-        if self._kind == "rabitq":
+        if "rot_t" in self._store:  # rabitq rotation / PQ OPQ frame
             q_scan_dev = jnp.dot(q_pad_dev, self._store["rot_t"])
 
         def _run_scan_device(probes_sub):
@@ -979,7 +1078,7 @@ class IvfIndexNode(IndexNode):
             rs = self._refine_store
             packed = np.asarray(
                 fn(
-                    q_pad_dev, self._store, keep_sorted,
+                    q_pad_dev, np.int32(nq), self._store, keep_sorted,
                     rs.data if rs is not None else None,
                     rs.vmin if rs is not None else None,
                     rs.vdiff if rs is not None else None,
@@ -1049,11 +1148,14 @@ class IvfIndexNode(IndexNode):
             # (build_scan_tasks_jax), so NOTHING crosses the tunnel between
             # the query upload and the packed result readback (measured r3:
             # probe d2h + host task build + task h2d was ~200ms of a 308ms
-            # nprobe=16 search at 1M x 128). Padded query rows are zeros —
-            # their probes add ~2% tasks whose results are discarded at [:nq]
+            # nprobe=16 search at 1M x 128). Padded query rows' probes are
+            # masked to -1 so the task builder drops them (ADVICE r3: the
+            # row ladder can nearly double small batches)
             probes = coarse_probe(
                 q_pad_dev, self._store["centroids"], nprobe=nprobe_cur, is_l2=is_l2
             )
+            row = jnp.arange(probes.shape[0], dtype=jnp.int32)[:, None]
+            probes = jnp.where(row < jnp.int32(nq), probes, -1)
         return probes
 
     def _rescan_subset(
@@ -1072,7 +1174,7 @@ class IvfIndexNode(IndexNode):
             )
         q_pad_dev = jax.device_put(xq_pad)
         q_scan_dev = q_pad_dev
-        if self._kind == "rabitq":
+        if "rot_t" in self._store:  # rabitq rotation / PQ OPQ frame
             q_scan_dev = jnp.dot(q_pad_dev, self._store["rot_t"])
         s, p = ivf_scan_search(
             q_scan_dev, self._store, self._kind, probes_sub, self._offsets,
@@ -1123,6 +1225,8 @@ class IvfIndexNode(IndexNode):
             dec = np.concatenate(
                 [books[j][codes[:, j]] for j in range(books.shape[0])], axis=1
             )
+            if self._opq_rot is not None:  # codes are in the rotated frame
+                dec = dec @ self._opq_rot
             lists = np.searchsorted(self._offsets, np.arange(s, e), side="right") - 1
             return dec + self._centroids[np.clip(lists, 0, self._nlist - 1)]
         if self._kind == "sq":
@@ -1520,6 +1624,8 @@ class IvfIndexNode(IndexNode):
             if self._pq is not None:
                 arrays["pq_codebooks"] = self._pq.codebooks
                 meta["pq_nbits"] = self._pq.nbits
+                if self._opq_rot is not None:
+                    arrays["opq_rotation"] = self._opq_rot
             if self._sq is not None:
                 meta["sq_type"] = self._sq.sq_type
                 if self._sq.vmin is not None:
@@ -1565,6 +1671,11 @@ class IvfIndexNode(IndexNode):
             if "pq_codebooks" in arrays:
                 books = np.asarray(arrays["pq_codebooks"])
                 self._pq = Q.PQCodec(books, books.shape[0], int(meta["pq_nbits"]))
+                self._opq_rot = (
+                    np.asarray(arrays["opq_rotation"], dtype=np.float32)
+                    if "opq_rotation" in arrays
+                    else None
+                )
             if "sq_type" in meta:
                 self._sq = Q.SQCodec(
                     meta["sq_type"],

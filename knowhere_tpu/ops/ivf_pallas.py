@@ -369,6 +369,143 @@ def pallas_sq_available(
 
 
 # ---------------------------------------------------------------------------
+# int8 fast-scan kernel — 8-bit MXU candidate generation
+# ---------------------------------------------------------------------------
+#
+# The TPU-native replacement for faiss's IVF_SQ8 speed family
+# (reference: src/index/ivf/ivf.cc IVF_SQ8 + thirdparty/faiss
+# IndexScalarQuantizer sq8 scan kernels): v5e's MXU runs int8 x int8 -> int32
+# at 2x the bf16 rate (measured on this chip: 247 TOP/s vs 151 TFLOP/s in
+# exactly this task shape), so the scan ranks against symmetric-per-dim int8
+# codes and the caller re-ranks the merged candidate pool exactly from the
+# raw store (two_stage refine). Quantization scheme: with per-dim data scale
+# s_j and (L2 only) center mu_j,
+#     code_j = round((x_j - mu_j) / s_j)            (data, build time)
+#     z_j    = (q_j - mu_j) * s_j                   (query, on device)
+#     zi_j   = round(z_j / sz_q),  sz_q = max|z|/127 (per-query scale)
+#     q'c . x'c ~= sz_q * <zi, code>                 (one int8 MXU matmul)
+# L2 ranking uses score = 2*sz_q*<zi,code> - |x'c|^2 with exact f32 centered
+# norms streamed per block; per-query constants (|q'c|^2) cancel in top-k.
+# IP/COSINE set mu=0 so <q,x> = sz_q*<zi,code> exactly up to rounding.
+
+
+def _int8_kernel(
+    blk_ref,  # (Tc,) scalar prefetch: block index of each task
+    nrow_ref,  # (Tc,) scalar prefetch: valid rows in the block
+    qt_ref,  # (1, Qg, d) i8 — this task's PRE-QUANTIZED query group
+    qs_ref,  # (1, Qg, 1) f32 — per-query quantization scales
+    codes_ref,  # (B, d) i8 current list block
+    nrm_ref,  # (1, 1, B) f32 centered norms (zeros for IP)
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p
+    B: int,
+    Qg: int,
+    kk: int,
+    is_l2: bool,
+    has_mask: bool,
+):
+    if has_mask:
+        keep_ref, out_s_ref, out_p_ref = rest
+    else:
+        keep_ref = None
+        out_s_ref, out_p_ref = rest
+    t = pl.program_id(0)
+    qi = qt_ref[0]  # (Qg, d) i8
+    ci = codes_ref[...]  # (B, d) i8
+    dots = jax.lax.dot_general(
+        qi, ci, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    sz = qs_ref[0]  # (Qg, 1) f32
+    if is_l2:
+        score = 2.0 * sz * dots - nrm_ref[0]
+    else:
+        score = sz * dots
+    col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
+    score = jnp.where(col < nrow_ref[t], score, NEG_INF)
+    if has_mask:
+        score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
+    gpos = col + blk_ref[t] * B
+    s, p = _topk_rows(score, gpos, kk)
+    out_s_ref[0] = s
+    out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "Qg", "kk", "is_l2", "interpret")
+)
+def pallas_int8_tasks(
+    blk: jax.Array,  # (Tc,) int32
+    nrows: jax.Array,  # (Tc,) int32
+    q_task: jax.Array,  # (Tc, Qg, d) i8 — pre-quantized per-task query groups
+    q_scale: jax.Array,  # (Tc, Qg, 1) f32 — per-query scales
+    codes: jax.Array,  # (nb_pad, d) i8, nb_pad % B == 0
+    nrm_blk: jax.Array,  # (nb_pad//B, 1, B) f32 centered norms
+    keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32 bitset blocks
+    *,
+    B: int,
+    Qg: int,
+    kk: int,
+    is_l2: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (scores (Tc,Qg,kk), positions (Tc,Qg,kk) into padded storage)."""
+    Tc, _, d = q_task.shape
+    has_mask = keep is not None
+    in_specs = [
+        pl.BlockSpec((1, Qg, d), lambda t, b, n: (t, 0, 0)),
+        pl.BlockSpec((1, Qg, 1), lambda t, b, n: (t, 0, 0)),
+        pl.BlockSpec((B, d), lambda t, b, n: (b[t], 0)),
+        pl.BlockSpec((1, 1, B), lambda t, b, n: (b[t], 0, 0)),
+    ]
+    inputs = [blk, nrows, q_task, q_scale, codes, nrm_blk]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, b, n: (b[t], 0, 0)))
+        inputs.append(keep)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Tc,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, b, n: (t, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _int8_kernel, B=B, Qg=Qg, kk=kk, is_l2=is_l2, has_mask=has_mask
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+
+def pallas_int8_available(
+    store: dict,
+    d: int,
+    k: int,
+    offsets: np.ndarray,
+    interpret: bool = False,
+) -> bool:
+    if not _HAS_PLTPU or os.environ.get("KNOWHERE_DISABLE_PALLAS_IVF") == "1":
+        return False
+    if os.environ.get("KNOWHERE_DISABLE_INT8_SCAN") == "1":
+        return False
+    if not interpret and not _on_tpu():
+        return False
+    if "data_i8" not in store or "i8_nrm_blk" not in store:
+        return False
+    if d % 128 != 0 or k < 1:
+        return False
+    offsets = np.asarray(offsets)
+    if offsets.size < 2 or offsets[-1] == 0:
+        return False
+    return bool((offsets % LIST_ALIGN == 0).all())
+
+
+# ---------------------------------------------------------------------------
 # ADC (PQ / ScaNN) kernel — LUT + one-hot MXU matmul
 # ---------------------------------------------------------------------------
 #

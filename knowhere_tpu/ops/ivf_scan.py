@@ -228,20 +228,32 @@ def device_task_bounds(
 ) -> Tuple[int, int, int]:
     """Static upper bounds for the on-device task builder.
 
-    T = sum_l ceil(c_l/Qg) * blocks_l  <=  P*max_blocks/Qg + total_blocks
-    G = sum_l ceil(c_l/Qg)             <=  P/Qg + nlist (+1 sentinel)
-    S = max_q sum_{probed l} blocks_l  <=  min(nprobe*max_blocks, total_blocks)
+    With c_l = queries probing list l (c_l <= nq, sum c_l = P = nq*nprobe)
+    and topsum = sum of the nprobe LARGEST per-list block counts:
 
-    All derive from build-time list geometry only, so jit shapes stay stable
-    per (nq, nprobe) and the builder needs NO host sync."""
+    T = sum_l ceil(c_l/Qg)*blocks_l <= nq*topsum/Qg + total_blocks
+        (sum_l c_l*blocks_l is maximized by concentrating all pairs on the
+        blockiest lists at c_l = nq each — i.e. nq * topsum)
+    G = sum_l ceil(c_l/Qg)          <= P/Qg + nlist (+1 sentinel)
+    S = max_q sum_{probed l} blocks_l <= min(topsum, total_blocks)
+
+    topsum replaces the r3 bound nprobe*max_blocks, which under skewed list
+    lengths (one 100-block list among 2-block lists) over-allocated the task
+    and merge buffers ~10-50x (ADVICE r3 medium: ~1GB+ transient scatter
+    buffers per search). All derive from build-time list geometry only, so
+    jit shapes stay stable per (nq, nprobe) and the builder needs NO host
+    sync."""
     lens = np.asarray(lens_arr, np.int64)
     blocks = (lens + B - 1) // B
     total_blocks = int(blocks.sum())
-    max_blocks = int(blocks.max()) if blocks.size else 1
+    if blocks.size > nprobe:
+        topsum = int(np.sort(blocks)[-nprobe:].sum())
+    else:
+        topsum = int(blocks.sum())
     P = nq * nprobe
-    T_max = (P * max_blocks + Qg - 1) // Qg + total_blocks + 1
+    T_max = (nq * topsum + Qg - 1) // Qg + total_blocks + 1
     G_max = P // Qg + int(lens.size) + 2
-    S_max = max(1, int(min(nprobe * max_blocks, total_blocks)))
+    S_max = max(1, int(min(topsum, total_blocks)))
     return T_max, G_max, S_max
 
 
@@ -405,10 +417,13 @@ def _scan_chunk(
                 idx = codes.astype(jnp.int32) + (jnp.arange(m, dtype=jnp.int32) * ksub)[None, :]
                 dec = jnp.take(flat_books, idx, axis=0)  # (B, m, sub_dim)
                 rows = dec.reshape(B, m * sub_dim)
-                dpad = store["centroids"].shape[1] - rows.shape[1]
+                # OPQ stores codes in the rotated frame: q arrives rotated,
+                # decode adds the ROTATED centroid (cent_scan)
+                cents_pq = store["cent_scan"] if "cent_scan" in store else store["centroids"]
+                dpad = cents_pq.shape[1] - rows.shape[1]
                 if dpad:  # centroids carry the device feature padding
                     rows = jnp.pad(rows, ((0, 0), (0, dpad)))
-                rows = rows + store["centroids"][lid][None, :]
+                rows = rows + cents_pq[lid][None, :]
                 norms = jnp.sum(rows**2, axis=1) if is_l2 else None
             elif kind == "sq":
                 code_dim = store["codes"].shape[1]
@@ -583,8 +598,11 @@ def ivf_scan_search(
             avg = nq
             cap = 256  # wider groups amortize block DMA across more queries
         elif device_probes:
-            # no host sync to inspect the probes: expected queries per list
-            avg = nq * probes.shape[1] / max(len(lens_arr), 1)
+            # no host sync to inspect the probes: expected queries per list,
+            # biased 2x up — clustered query batches concentrate probes on few
+            # lists, and a too-wide group only pads while a too-narrow one
+            # multiplies block DMA (ADVICE r3)
+            avg = 2 * nq * probes.shape[1] / max(len(lens_arr), 1)
             cap = 128
         else:
             valid_pairs = int((probes >= 0).sum())
@@ -602,6 +620,21 @@ def ivf_scan_search(
             Qg *= 2
 
     from .ivf_pallas import pallas_adc_available, pallas_scan_available
+
+    if prec == "int8":
+        from .ivf_pallas import pallas_int8_available
+
+        if (
+            B is None
+            and kind == "raw"
+            and not is_jaccard
+            and pallas_int8_available(store, q_dev.shape[1], k, list_offsets)
+        ):
+            return _pallas_int8_search(
+                q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
+                return_device, keep_sorted=keep_sorted,
+            )
+        prec = "fast"  # int8 sidecar unavailable: bf16 ranking path
 
     if (
         B is None
@@ -914,7 +947,7 @@ def _pallas_adc_search(
             q_task,
             store["books_bd"],
             store["clut"],
-            store["centroids"],
+            store.get("cent_scan", store["centroids"]),  # rotated frame for OPQ
             store["codes_t"],
             keep_blk,
             B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
@@ -1025,6 +1058,126 @@ def _pallas_rbq_search(
             keep_blk,
             B=B, Qg=Qg, kk=kk, is_l2=is_l2, three_pass=three_pass,
             interpret=interpret,
+        )
+        score_chunks.append(scores)
+        pos_chunks.append(pos)
+
+    all_s = jnp.concatenate(score_chunks) if n_chunks > 1 else score_chunks[0]
+    all_p = jnp.concatenate(pos_chunks) if n_chunks > 1 else pos_chunks[0]
+    all_q = qids_dev.reshape(total, Qg)
+
+    best_s, best_p = _merge_tasks(all_s, all_p, all_q, slots_dev, nq=nq, S=S, kk=kk, k=k)
+    if return_device:
+        return best_s, best_p
+    return np.asarray(best_s), np.asarray(best_p)
+
+
+@partial(jax.jit, static_argnames=())
+def quantize_queries_int8(
+    q_dev: jax.Array, mu: jax.Array, scale: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query symmetric int8 quantization in the data's per-dim scale
+    frame (see ivf_pallas._int8_kernel docstring): z = (q - mu) * scale,
+    zi = round(z / sz) with sz = max|z|/127. Returns (zi (nq,d) i8,
+    sz (nq,) f32)."""
+    z = (q_dev.astype(jnp.float32) - mu[None, :]) * scale[None, :]
+    m = jnp.max(jnp.abs(z), axis=1, keepdims=True)
+    sz = jnp.maximum(m, 1e-30) / 127.0
+    zi = jnp.clip(jnp.round(z / sz), -127, 127).astype(jnp.int8)
+    return zi, sz[:, 0]
+
+
+def _pallas_int8_search(
+    q_dev: jax.Array,  # (nq_pad, d) f32
+    store: Dict[str, jax.Array],
+    probes: np.ndarray,
+    list_offsets: np.ndarray,
+    lens_arr: np.ndarray,
+    k: int,
+    is_l2: bool,
+    Qg: int,
+    return_device: bool,
+    keep_sorted: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """int8 MXU candidate scan (ops/ivf_pallas._int8_kernel): queries are
+    quantized per-batch on device, codes are the per-dim-scaled int8 store.
+    The caller re-ranks the merged pool exactly (two_stage refine) — this
+    path NEVER returns final distances. Task packing mirrors
+    _pallas_scan_search."""
+    from .ivf_pallas import LIST_ALIGN, pallas_int8_tasks, task_kk
+
+    nq = q_dev.shape[0]
+    B = LIST_ALIGN
+    kk = task_kk(k, B)
+    d_chunk = int(q_dev.shape[1])
+    chunk = max(8, min(16384, (512 << 20) // max(Qg * d_chunk * 4, 1)) // 8 * 8)
+
+    zi, szv = quantize_queries_int8(q_dev, store["i8_mu"], store["i8_scale"])
+
+    if isinstance(probes, jax.Array):
+        (
+            rs_dev, nrows_dev, _lid, qids2_dev, slots_dev, total, Tc, n_chunks, S,
+        ) = _device_tasks_chunked(probes, store, list_offsets, lens_arr, B, Qg, chunk)
+        blk_dev = rs_dev // B
+        qids_dev = qids2_dev.reshape(-1)
+    else:
+        batch = _build_tasks(probes, nq, list_offsets, B, Qg, lens_arr)
+        if batch is None:
+            s_empty = np.full((nq, k), NEG_INF, np.float32)
+            p_empty = np.full((nq, k), -1, np.int32)
+            if return_device:
+                return jax.device_put(s_empty), jax.device_put(p_empty)
+            return s_empty, p_empty
+
+        T = batch.row_start.shape[0]
+        n_chunks = (T + chunk - 1) // chunk
+        Tc = (min(chunk, T) + 7) // 8 * 8
+        total = n_chunks * Tc
+        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+
+        def padded_all(a, fill):
+            out = np.full((total, *a.shape[1:]), fill, a.dtype)
+            for c in range(n_chunks):
+                s0, e0 = c * chunk, min((c + 1) * chunk, T)
+                out[c * Tc : c * Tc + (e0 - s0)] = a[s0:e0]
+            return out
+
+        packed_h = np.concatenate(
+            [
+                padded_all((batch.row_start // B).astype(np.int32), 0),
+                padded_all(batch.nrows, 0),
+                padded_all(batch.qids, -1).reshape(-1),
+                padded_all(batch.slots, 0).reshape(-1),
+            ]
+        ).astype(np.int32)
+        packed_dev = jax.device_put(packed_h)  # the ONE h2d for task data
+        blk_dev = packed_dev[:total]
+        nrows_dev = packed_dev[total : 2 * total]
+        qids_dev = packed_dev[2 * total : 2 * total + total * Qg]
+        slots_dev = packed_dev[2 * total + total * Qg :].reshape(total, Qg)
+
+    nb_pad = int(list_offsets[-1])
+    keep_blk = (
+        _mask_blocks(keep_sorted, nb_pad=nb_pad, B=B)
+        if keep_sorted is not None
+        else None
+    )
+    score_chunks, pos_chunks = [], []
+    for c in range(n_chunks):
+        qids_c = qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg].reshape(Tc, Qg)
+        safe = jnp.clip(qids_c, 0)
+        q_task = jnp.take(zi, safe, axis=0)  # (Tc, Qg, d) i8
+        s_task = jnp.take(szv, safe, axis=0)[..., None]  # (Tc, Qg, 1) f32
+        scores, pos = pallas_int8_tasks(
+            blk_dev[c * Tc : (c + 1) * Tc],
+            nrows_dev[c * Tc : (c + 1) * Tc],
+            q_task,
+            s_task,
+            store["data_i8"],
+            store["i8_nrm_blk"],
+            keep_blk,
+            B=B, Qg=Qg, kk=kk, is_l2=is_l2, interpret=interpret,
         )
         score_chunks.append(scores)
         pos_chunks.append(pos)
