@@ -127,6 +127,10 @@ class HnswIndexNode(IndexNode):
         self._kind = "raw"
         self._pending: List[np.ndarray] = []
         self._inline = None  # InlineGraphStore fast path (ops/graph_inline.py)
+        # SVS LeanVec (svs_vamana.cc:522-526): PCA basis for the reduced-dim
+        # walk store; None for every other variant
+        self._lv_proj: Optional[np.ndarray] = None  # (d, r)
+        self._lv_mean: Optional[np.ndarray] = None  # (d,)
 
     # --- helpers ------------------------------------------------------------
     def _is_binary(self) -> bool:
@@ -277,6 +281,22 @@ class HnswIndexNode(IndexNode):
                 "lvq_off": off,
                 "lvq_scale": scale,
             }
+        elif self.VARIANT == "leanvec":
+            # SVS LeanVec as the reference means it (svs_vamana.cc:522-526):
+            # the WALK runs in a PCA-reduced store at svs_leanvec_dim while
+            # the final rerank scores the candidates at full dim (refine
+            # payload below). The graph itself is built full-dim above —
+            # better neighborhoods at zero serve-time cost.
+            r = int(getattr(self._train_cfg, "svs_leanvec_dim", 0) or 0)
+            if r <= 0 or r >= self._dim:
+                r = max(1, self._dim // 2)  # reference default: dims/2
+            mean = x.mean(0).astype(np.float32)
+            xc = x - mean
+            cov = (xc.T.astype(np.float64) @ xc.astype(np.float64)) / max(1, nb)
+            _w, v = np.linalg.eigh(cov)
+            self._lv_proj = v[:, ::-1][:, :r].astype(np.float32)  # (d, r)
+            self._lv_mean = mean
+            self._payload = {"data_lv": (xc @ self._lv_proj).astype(np.float32)}
         elif self.VARIANT == "pq":
             m = int(getattr(self._train_cfg, "m", 32) or 32)
             if self._dim % m != 0:
@@ -292,7 +312,7 @@ class HnswIndexNode(IndexNode):
             books, codes = self._train_prq(x, m, nrq, nbits)
             self._prq_books = books
             self._payload = {"codes": codes}
-        if self._refine_cfg or self.VARIANT in ("sq", "pq", "prq", "lvq"):
+        if self._refine_cfg or self.VARIANT in ("sq", "pq", "prq", "lvq", "leanvec"):
             # quantized variants keep a refine store (default raw) so refine_k
             # works; HNSW(flat) only when requested
             kind = self._refine_cfg or "raw"
@@ -378,6 +398,15 @@ class HnswIndexNode(IndexNode):
                 "mean": jax.device_put(self._payload["lvq_mean"]),
             }
             self._kind = "lvq"
+        elif self.VARIANT == "leanvec":
+            # reduced-dim raw walk store; queries and routing centroids are
+            # projected into the same frame at search time
+            self._store = {"data": jax.device_put(self._payload["data_lv"])}
+            self._kind = "raw"
+            if self._entry_cents is not None:
+                self._entry_cents_dev = jax.device_put(
+                    (self._entry_cents - self._lv_mean[None, :]) @ self._lv_proj
+                )
         elif self.VARIANT == "pq":
             self._store = {
                 "codes": jax.device_put(self._payload["codes"]),
@@ -432,6 +461,8 @@ class HnswIndexNode(IndexNode):
         mode = os.environ.get("KNOWHERE_GRAPH_INLINE", "auto")
         if mode == "0" or self._graph is None or self._is_binary():
             return
+        if self.VARIANT == "leanvec":
+            return  # reduced-dim walk + full-dim rerank takes the general path
         if self._kind not in ("raw", "sq", "pq", "prq", "lvq") or self._entry_cents is None:
             return
         if self._internal_metric() not in (M.L2, M.IP):
@@ -615,6 +646,14 @@ class HnswIndexNode(IndexNode):
             self._payload["lvq_scale"] = np.concatenate(
                 [self._payload["lvq_scale"], scale_new]
             )
+        elif self.VARIANT == "leanvec":
+            # basis stays as trained (reference: Add encodes with Train's codec)
+            self._payload["data_lv"] = np.concatenate(
+                [
+                    self._payload["data_lv"],
+                    ((x_new - self._lv_mean[None, :]) @ self._lv_proj).astype(np.float32),
+                ]
+            )
         elif self.VARIANT == "pq":
             self._payload["codes"] = np.concatenate(
                 [self._payload["codes"], Q.pq_encode(self._pq, x_new)]
@@ -722,6 +761,12 @@ class HnswIndexNode(IndexNode):
         if self._inline is not None:
             return self._graph_search_inline(xq, k, ef, bitset, refine_k,
                                              q_pad_dev=q_pad_dev)
+        xq_full = xq
+        if self._lv_proj is not None:
+            # LeanVec: the walk scores in the PCA-reduced frame; the refine
+            # below reranks the candidates with the FULL-dim queries
+            xq = ((xq - self._lv_mean[None, :]) @ self._lv_proj).astype(np.float32)
+            q_pad_dev = None  # cached upload is full-dim
         nq = xq.shape[0]
         is_l2 = self._is_l2_like()
         internal = self._internal_metric()
@@ -730,6 +775,11 @@ class HnswIndexNode(IndexNode):
         )
         k_out = k if self._refine_store is None else max(k, k * max(refine_k, 1))
         k_out = min(k_out, ef)
+        if self._lv_proj is not None:
+            # LeanVec reranks the ENTIRE search window at full dim (SVS
+            # semantics: the window IS the rerank pool) — reduced-dim scores
+            # only order the walk, never the returned top-k
+            k_out = ef
         from ..ops.distances import matmul_precision_name
 
         deg = self._graph.shape[1]
@@ -802,7 +852,7 @@ class HnswIndexNode(IndexNode):
         scores = np.concatenate(scores_l) if len(scores_l) > 1 else scores_l[0][:nq]
         ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0][:nq]
         if self._refine_store is not None:
-            dists, ids = refine_topk(jax.device_put(xq), self._refine_store, ids, k, is_l2)
+            dists, ids = refine_topk(jax.device_put(xq_full), self._refine_store, ids, k, is_l2)
             invalid = ids < 0
         else:
             scores, ids = scores[:, :k], ids[:, :k]
@@ -899,8 +949,16 @@ class HnswIndexNode(IndexNode):
     def _brute_force(self, xq, k, bitset: BitsetView):
         internal = self._internal_metric()
         metric_for_scan = M.L2 if internal == M.HAMMING else internal
-        data = self._store["data"] if self._kind == "raw" else (
-            self._refine_store.data if self._refine_store is not None and self._refine_store.kind == "raw" else None
+        # LeanVec's raw store is reduced-dim — exact scans must use the
+        # full-dim refine payload instead
+        data = (
+            self._store["data"]
+            if self._kind == "raw" and self._lv_proj is None
+            else (
+                self._refine_store.data
+                if self._refine_store is not None and self._refine_store.kind == "raw"
+                else None
+            )
         )
         if data is None:
             # decode-free fallback: use compute rows from host payload
@@ -1207,6 +1265,9 @@ class HnswIndexNode(IndexNode):
                 meta["pq_nbits"] = self._pq.nbits
             if self._prq_books is not None:
                 arrays["prq_codebooks"] = self._prq_books
+            if self._lv_proj is not None:
+                arrays["lv_proj"] = self._lv_proj
+                arrays["lv_mean"] = self._lv_mean
             blob = write_sections(arrays, meta=meta)
             binset.Append(self.Type(), blob)
             return Status.success
@@ -1249,6 +1310,9 @@ class HnswIndexNode(IndexNode):
                 self._pq = Q.PQCodec(books, books.shape[0], int(meta.get("pq_nbits", 8)))
             if "prq_codebooks" in arrays:
                 self._prq_books = np.asarray(arrays["prq_codebooks"])
+            if "lv_proj" in arrays:
+                self._lv_proj = np.asarray(arrays["lv_proj"], dtype=np.float32)
+                self._lv_mean = np.asarray(arrays["lv_mean"], dtype=np.float32)
             self._upload()
         return Status.success
 

@@ -41,18 +41,6 @@ class SvsVamanaConfig(BaseHnswConfig):
             object.__setattr__(self, "efConstruction", self.svs_construction_window_size)
         if self.svs_search_window_size is not None and self.ef is None:
             object.__setattr__(self, "ef", self.svs_search_window_size)
-        if self.svs_leanvec_dim is not None:
-            # loud no-op (never silent): a dimensionality-reduced walk was
-            # measured on this hardware and REJECTED — recall collapsed for
-            # equal wall-clock (docs/ROUND1.md pHNSW negative result), so the
-            # LeanVec variant serves from the full-dim LVQ store instead
-            from ..utils.logging import log_warning
-
-            log_warning(
-                f"svs_leanvec_dim={self.svs_leanvec_dim} requested: projected "
-                "walks measured worse than full-dim compressed stores on TPU "
-                "(recall collapse at equal wall-clock) — serving full-dim LVQ"
-            )
         return Status.success, ""
 
 
@@ -74,6 +62,21 @@ class SvsVamanaLvqNode(HnswFlatNode):
         return SvsVamanaConfig()
 
 
+class SvsVamanaLeanVecNode(HnswFlatNode):
+    """LeanVec as the reference means it (svs_vamana.cc:522-526): the graph
+    walk scores in a PCA-reduced store at svs_leanvec_dim (default dim/2);
+    the candidates rerank at FULL dim from the raw refine payload before
+    returning. Round-1's pHNSW experiment rejected a reduced-dim walk
+    WITHOUT rerank (recall collapse); with the full-dim rerank the recall
+    contract is the reference's (models/hnsw.py VARIANT 'leanvec')."""
+
+    VARIANT = "leanvec"
+
+    @classmethod
+    def CreateConfig(cls):
+        return SvsVamanaConfig()
+
+
 _F = feature
 _DENSE = ("fp32", "fp16", "bf16", "int8")
 
@@ -82,7 +85,7 @@ register_index(
 )(FlatIndexNode)
 register_index(IndexEnum.INDEX_SVS_VAMANA, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN)(SvsVamanaNode)
 register_index(IndexEnum.INDEX_SVS_VAMANA_LVQ, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN)(SvsVamanaLvqNode)
-register_index(IndexEnum.INDEX_SVS_VAMANA_LEANVEC, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN)(SvsVamanaLvqNode)
+register_index(IndexEnum.INDEX_SVS_VAMANA_LEANVEC, _DENSE, _F.ALL_DENSE_TYPE | _F.KNN)(SvsVamanaLeanVecNode)
 
 # hnswlib-era deprecated registration (reference src/index/hnsw/hnsw.cc)
 register_index(
