@@ -898,6 +898,22 @@ def bench_sparse():
             if cpu_qps > 0:
                 row["cpu_qps_measured_x32core"] = round(cpu_qps, 1)
                 row["vs_baseline"] = round(qps / (2.0 * cpu_qps), 3)
+            # windowed pruned engine at the SAME operating point (VERDICT r3
+            # #7: measure it at the chosen drop, not only on explicit knobs)
+            try:
+                cfgp = {"metric_type": metric, "k": K, "drop_ratio_search": chosen,
+                        "sindi_window_size": 32768, **mcfg}
+                if chosen > 0:
+                    cfgp["refine_factor"] = 4
+                idx.Search(queries, cfgp)  # warm
+                t0 = time.perf_counter()
+                rp = idx.Search(queries, cfgp)
+                if rp.has_value():
+                    row["qps_pruned_w32768"] = round(
+                        SPARSE_NQ / (time.perf_counter() - t0), 1
+                    )
+            except Exception:  # pragma: no cover
+                pass
         rows.append(row)
     return rows
 

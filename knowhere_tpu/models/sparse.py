@@ -659,7 +659,9 @@ class SparseInvertedIndexNode(IndexNode):
                 or abs(ratio_raw - 1.05) > 1e-9
             )
             hybrid = None if window_knobs else snap._hybrid_for(cfg)
-            if hybrid is not None:
+            if hybrid is not None and self._pick_engine(
+                snap, hybrid, q_rows, cfg, k, drop, rf, mask
+            ) == "hybrid":
                 scores, ids = snap._search_hybrid(
                     hybrid, q_rows, cfg, k, drop, rf, mask, self
                 )
@@ -679,6 +681,54 @@ class SparseInvertedIndexNode(IndexNode):
             scores = np.take_along_axis(cat_s, order, 1)
             ids = np.take_along_axis(cat_i, order, 1)
         return scores, ids
+
+    def _pick_engine(
+        self, snap, hybrid, q_rows, cfg, k: int, drop: float, rf: int, mask
+    ) -> str:
+        """Auto-select hybrid head/tail vs the windowed pruned engine by a
+        ONE-SHOT timed probe per (epoch, drop-bucket), cached thereafter.
+
+        Round 2 measured drop=0 pruning never beating the exhaustive hybrid
+        on TPU, but that was corpus- and knob-specific; a static cost model
+        cannot see block-max pruning effectiveness (data-dependent), so the
+        honest selector runs BOTH engines once on a small warm probe and
+        keeps the winner (VERDICT r3 #7: auto-select instead of explicit
+        knobs only). Small batches / corpora skip the probe (hybrid wins
+        there and the probe would dominate). KNOWHERE_SPARSE_AUTO_ENGINE=0
+        pins hybrid; =pruned pins the pruned engine."""
+        import os as _os
+        import time as _time
+
+        forced = _os.environ.get("KNOWHERE_SPARSE_AUTO_ENGINE", "")
+        if forced == "0":
+            return "hybrid"
+        if forced == "pruned":
+            return "pruned"
+        if snap._postings.nb < 100_000 or len(q_rows) < 64:
+            return "hybrid"
+        key = ("engine_choice", round(drop, 2), bool(mask is not None))
+        cached = snap._caches.get(key)
+        if cached is not None:
+            return cached
+        probe = q_rows[: min(32, len(q_rows))]
+        try:
+            best, best_t = "hybrid", float("inf")
+            for name_, fn in (
+                ("hybrid", lambda: snap._search_hybrid(
+                    hybrid, probe, cfg, k, drop, rf, mask, self)),
+                ("pruned", lambda: snap._search_pruned(
+                    probe, cfg, k, drop, rf, mask, self)),
+            ):
+                fn()  # warm (compile + upload)
+                t0 = _time.perf_counter()
+                fn()
+                dt = _time.perf_counter() - t0
+                if dt < best_t:
+                    best, best_t = name_, dt
+        except Exception:  # any engine probe failure -> safe default
+            best = "hybrid"
+        snap._caches[key] = best
+        return best
 
     def _csr_cache(self):
         """Row-major CSR for exact refine rescoring (epoch-cached)."""
