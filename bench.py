@@ -149,12 +149,14 @@ DEEP_NQ = _env_int("KNOWHERE_BENCH_DEEP_NQ", 500)
 
 KNOBS = {
     "IVF_FLAT": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
+    "IVF_SQ8": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
     "IVF_PQ": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
     "HNSW": ("ef", [16, 20, 24, 28, 32, 48, 64, 96, 128, 256, 512]),
 }
 
 BUILD_CFG = {
     "IVF_FLAT": {"nlist": 1024},
+    "IVF_SQ8": {"nlist": 1024, "sq_type": "SQ8"},
     "IVF_PQ": {"nlist": 1024, "m": 16, "nbits": 8, "refine": True, "refine_type": "FP16"},
     "HNSW": {"M": 16, "efConstruction": 200},
 }
@@ -554,14 +556,19 @@ def cpu_baseline_for(kind, nb, d, nlist, nprobe_chosen, extra=None, cores=CPU_CO
     this corpus; pass cpu_knob from the vanilla ladder when the TPU index
     uses candidate-quality tricks the CPU reference lacks."""
     try:
-        if kind == "ivf_flat":
+        if kind in ("ivf_flat", "ivf_sq8"):
             rate = measured_cpu_gemm_gflops(d) * 1e9  # FLOP/s, 1 core
+            if kind == "ivf_sq8":
+                # generous-to-CPU: AVX512-VNNI int8 kernels at 4x the
+                # measured f32 sgemm rate, 1 byte/dim list traffic
+                rate *= 4.0
             flops = (nlist * d + (nprobe_chosen / nlist) * nb * d) * 2.0
             compute_qps = rate / flops * cores
             # the scan is memory-bound on CPU once lists exceed cache: cap by
-            # the stated server memory bandwidth over fp32 list bytes/query
+            # the stated server memory bandwidth over list bytes/query
             bw = float(os.environ.get("KNOWHERE_BENCH_CPU_BW_GBPS", "200")) * 1e9
-            bytes_per_q = (nprobe_chosen / nlist) * nb * d * 4.0
+            elem = 1.0 if kind == "ivf_sq8" else 4.0
+            bytes_per_q = (nprobe_chosen / nlist) * nb * d * elem
             return min(compute_qps, bw / max(bytes_per_q, 1.0))
         if kind == "ivf_pq":
             m = (extra or {}).get("m", 16)
@@ -1079,7 +1086,7 @@ def main():
     emit({"leg": "sift_setup", "elapsed_s": round(time.perf_counter() - t0, 1)})
 
     kept = {}
-    for name, est in (("IVF_FLAT", 260), ("IVF_PQ", 280), ("HNSW", 420)):
+    for name, est in (("IVF_FLAT", 260), ("IVF_SQ8", 170), ("IVF_PQ", 280), ("HNSW", 420)):
         if not allow_leg(name, est):
             continue
         try:
@@ -1102,7 +1109,8 @@ def main():
             row, chosen = {"index": name, "error": repr(e)}, None
         row["dataset"] = f"SIFT1M-like {NB}x{DIM}"
         if chosen is not None:
-            kind = {"IVF_FLAT": "ivf_flat", "IVF_PQ": "ivf_pq", "HNSW": "hnsw"}[name]
+            kind = {"IVF_FLAT": "ivf_flat", "IVF_SQ8": "ivf_sq8",
+                    "IVF_PQ": "ivf_pq", "HNSW": "hnsw"}[name]
             extra = (
                 {"m": 16, "refine_pool": 8 * K}
                 if name == "IVF_PQ"

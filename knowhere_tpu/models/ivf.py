@@ -675,6 +675,8 @@ class IvfIndexNode(IndexNode):
                 self._store["vdiff"] = jax.device_put(cpad(self._sq.vdiff))
                 self._sq_levels = self._sq.levels
                 self._sq_packed4 = t == "SQ4"
+                if t == "SQ8":
+                    self._build_sq8_int8_sidecar(cpad, pad)
             else:
                 self._sq_levels = 0
                 self._sq_packed4 = False
@@ -796,6 +798,46 @@ class IvfIndexNode(IndexNode):
         self._store["i8_scale"] = jax.device_put(cpad(s))
         self._store["i8_mu"] = jax.device_put(cpad(mu))
 
+    def _build_sq8_int8_sidecar(self, cpad, pad) -> None:
+        """int8 fast-scan sidecar for SQ8 stores: the affine grid
+        x_hat_j = vmin_j + (c_j+0.5)*s_j (s = vdiff/levels) factors into the
+        SAME symmetric int8 estimator the raw sidecar uses —
+            q . x_hat = const_q + sum_j (q_j s_j)(c_j - 128)
+        so data_i8 = codes-128, the query transform multiplies by s (mu=0),
+        and the per-query constant drops in the per-row top-k. Exact norms
+        ||x_hat||^2 stream per block; the candidate pool re-ranks
+        exact-under-stored-values via the SQ8 refine decode. Reference speed
+        family: IVF_SQ8 (src/index/ivf/ivf.cc)."""
+        import os as _os
+
+        if _os.environ.get("KNOWHERE_DISABLE_INT8_SCAN") == "1":
+            return
+        offs = self._offsets
+        from ..ops.ivf_pallas import LIST_ALIGN as _LA
+
+        if (
+            offs is None
+            or int(offs[-1]) == 0
+            or not (offs % _LA == 0).all()
+            or self._d_dev % 128 != 0
+        ):
+            return
+        nb_pad = int(offs[-1])
+        codes = np.asarray(self._sorted_payload["codes"][:nb_pad])
+        if codes.shape[1] != self._dim:
+            return
+        s = (self._sq.vdiff.astype(np.float32) / float(self._sq.levels))
+        dec = self._sq.vmin[None, :] + (codes.astype(np.float32) + 0.5) * s[None, :]
+        nrm = np.sum(dec.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        self._store["data_i8"] = pad(
+            cpad((codes.astype(np.int16) - 128).astype(np.int8))
+        )
+        self._store["i8_nrm_blk"] = jax.device_put(nrm.reshape(nb_pad // _LA, 1, _LA))
+        self._store["i8_scale"] = jax.device_put(cpad(s.astype(np.float32)))
+        self._store["i8_mu"] = jax.device_put(
+            np.zeros(self._d_dev, np.float32)
+        )
+
     # --- Search ---------------------------------------------------------------
     def _prep_queries(self, dataset: DataSet) -> np.ndarray:
         xq = self._prep_rows(np.asarray(dataset.tensor))
@@ -854,7 +896,11 @@ class IvfIndexNode(IndexNode):
                 list_lengths=lens,
             )
             if mode_tag == "two_stage":
-                s, p = _ref(q_pad_dev, _RS("raw", store["data"]), p, k_final, is_l2)
+                if kind == "sq":
+                    rs2 = _RS("sq8", store["codes"], store["vmin"], store["vdiff"])
+                else:
+                    rs2 = _RS("raw", store["data"])
+                s, p = _ref(q_pad_dev, rs2, p, k_final, is_l2)
             elif mode_tag == "refine":
                 s, p = _ref(
                     q_pad_dev, _RS(refine_kind, r_data, r_vmin, r_vdiff), p,
@@ -891,7 +937,7 @@ class IvfIndexNode(IndexNode):
             return pallas_adc_available(
                 st, self._d_dev, k_scan, self._offsets, has_mask, nq_pad=nq_pad
             )
-        if self._kind == "raw" and scan_prec == "int8":
+        if self._kind in ("raw", "sq") and scan_prec == "int8":
             from ..ops.ivf_pallas import pallas_int8_available
 
             return pallas_int8_available(st, self._d_dev, k_scan, self._offsets)
@@ -966,14 +1012,15 @@ class IvfIndexNode(IndexNode):
         k_scan = k_coarse
         if two_stage:
             k_scan = min(max(4 * k_coarse, 32), max(nb, 1))
-        # int8 MXU candidate generation (r4): raw f32 stores carry an int8
-        # sidecar (_build_int8_sidecar); the scan ranks 8-bit at ~2x the bf16
-        # MXU rate and the widened candidate pool is re-ranked EXACTLY (either
-        # by the explicit refine store or the raw-store two_stage rerank), so
-        # returned distances are exact and recall at equal nprobe holds.
+        # int8 MXU candidate generation (r4): raw f32 and SQ8 stores carry an
+        # int8 sidecar (_build_int8_sidecar / _build_sq8_int8_sidecar); the
+        # scan ranks 8-bit at ~2x the bf16 MXU rate and the widened candidate
+        # pool is re-ranked EXACTLY (raw rows for flat, decoded SQ8 values
+        # for the sq family — the reference's exact-under-stored contract),
+        # so returned distances are exact and recall at equal nprobe holds.
         if (
-            scan_prec == "fast"
-            and self._kind == "raw"
+            gp != DistancePrecision.EXACT
+            and self._kind in ("raw", "sq")
             and not self._is_binary()
             and internal != M.JACCARD
             and "data_i8" in self._store
@@ -1024,9 +1071,16 @@ class IvfIndexNode(IndexNode):
                 list_lengths=self._lengths,
             )
             if two_stage:
-                # exact re-rank of the bf16 candidates straight off the
-                # sorted device storage (positions == row indices there)
-                store = RefineStore("raw", self._store["data"])
+                # exact re-rank of the candidates straight off the sorted
+                # device storage (positions == row indices there); the sq
+                # family re-ranks exact-under-stored-values via SQ8 decode
+                if self._kind == "sq":
+                    store = RefineStore(
+                        "sq8", self._store["codes"],
+                        self._store["vmin"], self._store["vdiff"],
+                    )
+                else:
+                    store = RefineStore("raw", self._store["data"])
                 d_r, p = refine_topk_device(q_pad_dev, store, p, k_coarse, is_l2)
                 return d_r, p, "dist"
             if self._refine_store is not None:
@@ -1184,7 +1238,12 @@ class IvfIndexNode(IndexNode):
         )
         mode = "score"
         if two_stage:
-            s, p = refine_topk_device(q_pad_dev, RefineStore("raw", self._store["data"]), p, k_coarse, is_l2)
+            if self._kind == "sq":
+                rs2 = RefineStore("sq8", self._store["codes"],
+                                  self._store["vmin"], self._store["vdiff"])
+            else:
+                rs2 = RefineStore("raw", self._store["data"])
+            s, p = refine_topk_device(q_pad_dev, rs2, p, k_coarse, is_l2)
             mode = "dist"
         elif self._refine_store is not None:
             s, p = refine_topk_device(q_pad_dev, self._refine_store, p, k, is_l2)

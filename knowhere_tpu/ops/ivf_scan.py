@@ -626,7 +626,7 @@ def ivf_scan_search(
 
         if (
             B is None
-            and kind == "raw"
+            and kind in ("raw", "sq")
             and not is_jaccard
             and pallas_int8_available(store, q_dev.shape[1], k, list_offsets)
         ):

@@ -91,6 +91,59 @@ def test_int8_estimator_ranks_like_exact():
     assert hits / (nq * 10) > 0.95
 
 
+def test_sq8_sidecar_estimator_is_topk_equivalent():
+    """The SQ8 affine grid factors into the symmetric int8 estimator with a
+    per-query constant (models/ivf._build_sq8_int8_sidecar): per-query top-k
+    of the sidecar scores must equal top-k of exact decoded-SQ8 scores."""
+    rng = np.random.default_rng(4)
+    nb, d, nq, levels = 2048, 128, 16, 256
+    x = rng.standard_normal((nb, d)).astype(np.float32) * rng.uniform(0.5, 2, d).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    vmin = x.min(0)
+    vdiff = x.max(0) - vmin
+    s = vdiff / levels
+    codes = np.clip(np.floor((x - vmin) / np.maximum(s, 1e-12)), 0, levels - 1).astype(np.uint8)
+    dec = vmin + (codes.astype(np.float32) + 0.5) * s
+    exact = 2.0 * q @ dec.T - np.sum(dec**2, 1)[None, :]
+
+    zi, sz = quantize_queries_int8(
+        jax.device_put(q), jax.device_put(np.zeros(d, np.float32)), jax.device_put(s)
+    )
+    ci = (codes.astype(np.int16) - 128).astype(np.int8)
+    est = 2.0 * np.asarray(sz)[:, None] * (
+        np.asarray(zi).astype(np.int32) @ ci.astype(np.int32).T
+    ) - np.sum(dec**2, 1)[None, :]
+    # est differs from exact by a per-query constant + int8 rounding: the
+    # top-10 sets must overlap near-perfectly
+    hits = 0
+    for i in range(nq):
+        a = set(np.argsort(-est[i])[:10].tolist())
+        b = set(np.argsort(-exact[i])[:10].tolist())
+        hits += len(a & b)
+    assert hits / (nq * 10) > 0.97, hits / (nq * 10)
+
+
+def test_ivf_sq8_sidecar_built_and_search_exact_under_stored(monkeypatch):
+    """IVF_SQ8 builds the int8 sidecar on aligned layouts; search results on
+    the CPU mesh (bf16 path) must stay exact-under-stored-values."""
+    import knowhere_tpu as kt
+
+    monkeypatch.setenv("KNOWHERE_IVF_ALIGN_MIN", "4096")
+    rng = np.random.default_rng(5)
+    nb, d = 6000, 128
+    xb = rng.standard_normal((nb, d)).astype(np.float32)
+    idx = kt.IndexFactory.Instance().Create("IVF_SQ8").value()
+    cfg = {"metric_type": "L2", "nlist": 8, "sq_type": "SQ8"}
+    assert idx.Train(kt.GenDataSetFromArray(xb), cfg).name == "success"
+    assert idx.Add(kt.GenDataSetFromArray(xb), cfg).name == "success"
+    st = idx.node._store
+    assert "data_i8" in st and st["data_i8"].dtype == jnp.int8
+    r = idx.Search(kt.GenDataSetFromArray(xb[:8]), {"metric_type": "L2", "k": 5, "nprobe": 8})
+    assert r.has_value(), r.what()
+    ids = np.asarray(r.value().ids).reshape(8, 5)
+    assert (ids[:, 0] == np.arange(8)).mean() >= 0.8  # SQ8 self-match
+
+
 def test_ivf_flat_sidecar_built_and_search_unchanged(monkeypatch):
     """IVF_FLAT builds the int8 sidecar on f32 stores; on the CPU test mesh
     the Pallas gate keeps the bf16 path, and results must stay exact."""
