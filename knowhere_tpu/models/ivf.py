@@ -829,14 +829,11 @@ class IvfIndexNode(IndexNode):
         s = (self._sq.vdiff.astype(np.float32) / float(self._sq.levels))
         dec = self._sq.vmin[None, :] + (codes.astype(np.float32) + 0.5) * s[None, :]
         nrm = np.sum(dec.astype(np.float64) ** 2, axis=1).astype(np.float32)
-        self._store["data_i8"] = pad(
-            cpad((codes.astype(np.int16) - 128).astype(np.int8))
-        )
+        # the scan reads the ALREADY-RESIDENT u8 codes (recentered in-kernel
+        # via xor 0x80) — only the norms/scale sidecar is added, no i8 copy
         self._store["i8_nrm_blk"] = jax.device_put(nrm.reshape(nb_pad // _LA, 1, _LA))
         self._store["i8_scale"] = jax.device_put(cpad(s.astype(np.float32)))
-        self._store["i8_mu"] = jax.device_put(
-            np.zeros(self._d_dev, np.float32)
-        )
+        self._store["i8_mu"] = jax.device_put(np.zeros(self._d_dev, np.float32))
 
     # --- Search ---------------------------------------------------------------
     def _prep_queries(self, dataset: DataSet) -> np.ndarray:
@@ -1023,7 +1020,7 @@ class IvfIndexNode(IndexNode):
             and self._kind in ("raw", "sq")
             and not self._is_binary()
             and internal != M.JACCARD
-            and "data_i8" in self._store
+            and "i8_nrm_blk" in self._store
         ):
             scan_prec = "int8"
             if self._refine_store is None:

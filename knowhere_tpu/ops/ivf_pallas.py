@@ -402,6 +402,7 @@ def _int8_kernel(
     kk: int,
     is_l2: bool,
     has_mask: bool,
+    u8_codes: bool,
 ):
     if has_mask:
         keep_ref, out_s_ref, out_p_ref = rest
@@ -410,7 +411,12 @@ def _int8_kernel(
         out_s_ref, out_p_ref = rest
     t = pl.program_id(0)
     qi = qt_ref[0]  # (Qg, d) i8
-    ci = codes_ref[...]  # (B, d) i8
+    ci = codes_ref[...]  # (B, d) i8 — or u8 SQ8 codes, recentered below
+    if u8_codes:
+        # SQ8 stores u8 codes; (c - 128) as an i8 bit pattern is c XOR 0x80,
+        # so the recenter is one VPU xor + bitcast — no duplicated i8 copy
+        # of the codes in HBM
+        ci = jax.lax.bitcast_convert_type(ci ^ jnp.uint8(0x80), jnp.int8)
     dots = jax.lax.dot_general(
         qi, ci, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     ).astype(jnp.float32)
@@ -437,7 +443,7 @@ def pallas_int8_tasks(
     nrows: jax.Array,  # (Tc,) int32
     q_task: jax.Array,  # (Tc, Qg, d) i8 — pre-quantized per-task query groups
     q_scale: jax.Array,  # (Tc, Qg, 1) f32 — per-query scales
-    codes: jax.Array,  # (nb_pad, d) i8, nb_pad % B == 0
+    codes: jax.Array,  # (nb_pad, d) i8 (raw sidecar) or u8 (SQ8 codes)
     nrm_blk: jax.Array,  # (nb_pad//B, 1, B) f32 centered norms
     keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32 bitset blocks
     *,
@@ -449,6 +455,7 @@ def pallas_int8_tasks(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (Tc,Qg,kk), positions (Tc,Qg,kk) into padded storage)."""
     Tc, _, d = q_task.shape
+    u8_codes = codes.dtype == jnp.uint8
     has_mask = keep is not None
     in_specs = [
         pl.BlockSpec((1, Qg, d), lambda t, b, n: (t, 0, 0)),
@@ -471,7 +478,8 @@ def pallas_int8_tasks(
     )
     return pl.pallas_call(
         functools.partial(
-            _int8_kernel, B=B, Qg=Qg, kk=kk, is_l2=is_l2, has_mask=has_mask
+            _int8_kernel, B=B, Qg=Qg, kk=kk, is_l2=is_l2, has_mask=has_mask,
+            u8_codes=u8_codes,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -495,7 +503,11 @@ def pallas_int8_available(
         return False
     if not interpret and not _on_tpu():
         return False
-    if "data_i8" not in store or "i8_nrm_blk" not in store:
+    if "i8_nrm_blk" not in store:
+        return False
+    # raw stores carry a dedicated i8 sidecar; SQ8 scans its own u8 codes
+    # (recentered in-kernel), so no duplicated copy is required
+    if "data_i8" not in store and "codes" not in store:
         return False
     if d % 128 != 0 or k < 1:
         return False

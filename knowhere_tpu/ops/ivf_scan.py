@@ -1174,7 +1174,7 @@ def _pallas_int8_search(
             nrows_dev[c * Tc : (c + 1) * Tc],
             q_task,
             s_task,
-            store["data_i8"],
+            store.get("data_i8", store.get("codes")),  # SQ8 scans its u8 codes
             store["i8_nrm_blk"],
             keep_blk,
             B=B, Qg=Qg, kk=kk, is_l2=is_l2, interpret=interpret,

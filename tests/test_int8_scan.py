@@ -69,6 +69,35 @@ def test_int8_kernel_matches_oracle(is_l2):
         assert ((got_pos >= 0) & (got_pos < B)).all()
 
 
+def test_int8_kernel_u8_codes_matches_i8_path():
+    """The u8-codes variant (in-kernel xor-0x80 recenter) must score exactly
+    like feeding the pre-centered i8 codes."""
+    rng = np.random.default_rng(9)
+    d, B, Qg, kk = 128, LIST_ALIGN, 32, 8
+    nb = 2 * B
+    codes_u8 = rng.integers(0, 256, (nb, d)).astype(np.uint8)
+    ci = (codes_u8.astype(np.int16) - 128).astype(np.int8)
+    nrm = rng.uniform(1, 2, nb).astype(np.float32)
+    zi = rng.integers(-127, 128, (Qg, d)).astype(np.int8)
+    sz = rng.uniform(0.01, 0.1, Qg).astype(np.float32)
+    Tc = nb // B
+    blk = jnp.arange(Tc, dtype=jnp.int32)
+    nrows = jnp.full((Tc,), B, jnp.int32)
+    qt = jnp.broadcast_to(jnp.asarray(zi), (Tc, Qg, d))
+    st = jnp.broadcast_to(jnp.asarray(sz)[:, None], (Tc, Qg, 1))
+    nb_blk = jax.device_put(nrm.reshape(Tc, 1, B))
+    s_i8, p_i8 = pallas_int8_tasks(
+        blk, nrows, qt, st, jax.device_put(ci), nb_blk,
+        B=B, Qg=Qg, kk=kk, is_l2=True, interpret=True,
+    )
+    s_u8, p_u8 = pallas_int8_tasks(
+        blk, nrows, qt, st, jax.device_put(codes_u8), nb_blk,
+        B=B, Qg=Qg, kk=kk, is_l2=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s_i8), np.asarray(s_u8))
+    np.testing.assert_array_equal(np.asarray(p_i8), np.asarray(p_u8))
+
+
 def test_int8_estimator_ranks_like_exact():
     """Top-10 of the int8 estimator must overlap the exact top-10 heavily on
     gaussian data (the production path re-ranks exactly anyway)."""
@@ -137,7 +166,9 @@ def test_ivf_sq8_sidecar_built_and_search_exact_under_stored(monkeypatch):
     assert idx.Train(kt.GenDataSetFromArray(xb), cfg).name == "success"
     assert idx.Add(kt.GenDataSetFromArray(xb), cfg).name == "success"
     st = idx.node._store
-    assert "data_i8" in st and st["data_i8"].dtype == jnp.int8
+    # SQ8 scans its resident u8 codes (recentered in-kernel) — no i8 copy
+    assert "i8_nrm_blk" in st and "data_i8" not in st
+    assert st["codes"].dtype == jnp.uint8
     r = idx.Search(kt.GenDataSetFromArray(xb[:8]), {"metric_type": "L2", "k": 5, "nprobe": 8})
     assert r.has_value(), r.what()
     ids = np.asarray(r.value().ids).reshape(8, 5)
