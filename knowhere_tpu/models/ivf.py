@@ -633,12 +633,19 @@ class IvfIndexNode(IndexNode):
                 and int(offs[-1]) > 0
                 and (offs % _LA == 0).all()
                 and self._d_dev % 128 == 0
+                # kernel envelope: m*ksub>8192 LUTs abort Mosaic's layout
+                # pass (ivf_pallas.pallas_adc_available) — don't build dead
+                # ADC extras (codes_t/clut/books_bd ~200MB at GIST m=96)
+                and self._pq.m * self._pq.ksub <= 8192
             ):
                 codes_sorted = self._sorted_payload["codes"]  # (nb_pad, m) u8
                 m = codes_sorted.shape[1]
-                m_pad = (m + 7) // 8 * 8
-                ct = np.zeros((m_pad, codes_sorted.shape[0]), np.int32)
-                ct[:m] = codes_sorted.T.astype(np.int32)
+                # u8 transposed codes (Mosaic u8 min tile is 32 sublanes):
+                # 4x less HBM than the r3 i32 layout; the kernel widens the
+                # whole (m_pad, B) block to i32 once in VMEM
+                m_pad = (m + 31) // 32 * 32
+                ct = np.zeros((m_pad, codes_sorted.shape[0]), np.uint8)
+                ct[:m] = codes_sorted.T
                 self._store["codes_t"] = jax.device_put(ct)
                 books = self._pq.codebooks  # (m, ksub, sub_dim)
                 ksub = books.shape[1]
@@ -663,6 +670,11 @@ class IvfIndexNode(IndexNode):
                         i * sub_dim : (i + 1) * sub_dim, i * ksub : (i + 1) * ksub
                     ] = books[i].T
                 self._store["books_bd"] = jax.device_put(books_bd).astype(jnp.bfloat16)
+                # the ADC kernel serves the hot path off codes_t; the
+                # untransposed copy is only needed by the XLA fallback
+                # (exact precision / iterators) and materializes lazily
+                # (_ensure_pq_codes_dev) — ~m bytes/vec HBM saved
+                del self._store["codes"]
         elif self.VARIANT in ("sq", "sq_cc"):
             t = self._sq.sq_type
             codes_payload = self._sorted_payload["codes"]
@@ -834,6 +846,24 @@ class IvfIndexNode(IndexNode):
         self._store["i8_nrm_blk"] = jax.device_put(nrm.reshape(nb_pad // _LA, 1, _LA))
         self._store["i8_scale"] = jax.device_put(cpad(s.astype(np.float32)))
         self._store["i8_mu"] = jax.device_put(np.zeros(self._d_dev, np.float32))
+
+    def _ensure_pq_codes_dev(self, k_scan: int, nq_pad: int, scan_prec: str,
+                             has_mask: bool) -> None:
+        """Materialize the untransposed PQ codes on device ONLY when the
+        coming scan will take the XLA fallback (_upload drops them from HBM
+        because the Pallas ADC kernel reads codes_t)."""
+        if self._kind != "pq" or "codes" in self._store:
+            return
+        from ..ops.ivf_pallas import pallas_adc_available
+
+        if scan_prec != "exact" and pallas_adc_available(
+            self._store, self._d_dev, k_scan, self._offsets, has_mask,
+            nq_pad=nq_pad,
+        ):
+            return
+        codes = np.asarray(self._sorted_payload["codes"])
+        padding = np.zeros((2048, codes.shape[1]), codes.dtype)
+        self._store["codes"] = jax.device_put(np.concatenate([codes, padding]))
 
     # --- Search ---------------------------------------------------------------
     def _prep_queries(self, dataset: DataSet) -> np.ndarray:
@@ -1109,6 +1139,7 @@ class IvfIndexNode(IndexNode):
         # the ~30ms d2h sync via the host path
         from ..ops.ivf_scan import coarse_probe_host
 
+        self._ensure_pq_codes_dev(k_scan, nq_pad, scan_prec, keep_sorted is not None)
         nprobe_cur = min(max(1, nprobe), self._nlist)
         mode_tag = (
             "two_stage"
@@ -1227,6 +1258,9 @@ class IvfIndexNode(IndexNode):
         q_scan_dev = q_pad_dev
         if "rot_t" in self._store:  # rabitq rotation / PQ OPQ frame
             q_scan_dev = jnp.dot(q_pad_dev, self._store["rot_t"])
+        self._ensure_pq_codes_dev(
+            k_scan, q_pad_dev.shape[0], scan_prec, keep_sorted is not None
+        )
         s, p = ivf_scan_search(
             q_scan_dev, self._store, self._kind, probes_sub, self._offsets,
             k_scan, is_l2, keep_sorted=keep_sorted, sq_levels=self._sq_levels,

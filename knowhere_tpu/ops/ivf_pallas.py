@@ -587,8 +587,11 @@ def _adc_kernel(
 
     W = s_stack * ksub
     acc = jnp.zeros((Qg, B), jnp.float32)
+    # u8 codes widen to i32 ONCE in VMEM (u8 sub-tile slices violate
+    # Mosaic's 32-sublane rule; i32 value slices below are static)
+    codes_all = codes_ref[...].astype(jnp.int32)  # (m_pad, B)
     for i in range(m // s_stack):
-        codes = codes_ref[pl.ds(i * s_stack, s_stack), :]  # (s, B) i32
+        codes = jax.lax.slice(codes_all, (i * s_stack, 0), ((i + 1) * s_stack, B))
         codes_exp = jnp.broadcast_to(
             codes.reshape(s_stack, 1, B), (s_stack, ksub, B)
         ).reshape(W, B)
@@ -633,7 +636,7 @@ def pallas_adc_tasks(
     books_bd: jax.Array,  # (d, m*ksub) bf16 block-diagonal codebooks
     clut: jax.Array,  # (nlist, m*ksub) bf16
     cents: jax.Array,  # (nlist, d) f32
-    codes_t: jax.Array,  # (m_pad, nb_pad) i32
+    codes_t: jax.Array,  # (m_pad, nb_pad) u8 (i32 accepted; widened in VMEM)
     keep: Optional[jax.Array] = None,  # (nb_pad//B, 1, B) i32 bitset blocks
     *,
     B: int,
