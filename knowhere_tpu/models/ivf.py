@@ -627,24 +627,33 @@ class IvfIndexNode(IndexNode):
             # (centroid/codebook cross terms of the residual L2 expansion).
             from ..ops.ivf_pallas import LIST_ALIGN as _LA
 
+            from ..ops.ivf_pallas import adc_mc_geometry
+
             offs = self._offsets
+            mk = self._pq.m * self._pq.ksub
+            # kernel envelope: <=8192-entry LUTs take the single-grid kernel
+            # (u8 codes_t); larger m (GIST m=96) takes the m-chunked kernel
+            # when a VMEM-feasible geometry exists (i32 codes_t — per-chunk
+            # u8 slices would violate the 32-sublane tile); otherwise skip
+            # the extras (~200MB dead weight) and ride the XLA fallback
+            geom = adc_mc_geometry(self._pq.m, self._pq.ksub, self._d_dev)
             if (
                 offs is not None
                 and int(offs[-1]) > 0
                 and (offs % _LA == 0).all()
                 and self._d_dev % 128 == 0
-                # kernel envelope: m*ksub>8192 LUTs abort Mosaic's layout
-                # pass (ivf_pallas.pallas_adc_available) — don't build dead
-                # ADC extras (codes_t/clut/books_bd ~200MB at GIST m=96)
-                and self._pq.m * self._pq.ksub <= 8192
+                and (mk <= 8192 or geom is not None)
             ):
                 codes_sorted = self._sorted_payload["codes"]  # (nb_pad, m) u8
                 m = codes_sorted.shape[1]
-                # u8 transposed codes (Mosaic u8 min tile is 32 sublanes):
-                # 4x less HBM than the r3 i32 layout; the kernel widens the
-                # whole (m_pad, B) block to i32 once in VMEM
-                m_pad = (m + 31) // 32 * 32
-                ct = np.zeros((m_pad, codes_sorted.shape[0]), np.uint8)
+                if mk <= 8192:
+                    # u8 transposed codes (Mosaic u8 min tile is 32
+                    # sublanes): 4x less HBM than the r3 i32 layout; the
+                    # kernel widens the whole block to i32 once in VMEM
+                    m_pad = (m + 31) // 32 * 32
+                    ct = np.zeros((m_pad, codes_sorted.shape[0]), np.uint8)
+                else:
+                    ct = np.zeros((m, codes_sorted.shape[0]), np.int32)
                 ct[:m] = codes_sorted.T
                 self._store["codes_t"] = jax.device_put(ct)
                 books = self._pq.codebooks  # (m, ksub, sub_dim)

@@ -694,6 +694,183 @@ def pallas_adc_tasks(
     )(*inputs)
 
 
+# ---------------------------------------------------------------------------
+# m-chunked ADC kernel — large-m PQ (GIST m=96) past the 8192-entry LUT cap
+# ---------------------------------------------------------------------------
+#
+# The single-grid ADC kernel holds the whole (Qg, m*ksub) QLUT in VMEM, which
+# aborts Mosaic's layout pass beyond 8192 entries (r3 shape matrix). This
+# variant adds a second grid axis over chunks of m_c subspaces: each step
+# computes the chunk's QLUT (dense block-diagonal slice), accumulates the
+# chunk's one-hot ADC partial into a persistent (Qg, B) f32 scratch, and the
+# LAST chunk applies the centroid base term, masks and writes the per-task
+# top-k. Outputs' index map ignores the chunk axis, so the block stays
+# resident across chunks (TPU grids iterate sequentially). Codes stay i32
+# here: per-chunk (m_c, B) u8 slices would violate the 32-sublane u8 tile.
+
+
+def _adc_kernel_mc(
+    blk_ref,  # (Tc,) scalar prefetch
+    nrow_ref,  # (Tc,)
+    lid_ref,  # (Tc,)
+    qt_ref,  # (1, Qg, d) — this task's PRE-GATHERED query group
+    books_ref,  # (d, Wc) bf16 — this CHUNK's block-diagonal slice
+    clut_ref,  # (1, 1, Wc) bf16 — this task-list x chunk slice
+    cent_ref,  # (1, 1, d) f32 — this task's centroid row
+    codes_ref,  # (m_c, B) i32 — this chunk's transposed code rows
+    *rest,  # [keep_ref (1,1,B) i32 if has_mask], out_s, out_p, acc_ref
+    B: int,
+    Qg: int,
+    kk: int,
+    m_c: int,
+    ksub: int,
+    MC: int,
+    is_l2: bool,
+    has_mask: bool,
+):
+    if has_mask:
+        keep_ref, out_s_ref, out_p_ref, acc_ref = rest
+    else:
+        keep_ref = None
+        out_s_ref, out_p_ref, acc_ref = rest
+    t = pl.program_id(0)
+    mc = pl.program_id(1)
+    qs = qt_ref[0]
+    Wc = m_c * ksub
+
+    bd = books_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    q_hi = qs.astype(jnp.bfloat16)
+    q_lo = (qs - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lutq = jax.lax.dot_general(
+        q_hi, bd, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(q_lo, bd, dn, preferred_element_type=jnp.float32)
+    if is_l2:
+        lut = 2.0 * lutq - clut_ref[0].astype(jnp.float32)
+    else:
+        lut = lutq
+
+    codes = codes_ref[...]  # (m_c, B) i32
+    codes_exp = jnp.broadcast_to(
+        codes.reshape(m_c, 1, B), (m_c, ksub, B)
+    ).reshape(Wc, B)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (m_c, ksub, B), 1).reshape(Wc, B)
+    oh = (codes_exp == iota_v).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        lut.astype(jnp.bfloat16), oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(mc == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(mc > 0)
+    def _accum():
+        acc_ref[...] = acc_ref[...] + part
+
+    @pl.when(mc == MC - 1)
+    def _finish():
+        c = cent_ref[0]  # (1, d)
+        qc = jax.lax.dot_general(
+            qs, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        base = 2.0 * qc - jnp.sum(c * c) if is_l2 else qc
+        score = base + acc_ref[...]
+        col = jax.lax.broadcasted_iota(jnp.int32, (Qg, B), 1)
+        score = jnp.where(col < nrow_ref[t], score, NEG_INF)
+        if has_mask:
+            score = jnp.where(keep_ref[0] > 0, score, NEG_INF)
+        gpos = col + blk_ref[t] * B
+        s, p = _topk_rows(score, gpos, kk)
+        out_s_ref[0] = s
+        out_p_ref[0] = jnp.where(s <= NEG_INF / 2, -1, p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B", "Qg", "kk", "m_c", "ksub", "MC", "is_l2", "interpret"),
+)
+def pallas_adc_tasks_mc(
+    blk: jax.Array,  # (Tc,) int32
+    nrows: jax.Array,  # (Tc,) int32
+    lids: jax.Array,  # (Tc,) int32
+    q_task: jax.Array,  # (Tc, Qg, d) f32
+    books_bd: jax.Array,  # (d, m*ksub) bf16 block-diagonal codebooks
+    clut: jax.Array,  # (nlist, m*ksub) bf16
+    cents: jax.Array,  # (nlist, d) f32
+    codes_t: jax.Array,  # (m_pad, nb_pad) i32, m_pad = MC*m_c
+    keep: Optional[jax.Array] = None,
+    *,
+    B: int,
+    Qg: int,
+    kk: int,
+    m_c: int,
+    ksub: int,
+    MC: int,
+    is_l2: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    Tc, _, d = q_task.shape
+    mk = clut.shape[1]
+    Wc = m_c * ksub
+    has_mask = keep is not None
+    clut3 = clut.reshape(clut.shape[0], 1, mk)
+    cents3 = cents.reshape(cents.shape[0], 1, d)
+    in_specs = [
+        pl.BlockSpec((1, Qg, d), lambda t, c, b, n, l: (t, 0, 0)),
+        pl.BlockSpec((d, Wc), lambda t, c, b, n, l: (0, c)),
+        pl.BlockSpec((1, 1, Wc), lambda t, c, b, n, l: (l[t], 0, c)),
+        pl.BlockSpec((1, 1, d), lambda t, c, b, n, l: (l[t], 0, 0)),
+        pl.BlockSpec((m_c, B), lambda t, c, b, n, l: (c, b[t])),
+    ]
+    inputs = [blk, nrows, lids, q_task, books_bd, clut3, cents3, codes_t]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t, c, b, n, l: (b[t], 0, 0)))
+        inputs.append(keep)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Tc, MC),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, Qg, kk), lambda t, c, b, n, l: (t, 0, 0)),
+            pl.BlockSpec((1, Qg, kk), lambda t, c, b, n, l: (t, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((Qg, B), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _adc_kernel_mc,
+            B=B, Qg=Qg, kk=kk, m_c=m_c, ksub=ksub, MC=MC, is_l2=is_l2,
+            has_mask=has_mask,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+
+def adc_mc_geometry(m: int, ksub: int, d: int) -> Optional[Tuple[int, int]]:
+    """(m_c, MC) for the chunked kernel, or None when the single-grid kernel
+    serves (m*ksub <= 8192) or no VMEM-feasible chunking exists. Budget: the
+    streamed books chunk (d x m_c*ksub bf16) is double-buffered; keep it
+    under ~4MB."""
+    if m * ksub <= 8192:
+        return None
+    budget = 4 << 20
+    # chunk LUT stays <=4096 entries (the per-chunk (Qg, Wc) f32 value must
+    # fit the layout pass) and the streamed books chunk under the budget
+    m_c = max(1, min(m, 4096 // ksub, budget // max(d * ksub * 2, 1)))
+    while m_c > 1 and m % m_c != 0:
+        m_c -= 1
+    if m % m_c != 0 or m_c < 8:
+        return None  # (m_c, B) i32 blocks need >=8 sublanes
+    return m_c, m // m_c
+
+
 def adc_s_stack(m: int, ksub: int) -> int:
     """Subspaces stacked per matmul so the contraction is >=128 wide."""
     s = max(1, 128 // ksub)
@@ -720,9 +897,14 @@ def pallas_adc_available(
     books = store.get("books_bd")
     if books is not None and books.shape[1] > 8192:
         # per-task QLUT is (Qg, m*ksub) f32 in VMEM: m*ksub=24576 (GIST
-        # m=96) aborts Mosaic's layout pass at any Qg (r3 shape matrix);
-        # m<=32 @ ksub=256 compiles — larger LUTs take the XLA scan
-        return False
+        # m=96) aborts Mosaic's layout pass at any Qg (r3 shape matrix) —
+        # the m-chunked kernel (pallas_adc_tasks_mc) serves when a
+        # VMEM-feasible chunk geometry exists
+        cb = store.get("codebooks")
+        if cb is None:
+            return False
+        if adc_mc_geometry(int(cb.shape[0]), int(cb.shape[1]), d) is None:
+            return False
     # k may exceed the per-task top-k width (32): each task contributes its
     # best 32 per block and the cross-block merge produces the requested k
     if d % 128 != 0 or k < 1:

@@ -870,14 +870,17 @@ def _pallas_adc_search(
     task count 20x). Task arrays ship in ONE packed h2d."""
     from .ivf_pallas import (
         LIST_ALIGN,
+        adc_mc_geometry,
         adc_s_stack,
         pallas_adc_tasks,
+        pallas_adc_tasks_mc,
         task_kk,
     )
 
     nq, d = q_dev.shape
     books = store["codebooks"]
     m, ksub, _sub = books.shape
+    geom = adc_mc_geometry(m, ksub, d)  # None -> single-grid kernel
     B = LIST_ALIGN
     kk = task_kk(k, B)
     # chunk bound: the pre-gathered q_task buffer is (chunk, Qg, d) f32 —
@@ -940,7 +943,7 @@ def _pallas_adc_search(
     for c in range(n_chunks):
         qids_c = qids_dev[c * Tc * Qg : (c + 1) * Tc * Qg].reshape(Tc, Qg)
         q_task = jnp.take(q_dev, jnp.clip(qids_c, 0), axis=0)
-        scores, pos = pallas_adc_tasks(
+        args = (
             blk_dev[c * Tc : (c + 1) * Tc],
             nrow_dev[c * Tc : (c + 1) * Tc],
             lid_dev[c * Tc : (c + 1) * Tc],
@@ -950,9 +953,17 @@ def _pallas_adc_search(
             store.get("cent_scan", store["centroids"]),  # rotated frame for OPQ
             store["codes_t"],
             keep_blk,
-            B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
-            interpret=interpret,
         )
+        if geom is not None:  # large-m chunked kernel (GIST m=96)
+            scores, pos = pallas_adc_tasks_mc(
+                *args, B=B, Qg=Qg, kk=kk, m_c=geom[0], ksub=ksub, MC=geom[1],
+                is_l2=is_l2, interpret=interpret,
+            )
+        else:
+            scores, pos = pallas_adc_tasks(
+                *args, B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack,
+                is_l2=is_l2, interpret=interpret,
+            )
         score_chunks.append(scores)
         pos_chunks.append(pos)
 
