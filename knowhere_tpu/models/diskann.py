@@ -892,26 +892,68 @@ register_index(
 
 
 class AisaqIndexNode(DiskANNIndexNode):
-    """AISAQ variant (reference src/index/diskann/diskann_aisaq.cc): DiskANN
-    with inline PQ codes stored alongside graph nodes on SSD. On this
-    architecture PQ codes already live in HBM (the "inline" trade-off of the
-    reference exists to cut RAM; HBM residency supersedes it). Knob mapping:
+    """AISAQ variant (reference src/index/diskann/diskann_aisaq.cc; AiSAQ =
+    All-in-Storage ANNS): DiskANN whose PQ codes live ON DISK, inlined with
+    the graph records, instead of resident in RAM/HBM.
+
+    Layout (r4 — a real distinct layout, not a knob mapping): one record per
+    node = [adjacency deg x i32][own PQ code m x u8][neighbor PQ codes
+    deg x m x u8]. Duplicating the neighbors' codes into each record is the
+    AISAQ trick — ONE storage read per expanded node yields both the hop
+    topology and every code the hop needs to score, so serving holds no PQ
+    in memory at all. Search runs a host-driven beam over the record memmap
+    (page faults are the SSD reads) and finishes with the standard exact
+    rerank from the raw disk payload. Knob mapping retained:
     num_entry_points caps the entry list at build; pq_cache_size folds into
-    the node-cache budget at load; vectors_beamwidth bounds the walk beam
-    when beamwidth is unset; inline_pq=false warns (nothing to disable —
-    codes are not on SSD here)."""
+    the node-cache budget at load; vectors_beamwidth bounds the walk beam;
+    inline_pq=false falls back to the plain DiskANN HBM-codes path."""
 
     def __init__(self, version: int, object=None):  # noqa: A002
         super().__init__(version, object)
         self.index_type = IndexEnum.INDEX_AISAQ
+        self._inline_nodes = None  # (n, rec_bytes) u8 memmap view
+        self._inline_geom = None  # (deg, m)
+        self._books_host = None
+        self._entry_host = None
+
+    def _inline_path(self, prefix: str) -> str:
+        return prefix + "_aisaq_inline.bin"
 
     def Build(self, dataset: DataSet, cfg: Config) -> Status:
-        if cfg.get("inline_pq") is False:
-            log_warning(
-                "inline_pq=false requested: PQ codes are HBM-resident on this "
-                "architecture (no SSD-inline layout to disable) — flag ignored"
-            )
-        return super().Build(dataset, cfg)
+        st = super().Build(dataset, cfg)
+        if st == Status.success and cfg.get("inline_pq", True):
+            self._write_inline_nodes(cfg.index_prefix)
+        return st
+
+    def _write_inline_nodes(self, prefix: str) -> None:
+        from ..io.serialize import read_sections, write_sections_streaming
+
+        mem = np.memmap(self._mem_path(prefix), dtype=np.uint8, mode="r")
+        arrays, _meta = read_sections(memoryview(mem))
+        graph = np.asarray(arrays["graph"], dtype=np.int32)  # (n, deg)
+        codes = np.asarray(arrays["pq_codes"])  # (n, m) u8
+        n, deg = graph.shape
+        m = codes.shape[1]
+        rec = deg * 4 + m + deg * m
+        w = write_sections_streaming(
+            self._inline_path(prefix),
+            {"inline_nodes": ((n, rec), "uint8")},
+            meta={"deg": deg, "m": m, "count": n},
+        )
+        chunk = 65536
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            g = np.ascontiguousarray(graph[s:e])
+            c = e - s
+            nb_codes = codes[np.clip(g, 0, n - 1)]  # (c, deg, m)
+            nb_codes[g < 0] = 0
+            block = np.empty((c, rec), np.uint8)
+            block[:, : deg * 4] = g.view(np.uint8).reshape(c, deg * 4)
+            block[:, deg * 4 : deg * 4 + m] = codes[s:e]
+            block[:, deg * 4 + m :] = nb_codes.reshape(c, deg * m)
+            w.write("inline_nodes", s, block)
+        w.close()
+        self._fm_add(self._inline_path(prefix))
 
     def Deserialize(self, binset: BinarySet, cfg: Config) -> Status:
         # pq_cache_size (GB of PQ data cached in RAM in the reference) folds
@@ -920,7 +962,111 @@ class AisaqIndexNode(DiskANNIndexNode):
         pq_cache = float(cfg.get("pq_cache_size", 0.0) or 0.0)
         if pq_cache > 0 and not cfg.get("search_cache_budget_gb"):
             object.__setattr__(cfg, "search_cache_budget_gb", pq_cache)
-        return super().Deserialize(binset, cfg)
+        st = super().Deserialize(binset, cfg)
+        if st != Status.success:
+            return st
+        prefix = cfg.get("index_prefix")
+        ipath = self._inline_path(prefix)
+        self._fm_load(ipath)
+        if cfg.get("inline_pq", True) and os.path.exists(ipath):
+            from ..io.serialize import read_sections
+
+            mm = np.memmap(ipath, dtype=np.uint8, mode="r")
+            i_arrays, i_meta = read_sections(memoryview(mm))
+            self._inline_nodes = i_arrays["inline_nodes"]  # zero-copy view
+            self._inline_geom = (int(i_meta["deg"]), int(i_meta["m"]))
+            self._books_host = np.asarray(self._store["codebooks"])
+            self._entry_host = np.asarray(self._entry).reshape(-1)
+            # the all-in-storage point: no PQ resident in HBM
+            del self._store["codes"]
+        return st
+
+    def _score_codes(self, L_tab: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        """sum_m L_tab[q, m, codes[.., m]] — (nq, *codes.shape[:-1])."""
+        m = codes.shape[-1]
+        flat = codes.reshape(-1, m)
+        out = np.zeros((L_tab.shape[0], flat.shape[0]), np.float32)
+        for j in range(m):
+            out += L_tab[:, j, flat[:, j]]
+        return out.reshape(L_tab.shape[0], *codes.shape[:-1])
+
+    def _search_inline_ssd(self, xq: np.ndarray, L: int, W: int, keep_mask):
+        """Host-driven AISAQ beam: per hop, ONE record read per expanded node
+        supplies adjacency + all neighbor codes; scores come from per-query
+        ADC LUTs. Returns the (nq, L) candidate pool for the exact rerank."""
+        deg, m = self._inline_geom
+        books = self._books_host  # (m, ksub, sub)
+        sub = books.shape[2]
+        n = self._count
+        nq = xq.shape[0]
+        is_l2 = self._metric == M.L2
+        adj_b = deg * 4
+
+        q3 = xq.reshape(nq, m, sub)
+        lutq = np.einsum("qms,mcs->qmc", q3.astype(np.float64), books.astype(np.float64)).astype(np.float32)
+        L_tab = 2.0 * lutq - np.sum(books.astype(np.float64) ** 2, -1).astype(np.float32)[None] if is_l2 else lutq
+
+        inline = self._inline_nodes
+        NEG = np.float32(-np.inf)
+        seeds = np.unique(self._entry_host[: max(W * 4, 16)])
+        recs = np.ascontiguousarray(np.asarray(inline[seeds]))
+        own = recs[:, adj_b : adj_b + m]
+        s_seed = self._score_codes(L_tab, own)  # (nq, S)
+        if keep_mask is not None:
+            s_seed[:, ~keep_mask[seeds]] = NEG
+        S = seeds.size
+        cand_ids = np.full((nq, L), -1, np.int64)
+        cand_s = np.full((nq, L), NEG, np.float32)
+        cand_exp = np.zeros((nq, L), bool)
+        w0 = min(S, L)
+        cand_ids[:, :w0] = seeds[None, :w0]
+        cand_s[:, :w0] = s_seed[:, :w0]
+
+        hops = -(-L // max(W, 1)) + 4
+        for _h in range(hops):
+            sel_s = np.where(cand_exp | (cand_ids < 0), NEG, cand_s)
+            Wc = min(W, L)
+            pick = np.argpartition(-sel_s, Wc - 1, axis=1)[:, :Wc]
+            pick_s = np.take_along_axis(sel_s, pick, 1)
+            valid_pick = pick_s > NEG
+            if not valid_pick.any():
+                break
+            pick_ids = np.take_along_axis(cand_ids, pick, 1)
+            np.put_along_axis(cand_exp, pick, True, 1)
+            safe_ids = np.where(valid_pick, pick_ids, 0)
+            uniq = np.unique(safe_ids)
+            recs = np.ascontiguousarray(np.asarray(inline[uniq]))  # SSD reads
+            adj_u = recs[:, :adj_b].copy().view(np.int32).reshape(-1, deg)
+            ncodes_u = recs[:, adj_b + m :].reshape(-1, deg, m)
+            uix = np.searchsorted(uniq, safe_ids)
+            nbr_ids = adj_u[uix].reshape(nq, Wc * deg).astype(np.int64)
+            codes_q = ncodes_u[uix]  # (nq, Wc, deg, m)
+            s_new = np.zeros((nq, Wc * deg), np.float32)
+            flatc = codes_q.reshape(nq, Wc * deg, m)
+            for j in range(m):
+                s_new += np.take_along_axis(L_tab[:, j, :], flatc[:, :, j], axis=1)
+            invalid = (nbr_ids < 0) | ~np.repeat(valid_pick, deg, axis=1)
+            if keep_mask is not None:
+                invalid |= ~keep_mask[np.clip(nbr_ids, 0, n - 1)]
+            s_new[invalid] = NEG
+            nbr_ids[invalid] = -1
+
+            cat_i = np.concatenate([cand_ids, nbr_ids], 1)
+            cat_s = np.concatenate([cand_s, s_new], 1)
+            cat_e = np.concatenate([cand_exp, np.zeros_like(s_new, bool)], 1)
+            order = np.argsort(cat_i, axis=1, kind="stable")
+            si = np.take_along_axis(cat_i, order, 1)
+            ss = np.take_along_axis(cat_s, order, 1)
+            se = np.take_along_axis(cat_e, order, 1)
+            dup = np.zeros_like(si, bool)
+            dup[:, 1:] = (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)
+            ss[dup] = NEG
+            top = np.argpartition(-ss, L - 1, axis=1)[:, :L]
+            cand_ids = np.take_along_axis(si, top, 1)
+            cand_s = np.take_along_axis(ss, top, 1)
+            cand_exp = np.take_along_axis(se, top, 1)
+            cand_ids = np.where(cand_s > NEG, cand_ids, -1)
+        return cand_ids
 
     def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         vb = cfg.get("vectors_beamwidth")
@@ -929,7 +1075,37 @@ class AisaqIndexNode(DiskANNIndexNode):
             object.__setattr__(
                 cfg, "beamwidth", min(int(cfg.get("beamwidth", 8) or 8), int(vb))
             )
-        return super().Search(dataset, cfg, bitset)
+        if self._inline_nodes is None:
+            return super().Search(dataset, cfg, bitset)
+        with self._lock:
+            if not self._loaded:
+                return expected.Err(Status.empty_index, "diskann index not loaded")
+            metric = normalize_metric(cfg.metric_type)
+            if metric != self._metric:
+                return expected.Err(Status.invalid_metric_type, "metric mismatch")
+            k = cfg.k
+            L = max(int(cfg.get("search_list_size") or max(k * 10, 100)), k)
+            xq = self._prep_q(dataset)
+            nq = xq.shape[0]
+            is_l2 = self._metric == M.L2
+            keep_mask = (
+                bitset.host_mask(self._count) if not bitset.empty_view() else None
+            )
+            ratio = bitset.filter_ratio() if not bitset.empty_view() else 0.0
+            thresh = cfg.get("filter_threshold", -1.0)
+            if thresh is not None and thresh >= 0 and ratio >= thresh or ratio >= 0.95:
+                dists, ids = self._brute_force_disk(xq, k, bitset)
+                return expected.Ok(GenResultDataSet(nq, k, ids, dists))
+            W = int(cfg.get("beamwidth") or max(1, min(8, L // 8)))
+            cand = self._search_inline_ssd(xq, L, W, keep_mask)
+            dists, ids = self._rerank_from_disk(xq, cand, k, is_l2)
+            if keep_mask is not None:
+                n_valid = self._count - bitset.count()
+                unfilled = (ids >= 0).sum(1) < min(k, n_valid)
+                if unfilled.any():
+                    bd, bi = self._brute_force_disk(xq[unfilled], k, bitset)
+                    dists[unfilled], ids[unfilled] = bd, bi
+            return expected.Ok(GenResultDataSet(nq, k, ids.astype(np.int64), dists))
 
 
 class AisaqConfig(DiskANNConfig):
