@@ -503,7 +503,18 @@ class SparseInvertedIndexNode(IndexNode):
             if h is None:
                 self._caches["hybrid"] = (None, None)
                 return None
-            tail_dev = _jax.device_put(h.tail.doc_ids)
+            # Resident posting compression (reference keeps postings
+            # compressed in memory/mmap — block_inverted_index.h + codec/).
+            # The TPU-honest subset: variable-rate codecs (delta+bitpack)
+            # don't survive a flat XLA gather, but (a) doc ids narrow to u16
+            # whenever nb fits — EXACT, halves the resident id stream — and
+            # (b) KNOWHERE_SPARSE_RESIDENT_BF16=1 additionally stores tail
+            # values (and the head slab) in bf16 (~0.4% value rounding, the
+            # same trade the reference's quantized BM25 postings make).
+            ids_h = h.tail.doc_ids
+            if h.nb <= 0xFFFF:
+                ids_h = ids_h.astype(np.uint16)
+            tail_dev = _jax.device_put(ids_h)
             # the (F, nb_pad) head slab host copy only feeds metric
             # re-transforms after the device upload: spill it (the reference
             # keeps postings compressed/mmap'd, not duplicated —
@@ -516,11 +527,25 @@ class SparseInvertedIndexNode(IndexNode):
         h, tail_ids_dev = got
         if h is None:
             return None
+        import os as _os
+
+        bf16_res = _os.environ.get("KNOWHERE_SPARSE_RESIDENT_BF16") == "1"
+
+        def _vals_dt(a):
+            if not bf16_res:
+                return np.asarray(a)
+            import ml_dtypes
+
+            return np.asarray(a).astype(ml_dtypes.bfloat16)
+
         if self._metric != M.BM25:
             vkey = ("hvals", "ip")
             slot = self._caches.get(vkey)
             if slot is None:
-                slot = (_jax.device_put(h.slab), _jax.device_put(h.tail.vals))
+                slot = (
+                    _jax.device_put(_vals_dt(h.slab)),
+                    _jax.device_put(_vals_dt(h.tail.vals)),
+                )
                 self._caches[vkey] = slot
             return h, slot[0], slot[1], tail_ids_dev
         k1 = float(cfg.get("bm25_k1"))
@@ -532,8 +557,8 @@ class SparseInvertedIndexNode(IndexNode):
         if slot is None or slot[0] != pkey:
             slot = (
                 pkey,
-                _jax.device_put(hybrid_bm25_slab(h, k1, b, avgdl)),
-                _jax.device_put(bm25_transform(h.tail, k1, b, avgdl)),
+                _jax.device_put(_vals_dt(hybrid_bm25_slab(h, k1, b, avgdl))),
+                _jax.device_put(_vals_dt(bm25_transform(h.tail, k1, b, avgdl))),
             )
             self._caches[vkey] = slot
         return h, slot[1], slot[2], tail_ids_dev

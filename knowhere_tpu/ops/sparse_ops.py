@@ -614,8 +614,10 @@ def _hybrid_topk_kernel(
         preferred_element_type=jnp.float32,
     )  # (nqc, nb_pad)
     if has_tail:
-        docs = jnp.take(tail_doc_ids, entry_idx)
-        contrib = w * jnp.take(tail_vals, entry_idx)
+        # resident-compression aware: ids may be u16 (nb <= 65535, exact)
+        # and vals bf16 (opt-in lossy) — widen after the gather
+        docs = jnp.take(tail_doc_ids, entry_idx).astype(jnp.int32)
+        contrib = w * jnp.take(tail_vals, entry_idx).astype(jnp.float32)
         scores = scores.at[qid, docs].add(contrib)
     if has_mask:
         scores = jnp.where(maskf[None, :] > 0, scores, -jnp.inf)
@@ -742,8 +744,10 @@ def _hybrid_full_kernel(
         preferred_element_type=jnp.float32,
     )
     if has_tail:
-        docs = jnp.take(tail_doc_ids, entry_idx)
-        contrib = w * jnp.take(tail_vals, entry_idx)
+        # resident-compression aware: ids may be u16 (nb <= 65535, exact)
+        # and vals bf16 (opt-in lossy) — widen after the gather
+        docs = jnp.take(tail_doc_ids, entry_idx).astype(jnp.int32)
+        contrib = w * jnp.take(tail_vals, entry_idx).astype(jnp.float32)
         scores = scores.at[qid, docs].add(contrib)
     if has_mask:
         scores = jnp.where(maskf[None, :] > 0, scores, -jnp.inf)

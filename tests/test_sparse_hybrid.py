@@ -170,3 +170,28 @@ def test_slab_budget_cap():
     assert h_small is not None and h_big is not None
     assert h_small.F <= h_big.F
     assert h_small.head_nnz + len(h_small.tail.vals) == h_small.total_nnz
+
+
+def test_resident_compression_modes(corpus, monkeypatch):
+    """14b resident-compression: u16 tail ids are automatic+exact (nb fits);
+    KNOWHERE_SPARSE_RESIDENT_BF16=1 additionally stores values bf16 — ranks
+    must hold even though scores round (~0.4%)."""
+    import jax.numpy as jnp
+
+    base, queries = corpus
+    idx = _build(base)
+    r_exact = idx.Search(_ds(queries), {"metric_type": "IP", "k": K}, kt.BitsetView()).value()
+    h_got = idx.node._caches.get("hybrid")
+    assert h_got is not None and h_got[1].dtype == jnp.uint16  # auto u16 ids
+
+    monkeypatch.setenv("KNOWHERE_SPARSE_RESIDENT_BF16", "1")
+    idx2 = _build(base)
+    r_bf = idx2.Search(_ds(queries), {"metric_type": "IP", "k": K}, kt.BitsetView()).value()
+    slot = idx2.node._caches.get(("hvals", "ip"))
+    assert slot is not None and slot[0].dtype == jnp.bfloat16
+    i0 = r_exact.ids.reshape(NQ, K)
+    i1 = r_bf.ids.reshape(NQ, K)
+    overlap = np.mean([
+        len(set(i0[q].tolist()) & set(i1[q].tolist())) / K for q in range(NQ)
+    ])
+    assert overlap >= 0.9, overlap
