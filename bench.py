@@ -65,6 +65,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
+# debugging hook: KNOWHERE_BENCH_PLATFORM=cpu runs the whole bench on the
+# host backend (flushes harness bugs while the TPU tunnel is down); numbers
+# produced this way are NOT comparable and the final line is tagged
+_FORCED_PLATFORM = os.environ.get("KNOWHERE_BENCH_PLATFORM")
+if _FORCED_PLATFORM:
+    jax.config.update("jax_platforms", _FORCED_PLATFORM)
+
 
 def _probe_backend(
     timeout_s: float = float(os.environ.get("KNOWHERE_BENCH_PROBE_TIMEOUT", "300")),
@@ -229,6 +236,7 @@ def print_final():
                 "vs_baseline": round(vs, 3),
                 "elapsed_s": round(elapsed_total(), 1),
                 "budget_s": BUDGET_S,
+                **({"platform_override": _FORCED_PLATFORM} if _FORCED_PLATFORM else {}),
                 "rows": ROWS,
             }
         ),

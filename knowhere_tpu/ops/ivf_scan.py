@@ -1120,7 +1120,12 @@ def _pallas_int8_search(
 
     nq = q_dev.shape[0]
     B = LIST_ALIGN
-    kk = task_kk(k, B)
+    # candidate-generation path: the merged pool re-ranks EXACTLY afterwards,
+    # so per-block top-16 suffices (the true top-k_scan spreads over the
+    # ~nprobe*blocks probed blocks; >16 of them landing in ONE 512-row block
+    # is vanishingly rare) — and the kk-pass VPU top-k is the kernel's
+    # dominant cost, not the int8 matmul
+    kk = min(task_kk(k, B), 16)
     d_chunk = int(q_dev.shape[1])
     chunk = max(8, min(16384, (512 << 20) // max(Qg * d_chunk * 4, 1)) // 8 * 8)
 
