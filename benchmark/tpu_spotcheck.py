@@ -95,22 +95,29 @@ def _():
     np.testing.assert_array_equal(np.asarray(s_u8), np.asarray(s_i8))
 
 
-def _adc_setup(m, ksub, d, nlist):
-    sub = d // m
+def _adc_setup(m, ksub, d, nlist, dim=None):
+    """dim < d models feature padding (GIST 960 -> d_dev 1024): books cover
+    dim, device arrays are zero-padded to d."""
+    dim = dim or d
+    sub = dim // m
     nb = nlist * B
     books = rng.standard_normal((m, ksub, sub)).astype(np.float32) * 0.3
-    cents = rng.standard_normal((nlist, d)).astype(np.float32)
+    cents = np.zeros((nlist, d), np.float32)
+    cents[:, :dim] = rng.standard_normal((nlist, dim)).astype(np.float32)
     codes = rng.integers(0, ksub, size=(nb, m)).astype(np.uint8)
-    q = rng.standard_normal((32, d)).astype(np.float32)
+    q = np.zeros((32, d), np.float32)
+    q[:, :dim] = rng.standard_normal((32, dim)).astype(np.float32)
     books_bd = np.zeros((d, m * ksub), np.float32)
     for i in range(m):
         books_bd[i * sub : (i + 1) * sub, i * ksub : (i + 1) * ksub] = books[i].T
-    c3 = cents.reshape(nlist, m, sub)
+    c3 = cents[:, :dim].reshape(nlist, m, sub)
     clut = 2.0 * np.einsum("lms,mvs->lmv", c3, books) + np.sum(books**2, -1)[None]
     dec = books.reshape(m * ksub, sub)[
         codes.astype(np.int64) + (np.arange(m) * ksub)[None, :]
-    ].reshape(nb, d)
-    x = dec + cents[np.repeat(np.arange(nlist), B)]
+    ].reshape(nb, dim)
+    x = np.zeros((nb, d), np.float32)
+    x[:, :dim] = dec
+    x += cents[np.repeat(np.arange(nlist), B)]
     gt = 2.0 * q @ x.T - np.sum(x**2, 1)[None, :]
     return books_bd, clut, cents, codes, q, gt
 
@@ -164,7 +171,7 @@ def _():
     m, ksub, d, nlist, Qg, kk = 96, 256, 1024, 2, 32, 8
     geom = adc_mc_geometry(m, ksub, d)
     assert geom is not None, "no geometry for GIST shape"
-    books_bd, clut, cents, codes, q, gt = _adc_setup(m, ksub, d, nlist)
+    books_bd, clut, cents, codes, q, gt = _adc_setup(m, ksub, d, nlist, dim=960)
     ct = np.ascontiguousarray(codes.T.astype(np.int32))
     scores, _ = pallas_adc_tasks_mc(
         jnp.arange(nlist, dtype=jnp.int32), jnp.full((nlist,), B, jnp.int32),
