@@ -144,6 +144,67 @@ def main():
         lambda: S._merge_tasks(sc, pos, qids_t, slots_t, nq=nq_pad, S=Spad,
                                kk=kk, k=K),
     )
+    # same merge on canonical-layout copies: isolates pallas-output-layout
+    # conversion cost from the merge itself
+    sc2 = jax.block_until_ready(jnp.asarray(np.asarray(sc)))
+    pos2 = jax.block_until_ready(jnp.asarray(np.asarray(pos)))
+    timed(
+        "_merge_tasks canon",
+        lambda: S._merge_tasks(sc2, pos2, qids_t, slots_t, nq=nq_pad, S=Spad,
+                               kk=kk, k=K),
+    )
+    # and the k=48 candidate-pool merge the int8 path performs
+    timed(
+        "_merge_tasks k=48",
+        lambda: S._merge_tasks(sc, pos, qids_t, slots_t, nq=nq_pad, S=Spad,
+                               kk=kk, k=48),
+    )
+
+    # bisect the merge with the REAL arrays
+    from functools import partial as _pt
+
+    @_pt(jax.jit, static_argnames=("nq", "S", "kk"))
+    def scatter_only(scores, pos, qids, slots, *, nq, S, kk):
+        flat_idx = jnp.where(qids >= 0, qids * S + jnp.minimum(slots, S - 1), nq * S)
+        ms = jnp.full((nq * S + 1, kk), -jnp.inf, jnp.float32).at[flat_idx.reshape(-1)].set(scores.reshape(-1, kk))
+        mp = jnp.full((nq * S + 1, kk), -1, jnp.int32).at[flat_idx.reshape(-1)].set(pos.reshape(-1, kk))
+        return ms, mp
+
+    (ms_r, mp_r), _ = timed(
+        "merge.scatter real", scatter_only, sc, pos, qids_t, slots_t,
+        nq=nq_pad, S=Spad, kk=kk,
+    )
+    msv = jax.block_until_ready(ms_r[: nq_pad * Spad].reshape(nq_pad, Spad * kk) + 0)
+    mpv = jax.block_until_ready(mp_r[: nq_pad * Spad].reshape(nq_pad, Spad * kk) + 0)
+
+    @_pt(jax.jit, static_argnames=("k",))
+    def topk_only(ms, mp, *, k):
+        s, sel = jax.lax.top_k(ms, k)
+        return s, jnp.take_along_axis(mp, sel, axis=1)
+
+    timed("merge.topk real k=10", topk_only, msv, mpv, k=K)
+    timed("merge.topk real k=48", topk_only, msv, mpv, k=48)
+
+    # decisive: same scatter, same process, SYNTHETIC data values
+    rngp = np.random.default_rng(1)
+    T_syn = sc.shape[0]
+    sc_s = jax.device_put(rngp.standard_normal((T_syn, Qg, kk)).astype(np.float32))
+    pos_s = jax.device_put(rngp.integers(0, 1 << 20, (T_syn, Qg, kk)).astype(np.int32))
+    qid_s = jax.device_put(rngp.integers(0, nq_pad, (T_syn, Qg)).astype(np.int32))
+    slot_s = jax.device_put(rngp.integers(0, S_max, (T_syn, Qg)).astype(np.int32))
+    jax.block_until_ready((sc_s, pos_s, qid_s, slot_s))
+    timed(
+        "merge.scatter synth", scatter_only, sc_s, pos_s, qid_s, slot_s,
+        nq=nq_pad, S=Spad, kk=kk,
+    )
+
+    @jax.jit
+    def fulls_only():
+        a = jnp.full((nq_pad * Spad + 1, kk), -jnp.inf, jnp.float32)
+        b = jnp.full((nq_pad * Spad + 1, kk), -1, jnp.int32)
+        return a[0], b[0]
+
+    timed("merge.fulls only", fulls_only)
 
     # useful counts
     pr = np.asarray(probes)

@@ -477,14 +477,33 @@ def _merge_tasks(
     kk: int,
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter per-task top-k into (nq, S) slots, then one final top-k."""
-    flat_idx = jnp.where(qids >= 0, qids * S + jnp.minimum(slots, S - 1), nq * S)
-    merged_s = jnp.full((nq * S + 1, kk), NEG_INF, dtype=jnp.float32)
-    merged_p = jnp.full((nq * S + 1, kk), -1, dtype=jnp.int32)
-    merged_s = merged_s.at[flat_idx.reshape(-1)].set(scores.reshape(-1, kk))
-    merged_p = merged_p.at[flat_idx.reshape(-1)].set(pos.reshape(-1, kk))
-    ms = merged_s[: nq * S].reshape(nq, S * kk)
-    mp = merged_p[: nq * S].reshape(nq, S * kk)
+    """Invert (task-row -> query-slot) with ONE element scatter, then GATHER
+    the (nq, S, kk) pool and run one final top-k.
+
+    The r3 form scattered the kk-wide task rows directly into the pool; XLA
+    lowers multi-column row scatters essentially serially on TPU (~0.17us
+    per row — measured 160-190ms per 1M-row search batch IN THE HONEST
+    post-d2h timing regime, where pre-d2h timings under-measure; see
+    .claude/skills/verify). Single-element scatters vectorize (~10ms for the
+    same 1M), and row GATHERS run at the documented ~91 Mrows/s, so
+    scatter-the-permutation + gather-the-rows is ~4x faster end to end.
+    (q, slot) keys are unique by construction; padded task rows get unique
+    OUT-OF-BOUNDS keys, which jax scatter drops."""
+    Tq = scores.shape[0] * scores.shape[1]
+    flat_q = qids.reshape(-1)
+    rown = jnp.arange(Tq, dtype=jnp.int32)
+    key = jnp.where(
+        flat_q >= 0,
+        flat_q * S + jnp.minimum(slots.reshape(-1), S - 1),
+        nq * S + rown,  # unique OOB -> dropped by the scatter
+    )
+    inv = jnp.full((nq * S,), -1, jnp.int32).at[key].set(rown, unique_indices=True)
+    safe = jnp.clip(inv, 0)
+    valid = (inv >= 0)[:, None]
+    ms = jnp.where(valid, jnp.take(scores.reshape(-1, kk), safe, axis=0), NEG_INF)
+    mp = jnp.where(valid, jnp.take(pos.reshape(-1, kk), safe, axis=0), -1)
+    ms = ms.reshape(nq, S * kk)
+    mp = mp.reshape(nq, S * kk)
     k_eff = min(k, S * kk)  # fewer candidates than k: pad below
     best_s, sel = jax.lax.top_k(ms, k_eff)
     best_p = jnp.take_along_axis(mp, sel, axis=1)
