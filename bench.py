@@ -642,9 +642,14 @@ def sparse_cpu_baseline_qps(xb, xq, vocab, n_sample=64, cores=32):
 
 def exact_gt_chunked(xb, xq, k, chunk=1_000_000):
     """Exact L2 top-k over an arbitrarily large host corpus: device scan in
-    chunks with a running merge (the 10M-leg GT path)."""
+    chunks with a running merge (the 10M-leg GT path). The (nq, chunk) f32
+    distance matrix must fit HBM: cap the chunk so it stays under ~2GB
+    (nq=10k x chunk=1M would be 40GB)."""
     import jax.numpy as jnp
     from functools import partial
+
+    nq_gt = xq.shape[0]
+    chunk = int(min(chunk, max(65536, (2 << 30) // (max(nq_gt, 1) * 4))))
 
     @partial(jax.jit, static_argnames=("k",))
     def topk_chunk(q, base, base0, k):
