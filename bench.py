@@ -919,18 +919,22 @@ def bench_sparse():
                 row["cpu_qps_measured_x32core"] = round(cpu_qps, 1)
                 row["vs_baseline"] = round(qps / (2.0 * cpu_qps), 3)
             # windowed pruned engine at the SAME operating point (VERDICT r3
-            # #7: measure it at the chosen drop, not only on explicit knobs)
+            # #7: measure it at the chosen drop, not only on explicit knobs).
+            # 256-query subset: the r4 cold run measured it at 3.8 QPS —
+            # the full 2k queries would burn ~10 min on a losing engine
             try:
+                nqp = min(256, SPARSE_NQ)
+                q_sub = kt.GenSparseDataSet(xq[:nqp], SPARSE_VOCAB)
                 cfgp = {"metric_type": metric, "k": K, "drop_ratio_search": chosen,
                         "sindi_window_size": 32768, **mcfg}
                 if chosen > 0:
                     cfgp["refine_factor"] = 4
-                idx.Search(queries, cfgp)  # warm
+                idx.Search(q_sub, cfgp)  # warm
                 t0 = time.perf_counter()
-                rp = idx.Search(queries, cfgp)
+                rp = idx.Search(q_sub, cfgp)
                 if rp.has_value():
                     row["qps_pruned_w32768"] = round(
-                        SPARSE_NQ / (time.perf_counter() - t0), 1
+                        nqp / (time.perf_counter() - t0), 1
                     )
             except Exception:  # pragma: no cover
                 pass
@@ -1098,10 +1102,22 @@ def main():
     )
     emit({"leg": "sift_setup", "elapsed_s": round(time.perf_counter() - t0, 1)})
 
-    kept = {}
-    for name, est in (("IVF_FLAT", 260), ("IVF_SQ8", 170), ("IVF_PQ", 280), ("HNSW", 420)):
+    # The chip holds ~16GB; four resident 1M indexes (HNSW's inline table
+    # alone is ~5GB) OOM'd the r4 cold run at the range leg and poisoned the
+    # process (leaked server-side HBM). Each family therefore runs its
+    # dependent aux legs IMMEDIATELY after its own row and is freed before
+    # the next family builds.
+    import gc
+
+    def free_idx(*objs):
+        for o in objs:
+            del o
+        gc.collect()
+
+    def run_family(name, est):
         if not allow_leg(name, est):
-            continue
+            return None, None
+        idx = None
         try:
             idx, profile, err = get_dense_index(
                 name, f"sift_{name}_{NB}", base_ds, BUILD_CFG[name]
@@ -1117,7 +1133,6 @@ def main():
                     row, chosen = out
                 else:
                     row, chosen = out, None
-                kept[name] = idx
         except Exception as e:  # pragma: no cover
             row, chosen = {"index": name, "error": repr(e)}, None
         row["dataset"] = f"SIFT1M-like {NB}x{DIM}"
@@ -1137,6 +1152,38 @@ def main():
             row["cpu_qps_measured_x32core"] = round(cpu, 1)
             row["vs_baseline"] = round(row.get("qps", 0.0) / (2.0 * cpu), 3)
         emit(row)
+        return idx, chosen
+
+    idx_f, _ = run_family("IVF_FLAT", 260)
+    # ---- range-search leg (uses the still-resident IVF_FLAT) ----
+    if idx_f is None:
+        emit({"leg": "range", "skipped": "no IVF_FLAT index"})
+    elif allow_leg("range", 60):
+        try:
+            rrow = bench_range(idx_f, base_ds, xq, NQ)
+            rrow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
+            emit(rrow)
+        except Exception as e:  # pragma: no cover
+            emit({"leg": "range", "error": repr(e)})
+    free_idx(idx_f)
+
+    idx_s8, _ = run_family("IVF_SQ8", 170)
+    free_idx(idx_s8)
+    idx_pq, _ = run_family("IVF_PQ", 280)
+    free_idx(idx_pq)
+
+    idx_h, _ = run_family("HNSW", 420)
+    # ---- bitset-filtered leg (uses the still-resident HNSW) ----
+    if idx_h is None:
+        emit({"leg": "bitset_filtered", "skipped": "no HNSW index"})
+    elif allow_leg("bitset_filtered", 120):
+        try:
+            for frow in bench_filtered(idx_h, base_ds, xq, NQ, NB):
+                frow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
+                emit(frow)
+        except Exception as e:  # pragma: no cover
+            emit({"leg": "bitset_filtered", "error": repr(e)})
+    free_idx(idx_h)
 
     # ---- FLAT exact row (reference benchmark config: Flat BF SIFT1M) ----
     if allow_leg("FLAT", 60):
@@ -1173,28 +1220,6 @@ def main():
             srow["dataset"] = f"synthetic-sparse {SPARSE_NB}x{SPARSE_VOCAB}"
             emit(srow)
 
-    # ---- bitset-filtered leg (reuses the HNSW index) ----
-    if kept.get("HNSW") is None:
-        emit({"leg": "bitset_filtered", "skipped": "no HNSW index"})
-    elif allow_leg("bitset_filtered", 120):
-        try:
-            for frow in bench_filtered(kept["HNSW"], base_ds, xq, NQ, NB):
-                frow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
-                emit(frow)
-        except Exception as e:  # pragma: no cover
-            emit({"leg": "bitset_filtered", "error": repr(e)})
-
-    # ---- range-search leg (reuses the IVF_FLAT index) ----
-    if kept.get("IVF_FLAT") is None:
-        emit({"leg": "range", "skipped": "no IVF_FLAT index"})
-    elif allow_leg("range", 60):
-        try:
-            rrow = bench_range(kept["IVF_FLAT"], base_ds, xq, NQ)
-            rrow["dataset"] = f"SIFT1M-like {NB}x{DIM}"
-            emit(rrow)
-        except Exception as e:  # pragma: no cover
-            emit({"leg": "range", "error": repr(e)})
-
     # ---- DISKANN leg ----
     if allow_leg("DISKANN", 240):
         try:
@@ -1210,10 +1235,7 @@ def main():
         drow["dataset"] = f"SIFT-like {min(DISKANN_NB, NB)}x{DIM}"
         emit(drow)
 
-    kept.clear()
     del xb, xq, base_ds, query_ds, gt_ids
-    import gc
-
     gc.collect()
 
     # ---- GIST-960-like high-dim leg at 1M ----
