@@ -412,8 +412,15 @@ def smallest_knob(ladder, eval_fn, target=RECALL_TARGET, min_remaining=45.0):
     (recall is monotone in nprobe/ef/search_list_size). Protocol parity:
     the reference harness binary-searches the same way
     (benchmark/hdf5/benchmark_float_qps.cpp:96-119). Returns
-    (knob, recall, reached). Budget-aware: bails to the best known rung
-    when the global budget runs low."""
+    (knob, recall, reached).
+
+    Mid-first (r4): the old hi-first probe ran the LARGEST knob before
+    anything else — at GIST that is a 1M x 960 full-probe scan whose compile
+    OOM'd and poisoned the process for every later rung. The top rung now
+    only runs if the search genuinely walks there, a rung that ERRORS
+    (eval_fn < 0) caps the search below it, and the best successful rung is
+    returned when the target is never reached. Budget-aware: bails to the
+    best known rung when the global budget runs low."""
     results = {}
 
     def ev(i):
@@ -422,17 +429,27 @@ def smallest_knob(ladder, eval_fn, target=RECALL_TARGET, min_remaining=45.0):
         return results[i]
 
     lo, hi = 0, len(ladder) - 1
-    if ev(hi) < target:
-        return ladder[hi], results[hi], False
+    best_i = None  # best successful rung seen
     while lo < hi:
         if remaining() < min_remaining:
             break
         mid = (lo + hi) // 2
-        if ev(mid) >= target:
+        rec = ev(mid)
+        if rec < 0:  # resource failure: larger knobs only get worse
+            hi = max(mid - 1, lo)
+            continue
+        if best_i is None or rec > results[best_i]:
+            best_i = mid
+        if rec >= target:
             hi = mid
         else:
             lo = mid + 1
-    return ladder[hi], ev(hi), True
+    rec = ev(hi)
+    if rec < 0:  # final rung failed: fall back to the best successful one
+        if best_i is None:
+            return ladder[hi], -1.0, False
+        return ladder[best_i], results[best_i], results[best_i] >= target
+    return ladder[hi], rec, rec >= target
 
 
 # ---------------------------------------------------------------------------
