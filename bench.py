@@ -121,6 +121,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import knowhere_tpu as kt  # noqa: E402
 from knowhere_tpu.ops.distances import DistancePrecision, set_distance_precision  # noqa: E402
 
+# The bench measures the FAST serving mode (int8/bf16 candidate generation
+# with exact rerank — the mode every row's recall is verified under). The
+# library default is EXACT (reference parity: fp32 until SetSimdType); r4's
+# GT caching removed the exact_gt call whose side effect used to flip this,
+# silently re-running every row on the fp32 XLA path (~2x slower).
+set_distance_precision(DistancePrecision.FAST)
+
 # Dense CPU baseline: MEASURED on this host at the bench's own operating
 # point (cpu_baseline_for below), scaled by a stated 32-core AVX512 server.
 CPU_BASELINE_QPS_FALLBACK = 15000.0
