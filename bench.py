@@ -226,6 +226,7 @@ def print_final():
     _FINAL_PRINTED = True
     ns = {r["index"]: r for r in ROWS
           if r.get("index") in ("IVF_FLAT", "IVF_PQ", "HNSW")
+          and "leg" not in r  # aux legs (range/filtered) reuse the index name
           and r.get("dataset", "").startswith("SIFT") and "qps" in r}
     names = ("IVF_FLAT", "IVF_PQ", "HNSW")
     value = min((ns[n]["qps"] for n in names if n in ns), default=0.0)
@@ -623,10 +624,16 @@ def cpu_baseline_for(kind, nb, d, nlist, nprobe_chosen, extra=None, cores=CPU_CO
             nhop = 50
             idxs = rng.integers(0, rows_model, size=(nhop, M2))
             _ = buf[idxs[0]] @ qv
-            t0 = time.perf_counter()
-            for h in range(nhop):
-                _ = buf[idxs[h]] @ qv
-            per_hop = (time.perf_counter() - t0) / nhop
+            # min over repeats: this 1-vCPU host runs the bench concurrently
+            # with device waits, and a single 50-hop sample swung the HNSW
+            # baseline +-45% between runs; the fastest repeat is the least
+            # contended (and the most favorable to the CPU)
+            per_hop = float("inf")
+            for _rep in range(5):
+                t0 = time.perf_counter()
+                for h in range(nhop):
+                    _ = buf[idxs[h]] @ qv
+                per_hop = min(per_hop, (time.perf_counter() - t0) / nhop)
             return 1.0 / (ef * per_hop) * cores
     except Exception:  # pragma: no cover
         pass

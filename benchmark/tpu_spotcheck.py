@@ -95,7 +95,7 @@ def _():
     np.testing.assert_array_equal(np.asarray(s_u8), np.asarray(s_i8))
 
 
-def _adc_setup(m, ksub, d, nlist, dim=None):
+def _adc_setup(m, ksub, d, nlist, dim=None, nq=32):
     """dim < d models feature padding (GIST 960 -> d_dev 1024): books cover
     dim, device arrays are zero-padded to d."""
     dim = dim or d
@@ -105,8 +105,8 @@ def _adc_setup(m, ksub, d, nlist, dim=None):
     cents = np.zeros((nlist, d), np.float32)
     cents[:, :dim] = rng.standard_normal((nlist, dim)).astype(np.float32)
     codes = rng.integers(0, ksub, size=(nb, m)).astype(np.uint8)
-    q = np.zeros((32, d), np.float32)
-    q[:, :dim] = rng.standard_normal((32, dim)).astype(np.float32)
+    q = np.zeros((nq, d), np.float32)
+    q[:, :dim] = rng.standard_normal((nq, dim)).astype(np.float32)
     books_bd = np.zeros((d, m * ksub), np.float32)
     for i in range(m):
         books_bd[i * sub : (i + 1) * sub, i * ksub : (i + 1) * ksub] = books[i].T
@@ -167,11 +167,13 @@ def _():
 
 @check("adc_mc_gist_geometry")
 def _():
-    # GIST m=96 at d_dev=1024: the production geometry must compile
-    m, ksub, d, nlist, Qg, kk = 96, 256, 1024, 2, 32, 8
+    # GIST m=96 at d_dev=1024 at the PRODUCTION shape: the dispatch clamps
+    # Qg to 64 for the chunked kernel (Qg=128 measured 20.8MB scoped vmem
+    # vs the 16MB stack; the books double-buffer alone is 8MB)
+    m, ksub, d, nlist, Qg, kk = 96, 256, 1024, 2, 64, 32
     geom = adc_mc_geometry(m, ksub, d)
     assert geom is not None, "no geometry for GIST shape"
-    books_bd, clut, cents, codes, q, gt = _adc_setup(m, ksub, d, nlist, dim=960)
+    books_bd, clut, cents, codes, q, gt = _adc_setup(m, ksub, d, nlist, dim=960, nq=Qg)
     ct = np.ascontiguousarray(codes.T.astype(np.int32))
     scores, _ = pallas_adc_tasks_mc(
         jnp.arange(nlist, dtype=jnp.int32), jnp.full((nlist,), B, jnp.int32),

@@ -750,16 +750,22 @@ def _adc_kernel_mc(
     else:
         lut = lutq
 
+    # per-subspace one-hot matmuls: a single (Wc, B) one-hot costs 3 i32/bf16
+    # (Wc, B) VMEM temporaries (4MB each at Wc=2048, B=512) and blew the 16MB
+    # scoped-vmem stack at Qg=128 (measured 21MB); per-subspace (ksub, B)
+    # temporaries are 0.5MB and the MACs are identical
     codes = codes_ref[...]  # (m_c, B) i32
-    codes_exp = jnp.broadcast_to(
-        codes.reshape(m_c, 1, B), (m_c, ksub, B)
-    ).reshape(Wc, B)
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (m_c, ksub, B), 1).reshape(Wc, B)
-    oh = (codes_exp == iota_v).astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
-        lut.astype(jnp.bfloat16), oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    lut_bf = lut.astype(jnp.bfloat16)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (ksub, B), 0)
+    part = jnp.zeros((Qg, B), jnp.float32)
+    for j in range(m_c):
+        cj = jax.lax.slice(codes, (j, 0), (j + 1, B))  # (1, B)
+        oh = (jnp.broadcast_to(cj, (ksub, B)) == iota_v).astype(jnp.bfloat16)
+        part = part + jax.lax.dot_general(
+            jax.lax.slice(lut_bf, (0, j * ksub), (Qg, (j + 1) * ksub)),
+            oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(mc == 0)
     def _init():
@@ -838,6 +844,14 @@ def pallas_adc_tasks_mc(
         ],
         scratch_shapes=[pltpu.VMEM((Qg, B), jnp.float32)],
     )
+    kwargs = {}
+    if not interpret and _HAS_PLTPU:
+        # v5e VMEM is 128MB; the compiler's DEFAULT 16MB scoped stack is 292KB
+        # short of this kernel's footprint at Qg=64 (books double-buffer 8MB +
+        # Qg-scaled temps) — raise the cap explicitly
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        )
     return pl.pallas_call(
         functools.partial(
             _adc_kernel_mc,
@@ -850,6 +864,7 @@ def pallas_adc_tasks_mc(
             jax.ShapeDtypeStruct((Tc, Qg, kk), jnp.int32),
         ],
         interpret=interpret,
+        **kwargs,
     )(*inputs)
 
 

@@ -900,6 +900,11 @@ def _pallas_adc_search(
     books = store["codebooks"]
     m, ksub, _sub = books.shape
     geom = adc_mc_geometry(m, ksub, d)  # None -> single-grid kernel
+    if geom is not None:
+        # the chunked kernel's double-buffered books stream is ~8MB of the
+        # 16MB scoped-vmem stack; Qg-scaled temps must fit the rest
+        # (measured: Qg=128 at GIST needs 20.8MB, Qg=64 fits)
+        Qg = min(Qg, 64)
     B = LIST_ALIGN
     kk = task_kk(k, B)
     # chunk bound: the pre-gathered q_task buffer is (chunk, Qg, d) f32 —
