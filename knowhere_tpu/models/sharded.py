@@ -276,6 +276,7 @@ class ShardedIVFIndexNode(_ShardedDenseBase):
             variant=variant,
             m=int(m),
             nbits=int(tc.get("nbits", 8)),
+            refine=bool(tc.get("refine", False)),
         )
         self._engine = eng
         return Status.success
@@ -291,7 +292,9 @@ class ShardedIVFIndexNode(_ShardedDenseBase):
             )
         xq = self._prep_queries(dataset.tensor)
         dists, ids = self._engine.search(
-            xq, cfg.k, nprobe=int(cfg.get("nprobe", 8)), bitset_keep=self._keep(bitset)
+            xq, cfg.k, nprobe=int(cfg.get("nprobe", 8)),
+            bitset_keep=self._keep(bitset),
+            refine_k=int(cfg.get("refine_k", 1) or 1),
         )
         return expected.Ok(GenResultDataSet(dataset.rows, cfg.k, ids, dists))
 
@@ -330,6 +333,8 @@ class ShardedIVFIndexNode(_ShardedDenseBase):
             arrays["codebooks"] = eng._pq.codebooks
             meta["m"] = eng._pq.m
             meta["nbits"] = eng._pq.nbits
+            if eng._refine_payload is not None:
+                arrays["refine_payload"] = eng._refine_payload
         elif eng._kind == "sq":
             arrays["vmin"] = eng._sq.vmin
             arrays["vdiff"] = eng._sq.vdiff
@@ -358,6 +363,11 @@ class ShardedIVFIndexNode(_ShardedDenseBase):
         if eng._variant == "pq":
             eng._pq = PQCodec(np.array(arrays["codebooks"]), int(meta["m"]), int(meta["nbits"]))
             eng._kind = "pq"
+            eng._refine_payload = (
+                np.array(arrays["refine_payload"])
+                if "refine_payload" in arrays
+                else None
+            )
         elif eng._variant == "sq8":
             eng._sq = SQCodec(meta["sq_type"], np.array(arrays["vmin"]),
                               np.array(arrays["vdiff"]), dim=self._dim)
