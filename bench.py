@@ -181,7 +181,7 @@ SEARCH_EXTRA = {"IVF_PQ": {"refine_k": 8}}
 # budget + cache infrastructure (VERDICT r3 #1)
 # ---------------------------------------------------------------------------
 
-BUDGET_S = float(os.environ.get("KNOWHERE_BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("KNOWHERE_BENCH_BUDGET_S", "1650"))
 CACHE_DIR = os.environ.get(
     "KNOWHERE_BENCH_CACHE", os.path.join(_REPO, ".bench_cache")
 )
@@ -664,10 +664,12 @@ def sparse_cpu_baseline_qps(xb, xq, vocab, n_sample=64, cores=32):
     mat = to_csr(xb).T.tocsr()  # (vocab, nb) for q @ mat
     qm = to_csr(xq[:n_sample])
     _ = (qm[:8] @ mat).toarray()  # warm
-    t0 = time.perf_counter()
-    scores = (qm @ mat).toarray()
-    np.argpartition(-scores, K, axis=1)[:, :K]
-    dt = time.perf_counter() - t0
+    dt = float("inf")  # fastest of 3: this 1-vCPU host runs under load
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        scores = (qm @ mat).toarray()
+        np.argpartition(-scores, K, axis=1)[:, :K]
+        dt = min(dt, time.perf_counter() - t0)
     return n_sample / dt * cores
 
 
@@ -1158,7 +1160,7 @@ def main():
             else:
                 out = bench_dense(
                     name, idx, profile, query_sub_ds, query_ds, gt_ids,
-                    SUB_NQ, NQ, best_of=3,
+                    SUB_NQ, NQ, best_of=5,  # the tunnel swings +-10% run to run
                 )
                 if isinstance(out, tuple):
                     row, chosen = out
