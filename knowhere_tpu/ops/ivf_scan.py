@@ -26,6 +26,8 @@ Codecs (kind): 'raw' (fp32/fp16/bf16/int8), 'pq' (decode-on-the-fly, ==ADC),
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -505,7 +507,13 @@ def _merge_tasks(
     ms = ms.reshape(nq, S * kk)
     mp = mp.reshape(nq, S * kk)
     k_eff = min(k, S * kk)  # fewer candidates than k: pad below
-    best_s, sel = jax.lax.top_k(ms, k_eff)
+    if os.environ.get("KNOWHERE_MERGE_APPROX") == "1" and k_eff >= 8:
+        # experimental: hardware partial-reduce pool top-k (candidate pools
+        # re-rank exactly downstream; recall_target bounds pool loss)
+        best_s, sel64 = jax.lax.approx_max_k(ms, k_eff, recall_target=0.99)
+        sel = sel64.astype(jnp.int32)
+    else:
+        best_s, sel = jax.lax.top_k(ms, k_eff)
     best_p = jnp.take_along_axis(mp, sel, axis=1)
     best_p = jnp.where(best_s == NEG_INF, -1, best_p)
     if k_eff < k:
