@@ -1284,7 +1284,9 @@ def main():
             emit({"leg": "gist", "error": repr(e)})
 
     # ---- Deep10M-like sharded leg ----
-    if os.environ.get("KNOWHERE_BENCH_SKIP_DEEP") != "1" and allow_leg("deep10m", 420):
+    deep_key = f"deep_sharded_ivfpq_{DEEP_NB}x{DEEP_DIM}"
+    deep_est = 240 if os.path.exists(_binset_dir(deep_key)) else 420  # warm ladder only
+    if os.environ.get("KNOWHERE_BENCH_SKIP_DEEP") != "1" and allow_leg("deep10m", deep_est):
         try:
             deep = bench_deep10m()
         except Exception as e:  # pragma: no cover
