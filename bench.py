@@ -891,10 +891,12 @@ def bench_sparse():
         ("BM25", {"bm25_k1": 1.2, "bm25_b": 0.75, "bm25_avgdl": 40.0}),
     ):
         t_leg = time.perf_counter()
-        g = kt.BruteForce.SearchSparse(
-            base, queries, {"metric_type": metric, "k": K, **mcfg}
+        gt_ids = cached_npy(
+            f"sparse_gt_{SPARSE_NB}x{SPARSE_VOCAB}_{SPARSE_NQ}_{metric}",
+            lambda: kt.BruteForce.SearchSparse(
+                base, queries, {"metric_type": metric, "k": K, **mcfg}
+            ).value().ids.reshape(SPARSE_NQ, K),
         )
-        gt_ids = g.value().ids.reshape(SPARSE_NQ, K)
 
         idx = kt.IndexFactory.Instance().Create(
             "SPARSE_INVERTED_INDEX", data_type="sparse"
