@@ -967,7 +967,13 @@ class AisaqIndexNode(DiskANNIndexNode):
             return st
         prefix = cfg.get("index_prefix")
         ipath = self._inline_path(prefix)
-        self._fm_load(ipath)
+        # The inline file only exists for indexes built with inline_pq=true;
+        # a FileManager may raise on a missing blob, and either way the plain
+        # DiskANN HBM-codes path below is the correct fallback (ADVICE r4).
+        try:
+            self._fm_load(ipath)
+        except Exception:
+            pass
         if cfg.get("inline_pq", True) and os.path.exists(ipath):
             from ..io.serialize import read_sections
 
@@ -1066,7 +1072,11 @@ class AisaqIndexNode(DiskANNIndexNode):
             cand_s = np.take_along_axis(ss, top, 1)
             cand_exp = np.take_along_axis(se, top, 1)
             cand_ids = np.where(cand_s > NEG, cand_ids, -1)
-        return cand_ids
+        # Sanitize on EVERY exit path: a hop-0 break (all entry seeds masked
+        # by the bitset) leaves masked seed ids with NEG scores in the pool,
+        # and the disk rerank ignores the bitset — they must read as unfilled
+        # so Search's brute-force fallback triggers (ADVICE r4).
+        return np.where(cand_s > NEG, cand_ids, -1)
 
     def Search(self, dataset: DataSet, cfg: Config, bitset: BitsetView) -> "expected[DataSet]":
         vb = cfg.get("vectors_beamwidth")

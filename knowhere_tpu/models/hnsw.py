@@ -979,8 +979,30 @@ class HnswIndexNode(IndexNode):
     def _decode_all(self) -> np.ndarray:
         if self.VARIANT == "flat":
             return np.asarray(self._payload["data"], dtype=np.float32)
-        if "refine" in self._payload and self._refine_cfg == "raw":
-            return self._payload["refine"]
+        if "refine" in self._payload:
+            # every refine kind is full-dim and decodable — this is the only
+            # full-dim store for leanvec (walk store is PCA-reduced) and for
+            # pq/prq with a non-raw refine (ADVICE r4)
+            kind = self._refine_cfg or "raw"
+            ref = self._payload["refine"]
+            if kind == "raw":
+                return ref
+            if kind == "sq8":
+                sq = Q.SQCodec(
+                    "SQ8",
+                    self._payload["refine_vmin"],
+                    self._payload["refine_vdiff"],
+                    dim=ref.shape[1],
+                )
+                return np.asarray(
+                    Q.sq_decode_dev(
+                        sq,
+                        jax.device_put(ref),
+                        jax.device_put(sq.vmin),
+                        jax.device_put(sq.vdiff),
+                    )
+                )
+            return np.asarray(ref, dtype=np.float32)  # fp16 / bf16
         if self.VARIANT == "sq":
             if "data" in self._payload:  # FP16/BF16 raw store
                 return np.asarray(self._payload["data"], dtype=np.float32)

@@ -1005,6 +1005,14 @@ class SparseInvertedIndexNode(IndexNode):
                 "indices_codec": np.frombuffer(codec_blob, dtype=np.uint8),
                 "values": np.asarray(val_l, np.float32),
             }
+            # persist timed-probe engine choices so serving replicas that
+            # load the same blob agree (ADVICE r4: a wall-clock probe on the
+            # serving path is nondeterministic across processes)
+            engine_choices = {
+                f"{k_[1]}|{int(k_[2])}": v
+                for k_, v in self._caches.items()
+                if isinstance(k_, tuple) and k_ and k_[0] == "engine_choice"
+            }
             meta = {
                 "metric": self._metric,
                 "dim": self._dim,
@@ -1013,6 +1021,7 @@ class SparseInvertedIndexNode(IndexNode):
                 "build_algo": self._build_algo,
                 "index_type": self.Type(),
                 "indices_codec": codec_name,
+                **({"engine_choices": engine_choices} if engine_choices else {}),
             }
             binset.Append(self.Type(), write_sections(arrays, meta=meta))
             return Status.success
@@ -1045,6 +1054,13 @@ class SparseInvertedIndexNode(IndexNode):
                 for i in range(len(indptr) - 1)
             ]
             self._rebuild()
+            # restore persisted engine choices (written by Serialize) so the
+            # probe never reruns on a serving replica that loaded this blob
+            for key_s, name in (meta.get("engine_choices") or {}).items():
+                drop_s, mask_s = key_s.split("|")
+                self._caches[
+                    ("engine_choice", float(drop_s), bool(int(mask_s)))
+                ] = name
         return Status.success
 
     def Dim(self) -> int:

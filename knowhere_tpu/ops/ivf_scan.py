@@ -1153,11 +1153,13 @@ def _pallas_int8_search(
     nq = q_dev.shape[0]
     B = LIST_ALIGN
     # candidate-generation path: the merged pool re-ranks EXACTLY afterwards,
-    # so per-block top-16 suffices (the true top-k_scan spreads over the
-    # ~nprobe*blocks probed blocks; >16 of them landing in ONE 512-row block
-    # is vanishingly rare) — and the kk-pass VPU top-k is the kernel's
-    # dominant cost, not the int8 matmul
-    kk = min(task_kk(k, B), 16)
+    # so a small per-block top-kk suffices (the true top-k spreads over the
+    # ~nprobe*blocks probed blocks) — and the kk-pass VPU top-k is the
+    # kernel's dominant cost, not the int8 matmul. But the rerank can only
+    # recover candidates the kernel KEPT: at k=100 on clustered data one
+    # 512-row block of the nearest list can hold >16 of the true top-k, so
+    # kk=16 only applies for small k; larger k keeps task_kk's 32 (ADVICE r4).
+    kk = min(task_kk(k, B), 16 if k <= 32 else 32)
     d_chunk = int(q_dev.shape[1])
     chunk = max(8, min(16384, (512 << 20) // max(Qg * d_chunk * 4, 1)) // 8 * 8)
 
