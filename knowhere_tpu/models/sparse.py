@@ -504,16 +504,30 @@ class SparseInvertedIndexNode(IndexNode):
                 self._caches["hybrid"] = (None, None)
                 return None
             # Resident posting compression (reference keeps postings
-            # compressed in memory/mmap — block_inverted_index.h + codec/).
-            # The TPU-honest subset: variable-rate codecs (delta+bitpack)
-            # don't survive a flat XLA gather, but (a) doc ids narrow to u16
-            # whenever nb fits — EXACT, halves the resident id stream — and
-            # (b) KNOWHERE_SPARSE_RESIDENT_BF16=1 additionally stores tail
-            # values (and the head slab) in bf16 (~0.4% value rounding, the
-            # same trade the reference's quantized BM25 postings make).
-            ids_h = h.tail.doc_ids
-            if h.nb <= 0xFFFF:
-                ids_h = ids_h.astype(np.uint16)
+            # compressed in memory/mmap — block_inverted_index.h + codec/):
+            # (a) tail doc ids pack to a fixed ceil(log2(nb))-bit device
+            # stream decoded inside the gather (ops/bitpack.py — EXACT;
+            # random access survives because the width is fixed, unlike the
+            # reference's per-block delta codecs which decode CPU-side), and
+            # (b) tail values and the head slab store bf16 by default
+            # (~0.4% rounding, gated by an exact top-pool rescore in
+            # _search_hybrid — the same trade the reference's quantized
+            # BM25 postings make). KNOWHERE_SPARSE_PACKED_IDS=0 /
+            # KNOWHERE_SPARSE_RESIDENT_BF16=0 opt out.
+            import os as _os
+
+            from ..ops.bitpack import pack_fixed, width_for
+
+            if _os.environ.get("KNOWHERE_SPARSE_PACKED_IDS") == "0":
+                ids_h = h.tail.doc_ids
+                if h.nb <= 0xFFFF:
+                    ids_h = ids_h.astype(np.uint16)
+                h.tail_bits = 0
+            else:
+                h.tail_bits = width_for(h.nb)
+                ids_h = pack_fixed(
+                    h.tail.doc_ids.astype(np.uint32), h.tail_bits
+                )
             tail_dev = _jax.device_put(ids_h)
             # the (F, nb_pad) head slab host copy only feeds metric
             # re-transforms after the device upload: spill it (the reference
@@ -529,7 +543,10 @@ class SparseInvertedIndexNode(IndexNode):
             return None
         import os as _os
 
-        bf16_res = _os.environ.get("KNOWHERE_SPARSE_RESIDENT_BF16") == "1"
+        # bf16 resident values DEFAULT ON (accuracy gate: exact pool rescore
+        # in _search_hybrid); =0 opts back into f32 residency
+        bf16_res = _os.environ.get("KNOWHERE_SPARSE_RESIDENT_BF16", "1") != "0"
+        h.vals_bf16 = bf16_res
 
         def _vals_dt(a):
             if not bf16_res:
@@ -808,13 +825,18 @@ class SparseInvertedIndexNode(IndexNode):
 
         h, slab_dev, tail_vals_dev, tail_ids_dev = hybrid4
         want_refine = rf > 1 and drop > 0
-        k_pool = k * rf if want_refine else k
+        # bf16 resident values (default) round scores by ~2^-8 rel; the gate
+        # that keeps the API exact is a host-CSR rescore of a small top pool
+        # (only when no explicit refine already rescored a larger one)
+        bf16_gate = getattr(h, "vals_bf16", False) and not want_refine
+        k_pool = k * rf if want_refine else (min(2 * k, h.nb) if bf16_gate else k)
         scores, ids = sparse_search_hybrid(
             h, slab_dev, tail_vals_dev, tail_ids_dev, q_rows, k_pool,
             drop_ratio_search=drop, mask=mask,
             cancel_check=check_current_cancellation,
+            tail_bits=getattr(h, "tail_bits", 0),
         )
-        if want_refine:
+        if want_refine or bf16_gate:
             scores, ids = exact_rescore_pool(
                 self._csr_cache(), q_rows, ids, k,
                 bm25=self._bm25_rescore_params(cfg),
@@ -889,6 +911,7 @@ class SparseInvertedIndexNode(IndexNode):
                     h, slab_dev, tail_vals_dev, tail_ids_dev, q_rows,
                     drop_ratio_search=drop, mask=mask,
                     cancel_check=check_current_cancellation,
+                    tail_bits=getattr(h, "tail_bits", 0),
                 )
             padded = self._padded_for(cfg)
             if padded is not None:

@@ -500,6 +500,8 @@ class HybridSlab:
     F: int
     head_nnz: int  # entries covered by the slab (coverage stat)
     total_nnz: int
+    tail_bits: int = 0  # >0: resident tail ids are a pack_fixed u32 stream
+    vals_bf16: bool = False  # resident values stored bf16 (gated rescore)
 
 
 def build_hybrid_slab(
@@ -591,10 +593,10 @@ def _densify_head(slab, qh_idx, qh_val):
     )
 
 
-@partial(jax.jit, static_argnames=("k", "has_mask", "has_tail"))
+@partial(jax.jit, static_argnames=("k", "has_mask", "has_tail", "tail_bits"))
 def _hybrid_topk_kernel(
     slab,  # (F, nb_pad) f32 device (metric-transformed)
-    tail_doc_ids,  # (nnz_t,) i32 device
+    tail_doc_ids,  # (nnz_t,) ids device — or a packed u32 stream (tail_bits>0)
     tail_vals,  # (nnz_t,) f32 device (metric-transformed)
     qh_idx,  # (nqc, W) i32 head slots, -1 padded
     qh_val,  # (nqc, W) f32 head weights
@@ -606,6 +608,7 @@ def _hybrid_topk_kernel(
     k: int,
     has_mask: bool,
     has_tail: bool,
+    tail_bits: int = 0,
 ):
     Qh = _densify_head(slab, qh_idx, qh_val)
     scores = jax.lax.dot_general(
@@ -614,9 +617,16 @@ def _hybrid_topk_kernel(
         preferred_element_type=jnp.float32,
     )  # (nqc, nb_pad)
     if has_tail:
-        # resident-compression aware: ids may be u16 (nb <= 65535, exact)
-        # and vals bf16 (opt-in lossy) — widen after the gather
-        docs = jnp.take(tail_doc_ids, entry_idx).astype(jnp.int32)
+        # resident-compression aware: ids are a ceil(log2(nb))-bit packed
+        # stream decoded IN the gather (ops/bitpack.py; exact), legacy
+        # u16/u32 when packing is opted out; vals bf16 (rounding covered by
+        # the exact pool rescore gate in models/sparse.py) — widen after
+        if tail_bits:
+            from .bitpack import unpack_gather
+
+            docs = unpack_gather(tail_doc_ids, entry_idx, tail_bits).astype(jnp.int32)
+        else:
+            docs = jnp.take(tail_doc_ids, entry_idx).astype(jnp.int32)
         contrib = w * jnp.take(tail_vals, entry_idx).astype(jnp.float32)
         scores = scores.at[qid, docs].add(contrib)
     if has_mask:
@@ -664,6 +674,7 @@ def sparse_search_hybrid(
     drop_ratio_search: float = 0.0,
     mask: Optional[jax.Array] = None,  # (>=nb,) bool device or None
     cancel_check=None,
+    tail_bits: int = 0,  # >0: tail_doc_ids_dev is a pack_fixed u32 stream
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact head-matmul + tail-scatter scan. ((nq,k) f32, (nq,k) i64 ids)."""
     nq = len(q_rows)
@@ -725,6 +736,7 @@ def sparse_search_hybrid(
             qi_dev, qv_dev, e_dev, q_dev, w_dev,
             maskf if maskf is not None else jnp.zeros((), jnp.float32),
             k=kk, has_mask=maskf is not None, has_tail=has_tail,
+            tail_bits=tail_bits,
         )
         packed_np = np.asarray(packed)[: e0 - s0]
         out_s[s0:e0, :kk] = np.ascontiguousarray(packed_np[:, :kk]).view(np.float32)
@@ -732,10 +744,10 @@ def sparse_search_hybrid(
     return out_s, out_i
 
 
-@partial(jax.jit, static_argnames=("has_mask", "has_tail"))
+@partial(jax.jit, static_argnames=("has_mask", "has_tail", "tail_bits"))
 def _hybrid_full_kernel(
     slab, tail_doc_ids, tail_vals, qh_idx, qh_val, entry_idx, qid, w, maskf,
-    *, has_mask: bool, has_tail: bool,
+    *, has_mask: bool, has_tail: bool, tail_bits: int = 0,
 ):
     Qh = _densify_head(slab, qh_idx, qh_val)
     scores = jax.lax.dot_general(
@@ -744,9 +756,13 @@ def _hybrid_full_kernel(
         preferred_element_type=jnp.float32,
     )
     if has_tail:
-        # resident-compression aware: ids may be u16 (nb <= 65535, exact)
-        # and vals bf16 (opt-in lossy) — widen after the gather
-        docs = jnp.take(tail_doc_ids, entry_idx).astype(jnp.int32)
+        # same packed-id decode-on-gather as _hybrid_topk_kernel
+        if tail_bits:
+            from .bitpack import unpack_gather
+
+            docs = unpack_gather(tail_doc_ids, entry_idx, tail_bits).astype(jnp.int32)
+        else:
+            docs = jnp.take(tail_doc_ids, entry_idx).astype(jnp.int32)
         contrib = w * jnp.take(tail_vals, entry_idx).astype(jnp.float32)
         scores = scores.at[qid, docs].add(contrib)
     if has_mask:
@@ -763,6 +779,7 @@ def sparse_full_scores_hybrid(
     drop_ratio_search: float = 0.0,
     mask: Optional[jax.Array] = None,
     cancel_check=None,
+    tail_bits: int = 0,  # >0: tail_doc_ids_dev is a pack_fixed u32 stream
 ) -> np.ndarray:
     """Exact (nq, nb) scores via the head/tail split, -inf = no overlap."""
     nq = len(q_rows)
@@ -821,6 +838,7 @@ def sparse_full_scores_hybrid(
             qi_dev, qv_dev, e_dev, q_dev, w_dev,
             maskf if maskf is not None else jnp.zeros((), jnp.float32),
             has_mask=maskf is not None, has_tail=has_tail,
+            tail_bits=tail_bits,
         )
         out[s0:e0] = np.asarray(scores)[: e0 - s0, : h.nb]
     return out

@@ -173,25 +173,42 @@ def test_slab_budget_cap():
 
 
 def test_resident_compression_modes(corpus, monkeypatch):
-    """14b resident-compression: u16 tail ids are automatic+exact (nb fits);
-    KNOWHERE_SPARSE_RESIDENT_BF16=1 additionally stores values bf16 — ranks
-    must hold even though scores round (~0.4%)."""
+    """14b resident-compression, default ON: tail ids live as a fixed
+    ceil(log2(nb))-bit packed u32 stream decoded in the gather
+    (ops/bitpack.py), values as bf16 with an exact top-pool rescore gate —
+    so results must match the f32/u32 opt-out build EXACTLY (ids and
+    scores), not just overlap."""
     import jax.numpy as jnp
 
-    base, queries = corpus
-    idx = _build(base)
-    r_exact = idx.Search(_ds(queries), {"metric_type": "IP", "k": K}, kt.BitsetView()).value()
-    h_got = idx.node._caches.get("hybrid")
-    assert h_got is not None and h_got[1].dtype == jnp.uint16  # auto u16 ids
+    from knowhere_tpu.ops.bitpack import width_for
 
-    monkeypatch.setenv("KNOWHERE_SPARSE_RESIDENT_BF16", "1")
-    idx2 = _build(base)
-    r_bf = idx2.Search(_ds(queries), {"metric_type": "IP", "k": K}, kt.BitsetView()).value()
-    slot = idx2.node._caches.get(("hvals", "ip"))
+    base, queries = corpus
+    # opt-out build = uncompressed reference
+    monkeypatch.setenv("KNOWHERE_SPARSE_PACKED_IDS", "0")
+    monkeypatch.setenv("KNOWHERE_SPARSE_RESIDENT_BF16", "0")
+    idx0 = _build(base)
+    r0 = idx0.Search(_ds(queries), {"metric_type": "IP", "k": K}, kt.BitsetView()).value()
+    h0 = idx0.node._caches.get("hybrid")
+    assert h0 is not None and h0[1].dtype == jnp.uint16  # legacy u16 ids
+    assert h0[0].tail_bits == 0
+
+    # default build = packed ids + bf16 values
+    monkeypatch.delenv("KNOWHERE_SPARSE_PACKED_IDS")
+    monkeypatch.delenv("KNOWHERE_SPARSE_RESIDENT_BF16")
+    idx1 = _build(base)
+    r1 = idx1.Search(_ds(queries), {"metric_type": "IP", "k": K}, kt.BitsetView()).value()
+    h1 = idx1.node._caches.get("hybrid")
+    assert h1 is not None and h1[1].dtype == jnp.uint32  # packed stream
+    nb = h1[0].nb
+    assert h1[0].tail_bits == width_for(nb)
+    assert h1[0].vals_bf16
+    # packed stream is smaller than even the u16 ids whenever bits < 16
+    n_tail = len(h1[0].tail.doc_ids)
+    assert h1[1].nbytes <= 2 * n_tail + 8 or width_for(nb) > 16
+    slot = idx1.node._caches.get(("hvals", "ip"))
     assert slot is not None and slot[0].dtype == jnp.bfloat16
-    i0 = r_exact.ids.reshape(NQ, K)
-    i1 = r_bf.ids.reshape(NQ, K)
-    overlap = np.mean([
-        len(set(i0[q].tolist()) & set(i1[q].tolist())) / K for q in range(NQ)
-    ])
-    assert overlap >= 0.9, overlap
+
+    i0, i1 = r0.ids.reshape(NQ, K), r1.ids.reshape(NQ, K)
+    s0, s1 = r0.distance.reshape(NQ, K), r1.distance.reshape(NQ, K)
+    assert (i0 == i1).mean() > 0.99  # exact ties may swap order
+    np.testing.assert_allclose(np.sort(s1, 1), np.sort(s0, 1), rtol=1e-5)
