@@ -147,6 +147,44 @@ def test_sharded_cosine(data):
         assert d.max() <= 1.0 + 1e-4
 
 
+def test_sharded_ivfpq_refine_recall_at_scale():
+    """>=100k-row sharded IVF_PQ + refine recall-vs-GT tier (VERDICT r4 #6).
+
+    The Deep10M sharded-refine bug class (commit e64e10a: the sharded engine
+    silently ignored `refine`, recall 0.59 at the bench) shipped through
+    three green dryruns because the dryrun corpus was 512 rows/device. This
+    tier is sized so PQ-only candidates CANNOT pass: calibrated on this
+    exact corpus, refine-honored recall = 0.93, refine-ignored = 0.50 — the
+    0.85 floor is red on the regression with margin on both sides."""
+    nb, nq, dim, k = 100_000, 64, 48, 10
+    rng = np.random.default_rng(5)
+    nc, intr = 100, 16
+    centers = rng.standard_normal((nc, dim)).astype(np.float32)
+    centers *= rng.uniform(0.9, 1.6, size=(nc, 1)).astype(np.float32)
+    W = rng.standard_normal((intr, dim)).astype(np.float32)
+    W *= np.sqrt(dim / intr) / np.sqrt(intr)
+    xb = centers[rng.integers(0, nc, nb)] + (
+        rng.standard_normal((nb, intr)).astype(np.float32) @ W
+    )
+    xq = centers[rng.integers(0, nc, nq)] + (
+        rng.standard_normal((nq, intr)).astype(np.float32) @ W
+    )
+    # exact GT on the 64-query sample (sampled GT is this tier's contract)
+    d2 = (xq**2).sum(1)[:, None] - 2.0 * xq @ xb.T + (xb**2).sum(1)[None, :]
+    gt = np.argsort(d2, 1)[:, :k]
+
+    cfg = {"metric_type": "L2", "k": k, "nlist": 128, "nprobe": 16,
+           "m": 6, "nbits": 8, "refine": True, "refine_type": "FP16",
+           "refine_k": 8}
+    idx = kt.IndexFactory.Instance().Create("SHARDED_IVF_PQ").value()
+    assert idx.Build(DS(xb), cfg) == kt.Status.success
+    r = idx.Search(DS(xq), cfg, kt.BitsetView())
+    assert r.has_value(), r.what()
+    ids = r.value().ids.reshape(nq, k)
+    rec = np.mean([len(set(ids[i]) & set(gt[i])) / k for i in range(nq)])
+    assert rec >= 0.85, f"sharded refine recall regressed: {rec:.4f}"
+
+
 def test_sharded_rejects_unknown_metric():
     idx = kt.IndexFactory.Instance().Create("SHARDED_IVF_FLAT").value()
     rng = np.random.default_rng(0)
