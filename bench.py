@@ -126,7 +126,7 @@ DEEP_NQ = _env_int("KNOWHERE_BENCH_DEEP_NQ", 500)
 # builder-measured runs (docs/BENCHMARKS.md); cold adds index builds.
 _LEG_SCHEDULE = [
     ("probe",   60,  120,  420),
-    ("sift",    700, 1150, 1420),
+    ("sift",    820, 1300, 1420),
     ("sparse",  130, 220,  420),
     ("diskann", 110, 360,  520),
     ("gist",    210, 700,  820),
@@ -400,6 +400,7 @@ KNOBS = {
     "IVF_FLAT": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
     "IVF_SQ8": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
     "IVF_PQ": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
+    "SCANN": ("nprobe", [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 128, 256]),
     "HNSW": ("ef", [16, 20, 24, 28, 32, 48, 64, 96, 128, 256, 512]),
 }
 
@@ -407,10 +408,13 @@ BUILD_CFG = {
     "IVF_FLAT": {"nlist": 1024},
     "IVF_SQ8": {"nlist": 1024, "sq_type": "SQ8"},
     "IVF_PQ": {"nlist": 1024, "m": 16, "nbits": 8, "refine": True, "refine_type": "FP16"},
+    # reference SCANN = IVFPQFastScan(4-bit, sub_dim) + raw-data reorder
+    # (src/index/ivf/ivf.cc:659-694); here the nibble-packed one-hot ADC
+    "SCANN": {"nlist": 1024, "sub_dim": 2, "with_raw_data": True},
     "HNSW": {"M": 16, "efConstruction": 200},
 }
 
-SEARCH_EXTRA = {"IVF_PQ": {"refine_k": 8}}
+SEARCH_EXTRA = {"IVF_PQ": {"refine_k": 8}, "SCANN": {"reorder_k": 256}}
 
 os.makedirs(CACHE_DIR, exist_ok=True)
 
@@ -756,9 +760,14 @@ def cpu_baseline_for(kind, nb, d, nlist, nprobe_chosen, extra=None, cores=CPU_CO
             elem = 1.0 if kind == "ivf_sq8" else 4.0
             bytes_per_q = (nprobe_chosen / nlist) * nb * d * elem
             return min(compute_qps, bw / max(bytes_per_q, 1.0))
-        if kind == "ivf_pq":
+        if kind in ("ivf_pq", "scann"):
             m = (extra or {}).get("m", 16)
             geps = measured_cpu_adc_geps(m=m) * 1e9  # LUT entries/s
+            if kind == "scann":
+                # generous-to-CPU: the reference's 4-bit fastscan SIMD
+                # shuffle processes ~8x the scalar-gather ADC entry rate
+                # (in-register pshufb LUTs, IndexIVFPQFastScan.cpp)
+                geps *= 8.0
             gemm = measured_cpu_gemm_gflops(d) * 1e9
             entries = (nprobe_chosen / nlist) * nb * m
             probe_flops = nlist * d * 2.0
@@ -1086,11 +1095,15 @@ def leg_sift():
         row["dataset"] = dataset
         if chosen is not None:
             kind = {"IVF_FLAT": "ivf_flat", "IVF_SQ8": "ivf_sq8",
-                    "IVF_PQ": "ivf_pq", "HNSW": "hnsw"}[name]
+                    "IVF_PQ": "ivf_pq", "SCANN": "scann", "HNSW": "hnsw"}[name]
             extra = (
                 {"m": 16, "refine_pool": 8 * K}
                 if name == "IVF_PQ"
-                else ({"ef": chosen, "M": 16} if name == "HNSW" else None)
+                else (
+                    {"m": DIM // 2, "refine_pool": 256}
+                    if name == "SCANN"
+                    else ({"ef": chosen, "M": 16} if name == "HNSW" else None)
+                )
             )
             nl = BUILD_CFG[name].get("nlist", 1024)
             cpu_knob = row.pop("cpu_knob", chosen)  # vanilla-index knob
@@ -1127,6 +1140,10 @@ def leg_sift():
 
     idx_s8, _ = run_family("IVF_SQ8", 120, best_of=1)
     free_idx(idx_s8)
+    # SCANN = the reference's fast-PQ discipline (4-bit fastscan + reorder;
+    # benchmark/hdf5/ref_logs/Makefile scann rungs)
+    idx_sc, _ = run_family("SCANN", 170, best_of=1)
+    free_idx(idx_sc)
 
     # ---- FLAT exact row (reference benchmark config: Flat BF SIFT1M) ----
     if remaining() > 50:

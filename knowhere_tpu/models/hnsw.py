@@ -472,7 +472,7 @@ class HnswIndexNode(IndexNode):
             return
         from ..ops.graph_inline import inline_row_words, make_inline_store
 
-        bits = int(os.environ.get("KNOWHERE_INLINE_BITS", "8"))
+        bits = int(os.environ.get("KNOWHERE_INLINE_BITS", "4"))
         bits = bits if bits in (4, 8) else 8
         if self._dim % (32 // bits) != 0:
             bits = 8  # make_inline_store falls back too; budget must match

@@ -646,16 +646,31 @@ class IvfIndexNode(IndexNode):
             ):
                 codes_sorted = self._sorted_payload["codes"]  # (nb_pad, m) u8
                 m = codes_sorted.shape[1]
-                if mk <= 8192:
+                nib = self._pq.ksub == 16 and m % 2 == 0 and mk <= 8192
+                if nib:
+                    # 4-bit fastscan layout (reference IndexIVFPQFastScan
+                    # packs 2 codes/byte for the SIMD shuffle; here it halves
+                    # resident bytes AND scan HBM traffic): byte row r =
+                    # subspace r (low nibble) | subspace r + m/2 (high)
+                    half = m // 2
+                    packed = (
+                        codes_sorted[:, :half] | (codes_sorted[:, half:] << 4)
+                    ).T
+                    m_pad = (half + 31) // 32 * 32
+                    ct = np.zeros((m_pad, codes_sorted.shape[0]), np.uint8)
+                    ct[:half] = packed
+                elif mk <= 8192:
                     # u8 transposed codes (Mosaic u8 min tile is 32
                     # sublanes): 4x less HBM than the r3 i32 layout; the
                     # kernel widens the whole block to i32 once in VMEM
                     m_pad = (m + 31) // 32 * 32
                     ct = np.zeros((m_pad, codes_sorted.shape[0]), np.uint8)
+                    ct[:m] = codes_sorted.T
                 else:
                     ct = np.zeros((m, codes_sorted.shape[0]), np.int32)
-                ct[:m] = codes_sorted.T
+                    ct[:m] = codes_sorted.T
                 self._store["codes_t"] = jax.device_put(ct)
+                self._store["codes_nib"] = nib
                 books = self._pq.codebooks  # (m, ksub, sub_dim)
                 ksub = books.shape[1]
                 sub_dim = books.shape[2]

@@ -379,15 +379,17 @@ def make_inline_store(
 ) -> Optional[InlineGraphStore]:
     """Build the inline table for a graph index; None if unsupported.
 
-    bits=4 packs nibble-plane walk codes (half the table; measured
-    recall-neutral with the exact rerank: 0.9618 vs 0.9592 at ef=32 on the
-    100k benchmark corpus). Default from KNOWHERE_INLINE_BITS (8)."""
+    bits=4 packs nibble-plane walk codes (half the table AND half the
+    walk's gather bytes — the walk is gather-bound; measured recall-neutral
+    with the exact rerank: 0.9618 vs 0.9592 at ef=32 on the 100k benchmark
+    corpus). DEFAULT 4 since r5 (KNOWHERE_INLINE_BITS=8 opts back into byte
+    codes); dims not divisible by 8 fall back to 8-bit."""
     import os
 
     from . import quant as Q
 
     if bits is None:
-        bits = int(os.environ.get("KNOWHERE_INLINE_BITS", "8"))
+        bits = int(os.environ.get("KNOWHERE_INLINE_BITS", "4"))
     if bits not in (4, 8):
         bits = 8
 

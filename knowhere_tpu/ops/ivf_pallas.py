@@ -563,6 +563,7 @@ def _adc_kernel(
     s_stack: int,
     is_l2: bool,
     has_mask: bool,
+    nib: bool = False,
 ):
     if has_mask:
         keep_ref, out_s_ref, out_p_ref = rest
@@ -590,6 +591,14 @@ def _adc_kernel(
     # u8 codes widen to i32 ONCE in VMEM (u8 sub-tile slices violate
     # Mosaic's 32-sublane rule; i32 value slices below are static)
     codes_all = codes_ref[...].astype(jnp.int32)  # (m_pad, B)
+    if nib:
+        # 4-bit fastscan layout (reference IndexIVFPQFastScan.cpp packs two
+        # codes per byte for SIMD; here for HBM bandwidth): byte row r holds
+        # logical subspace r in its LOW nibble and r + m/2 in its HIGH
+        # nibble, so the unpack is one sublane concat — no interleave
+        half = m // 2
+        packed = jax.lax.slice(codes_all, (0, 0), (half, B))
+        codes_all = jnp.concatenate([packed & 15, packed >> 4], axis=0)
     for i in range(m // s_stack):
         codes = jax.lax.slice(codes_all, (i * s_stack, 0), ((i + 1) * s_stack, B))
         codes_exp = jnp.broadcast_to(
@@ -626,7 +635,9 @@ def _adc_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("B", "Qg", "kk", "m", "ksub", "s_stack", "is_l2", "interpret"),
+    static_argnames=(
+        "B", "Qg", "kk", "m", "ksub", "s_stack", "is_l2", "nib", "interpret",
+    ),
 )
 def pallas_adc_tasks(
     blk: jax.Array,  # (Tc,) int32
@@ -646,6 +657,7 @@ def pallas_adc_tasks(
     ksub: int,
     s_stack: int,
     is_l2: bool,
+    nib: bool = False,  # codes_t is nibble-packed (m/2 rows, 2 codes/byte)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scores (Tc,Qg,kk) == 2<q,x>-|x|^2 for L2 / <q,x> for IP,
@@ -683,7 +695,7 @@ def pallas_adc_tasks(
         functools.partial(
             _adc_kernel,
             B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack, is_l2=is_l2,
-            has_mask=has_mask,
+            has_mask=has_mask, nib=nib,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -994,7 +994,8 @@ def _pallas_adc_search(
         else:
             scores, pos = pallas_adc_tasks(
                 *args, B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack,
-                is_l2=is_l2, interpret=interpret,
+                is_l2=is_l2, nib=bool(store.get("codes_nib")),
+                interpret=interpret,
             )
         score_chunks.append(scores)
         pos_chunks.append(pos)

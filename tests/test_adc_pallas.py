@@ -61,9 +61,27 @@ def _setup(metric, m, ksub, seed=0):
     return q, books, cents, codes_t, clut_dev, gt_score, is_l2
 
 
-@pytest.mark.parametrize("metric,m,ksub", [("L2", 16, 256), ("IP", 16, 256), ("L2", 64, 16)])
-def test_adc_kernel_matches_decode_oracle(metric, m, ksub):
+@pytest.mark.parametrize(
+    "metric,m,ksub,nib",
+    [
+        ("L2", 16, 256, False),
+        ("IP", 16, 256, False),
+        ("L2", 64, 16, False),
+        # nibble-packed 4-bit fastscan layout: subspace r in row r's low
+        # nibble, r + m/2 in its high nibble (models/ivf.py build side)
+        ("L2", 64, 16, True),
+        ("IP", 32, 16, True),
+    ],
+)
+def test_adc_kernel_matches_decode_oracle(metric, m, ksub, nib):
     q, books, cents, codes_t, clut_dev, gt_score, is_l2 = _setup(metric, m, ksub)
+    if nib:
+        codes = codes_t[:m].astype(np.uint8)  # (m, nb_pad) logical
+        half = m // 2
+        packed = codes[:half] | (codes[half:] << 4)
+        m_pad = (half + 31) // 32 * 32
+        codes_t = np.zeros((m_pad, codes.shape[1]), np.uint8)
+        codes_t[:half] = packed
     B = LIST_ALIGN
     nq = q.shape[0]
     Qg = 16
@@ -98,6 +116,7 @@ def test_adc_kernel_matches_decode_oracle(metric, m, ksub):
         ksub=ksub,
         s_stack=adc_s_stack(m, ksub),
         is_l2=is_l2,
+        nib=nib,
         interpret=True,
     )
     scores = np.asarray(scores)
@@ -363,3 +382,38 @@ def test_adc_unavailable_for_large_lut():
         "books_bd": np.zeros((1024, 96 * 256), np.float32),
     }
     assert not pallas_adc_available(store, 1024, 10, offsets, False, nq_pad=256, interpret=True)
+
+
+def test_model_nibble_packing_convention():
+    """The BUILD-side 4-bit packing (models/ivf.py codes_t upload) must match
+    the kernel's unpack convention (subspace r low nibble, r + m/2 high):
+    both sides are tested against the same oracle, and this pins the model's
+    store to it."""
+    import knowhere_tpu as kt
+    from knowhere_tpu.dataset import GenDataSetFromArray as DS
+
+    import os
+
+    os.environ["KNOWHERE_IVF_ALIGN_MIN"] = "4096"  # aligned layout at test scale
+    try:
+        rng = np.random.default_rng(3)
+        xb = rng.standard_normal((8192, 128), dtype=np.float32)
+        idx = kt.IndexFactory.Instance().Create("SCANN").value()
+        st = idx.Build(DS(xb), {"metric_type": "L2", "nlist": 8, "sub_dim": 2,
+                                "with_raw_data": True})
+    finally:
+        os.environ.pop("KNOWHERE_IVF_ALIGN_MIN", None)
+    assert st == kt.Status.success
+    node = idx.node
+    assert node._pq.ksub == 16
+    assert node._store.get("codes_nib") is True
+    sorted_codes = node._sorted_payload["codes"]  # (nb_pad, m) u8, 0..15
+    m = sorted_codes.shape[1]
+    half = m // 2
+    ct = np.asarray(node._store["codes_t"])  # (m_pad_half, nb_pad) u8
+    want = (sorted_codes[:, :half] | (sorted_codes[:, half:] << 4)).T
+    assert ct.dtype == np.uint8
+    np.testing.assert_array_equal(ct[:half], want)
+    # logical codes reconstruct exactly from the packed stream
+    np.testing.assert_array_equal(ct[:half] & 15, sorted_codes[:, :half].T)
+    np.testing.assert_array_equal(ct[:half] >> 4, sorted_codes[:, half:].T)
