@@ -1125,7 +1125,7 @@ def leg_sift():
     free_idx(idx_f)
     idx_pq, _ = run_family("IVF_PQ", 200)
     free_idx(idx_pq)
-    idx_h, _ = run_family("HNSW", 300)
+    idx_h, hnsw_ef = run_family("HNSW", 300)
     # ---- bitset-filtered leg (uses the still-resident HNSW) ----
     if idx_h is None:
         emit({"leg": "bitset_filtered", "skipped": "no HNSW index"})
@@ -1137,6 +1137,43 @@ def leg_sift():
     else:
         emit({"leg": "bitset_filtered", "skipped": "budget"})
     free_idx(idx_h)
+
+    # ---- HNSW lean-mode row (equal-MEMORY operating point) ----
+    # The inline table is a speed layout (docs/HNSW_STRATEGY.md); the lean
+    # walk gathers per-neighbor rows over the compact store at
+    # reference-equal bytes/vec. Same ef as the inline row (the walk visits
+    # the same nodes), one rung: memory row + honest lean QPS.
+    if hnsw_ef is not None and remaining() > 90:
+        prev_inline = os.environ.get("KNOWHERE_GRAPH_INLINE")
+        os.environ["KNOWHERE_GRAPH_INLINE"] = "0"
+        try:
+            idx_l, _, err = get_dense_index(
+                "HNSW", f"sift_HNSW_{NB}", base_ds, BUILD_CFG["HNSW"]
+            )
+            if idx_l is None:
+                emit({"leg": "hnsw_lean", "error": str(err)})
+            else:
+                cfg_l = {"metric_type": "L2", "k": K, "ef": hnsw_ef}
+                r = idx_l.Search(query_sub_ds, cfg_l)
+                rec = recall_at_k(
+                    gt_ids[:SUB_NQ], r.value().ids.reshape(SUB_NQ, K), K
+                )
+                t0 = time.perf_counter()
+                r = idx_l.Search(query_sub_ds, cfg_l)
+                emit({
+                    "index": "HNSW", "leg": "lean_mode",
+                    "knob": f"ef={hnsw_ef}", "recall": round(rec, 4),
+                    "qps": round(SUB_NQ / (time.perf_counter() - t0), 1),
+                    **_mem_fields(idx_l), "dataset": dataset,
+                })
+                free_idx(idx_l)
+        except Exception as e:  # pragma: no cover
+            emit({"leg": "hnsw_lean", "error": repr(e)})
+        finally:
+            if prev_inline is None:
+                os.environ.pop("KNOWHERE_GRAPH_INLINE", None)
+            else:
+                os.environ["KNOWHERE_GRAPH_INLINE"] = prev_inline
 
     idx_s8, _ = run_family("IVF_SQ8", 120, best_of=1)
     free_idx(idx_s8)

@@ -220,6 +220,7 @@ class IvfIndexNode(IndexNode):
         self._refine_store: Optional[RefineStore] = None
         self._sq_levels = 0
         self._sq_packed4 = False
+        self._codes_nib = False  # ADC codes_t nibble-packed (4-bit fastscan)
         # fused-search jit cache, keyed by static search config; rebound by
         # _upload so epoch snapshots keep a cache consistent with their store
         self._fused_cache: Dict[tuple, "object"] = {}
@@ -630,6 +631,7 @@ class IvfIndexNode(IndexNode):
             from ..ops.ivf_pallas import adc_mc_geometry
 
             offs = self._offsets
+            self._codes_nib = False  # re-derived with codes_t below
             mk = self._pq.m * self._pq.ksub
             # kernel envelope: <=8192-entry LUTs take the single-grid kernel
             # (u8 codes_t); larger m (GIST m=96) takes the m-chunked kernel
@@ -670,7 +672,9 @@ class IvfIndexNode(IndexNode):
                     ct = np.zeros((m, codes_sorted.shape[0]), np.int32)
                     ct[:m] = codes_sorted.T
                 self._store["codes_t"] = jax.device_put(ct)
-                self._store["codes_nib"] = nib
+                # static layout flag — kept OFF the store dict (the fused
+                # search jits over the store; a bool leaf would trace)
+                self._codes_nib = nib
                 books = self._pq.codebooks  # (m, ksub, sub_dim)
                 ksub = books.shape[1]
                 sub_dim = books.shape[2]
@@ -924,6 +928,7 @@ class IvfIndexNode(IndexNode):
         kind = self._kind
         offsets, lens = self._offsets, self._lengths
         sq_levels, sq_packed4 = self._sq_levels, self._sq_packed4
+        codes_nib = self._codes_nib
         is_l2 = self._is_l2_like()
         refine_kind = None if self._refine_store is None else self._refine_store.kind
 
@@ -944,7 +949,7 @@ class IvfIndexNode(IndexNode):
                 keep_sorted=keep_sorted if has_mask else None,
                 sq_levels=sq_levels, sq_packed4=sq_packed4,
                 is_jaccard=is_jac, prec=scan_prec, return_device=True,
-                list_lengths=lens,
+                list_lengths=lens, codes_nib=codes_nib,
             )
             if mode_tag == "two_stage":
                 if kind == "sq":
@@ -1120,6 +1125,7 @@ class IvfIndexNode(IndexNode):
                 prec=scan_prec,
                 return_device=True,
                 list_lengths=self._lengths,
+                codes_nib=self._codes_nib,
             )
             if two_stage:
                 # exact re-rank of the candidates straight off the sorted
@@ -1290,6 +1296,7 @@ class IvfIndexNode(IndexNode):
             k_scan, is_l2, keep_sorted=keep_sorted, sq_levels=self._sq_levels,
             sq_packed4=self._sq_packed4, is_jaccard=internal == M.JACCARD,
             prec=scan_prec, return_device=True, list_lengths=self._lengths,
+            codes_nib=self._codes_nib,
         )
         mode = "score"
         if two_stage:

@@ -597,6 +597,7 @@ def ivf_scan_search(
     prec: Optional[str] = None,
     return_device: bool = False,
     list_lengths: Optional[np.ndarray] = None,
+    codes_nib: bool = False,  # ADC codes_t is nibble-packed (4-bit fastscan)
 ) -> Tuple[np.ndarray, np.ndarray]:
     from .distances import matmul_precision_name
 
@@ -674,7 +675,7 @@ def ivf_scan_search(
     ):
         return _pallas_adc_search(
             q_dev, store, probes, list_offsets, lens_arr, k, is_l2, Qg,
-            return_device, keep_sorted=keep_sorted,
+            return_device, keep_sorted=keep_sorted, nib=codes_nib,
         )
 
     # typed (bf16/int8) raw stores take the XLA scan: it casts each sliced
@@ -888,6 +889,7 @@ def _pallas_adc_search(
     return_device: bool,
     keep_sorted: Optional[jax.Array] = None,
     interpret: bool = False,
+    nib: bool = False,  # codes_t nibble-packed (4-bit fastscan layout)
 ):
     """PQ/ScaNN ADC scan via the Pallas one-hot-matmul kernel (ops/ivf_pallas).
 
@@ -895,6 +897,9 @@ def _pallas_adc_search(
     IN-KERNEL as qs @ block-diagonal-codebooks (no LUT HBM traffic, no query
     slabbing; small slabs destroyed query-group density and multiplied the
     task count 20x). Task arrays ship in ONE packed h2d."""
+    from .ivf_pallas import interpret_forced
+
+    interpret = interpret or interpret_forced()
     from .ivf_pallas import (
         LIST_ALIGN,
         adc_mc_geometry,
@@ -994,8 +999,7 @@ def _pallas_adc_search(
         else:
             scores, pos = pallas_adc_tasks(
                 *args, B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=s_stack,
-                is_l2=is_l2, nib=bool(store.get("codes_nib")),
-                interpret=interpret,
+                is_l2=is_l2, nib=nib, interpret=interpret,
             )
         score_chunks.append(scores)
         pos_chunks.append(pos)
@@ -1027,6 +1031,9 @@ def _pallas_rbq_search(
     """RaBitQ sign-plane scan via the Pallas kernel (ops/ivf_pallas
     _rbq_kernel); task packing mirrors _pallas_adc_search (lids needed for
     the per-list rotated centroid row)."""
+    from .ivf_pallas import interpret_forced
+
+    interpret = interpret or interpret_forced()
     from .ivf_pallas import LIST_ALIGN, pallas_rbq_tasks, task_kk
 
     nq = q_dev.shape[0]
@@ -1149,6 +1156,9 @@ def _pallas_int8_search(
     The caller re-ranks the merged pool exactly (two_stage refine) — this
     path NEVER returns final distances. Task packing mirrors
     _pallas_scan_search."""
+    from .ivf_pallas import interpret_forced
+
+    interpret = interpret or interpret_forced()
     from .ivf_pallas import LIST_ALIGN, pallas_int8_tasks, task_kk
 
     nq = q_dev.shape[0]
@@ -1260,6 +1270,9 @@ def _pallas_scan_search(
 ):
     """Hot raw-vector / SQ-code path: block-aligned Pallas task scan
     (ops/ivf_pallas; kind 'sq' decodes u8 codes in-kernel)."""
+    from .ivf_pallas import interpret_forced
+
+    interpret = interpret_forced()
     from .ivf_pallas import LIST_ALIGN, pallas_scan_tasks, pallas_sq_tasks, task_kk
 
     nq = q_dev.shape[0]
@@ -1340,7 +1353,7 @@ def _pallas_scan_search(
                 store["codes"],
                 keep_blk,
                 B=B, Qg=Qg, kk=kk, levels=sq_levels, is_l2=is_l2,
-                three_pass=three_pass,
+                three_pass=three_pass, interpret=interpret,
             )
         else:
             scores, pos = pallas_scan_tasks(
@@ -1352,6 +1365,7 @@ def _pallas_scan_search(
                 kk=kk,
                 is_l2=is_l2,
                 three_pass=three_pass,
+                interpret=interpret,
             )
         score_chunks.append(scores)
         pos_chunks.append(pos)

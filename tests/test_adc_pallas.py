@@ -406,7 +406,7 @@ def test_model_nibble_packing_convention():
     assert st == kt.Status.success
     node = idx.node
     assert node._pq.ksub == 16
-    assert node._store.get("codes_nib") is True
+    assert node._codes_nib is True
     sorted_codes = node._sorted_payload["codes"]  # (nb_pad, m) u8, 0..15
     m = sorted_codes.shape[1]
     half = m // 2
