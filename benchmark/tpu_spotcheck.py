@@ -189,6 +189,64 @@ def _():
         np.testing.assert_allclose(np.asarray(scores)[t], want, rtol=3e-2, atol=1.0)
 
 
+@check("adc_nib_4bit")
+def _():
+    # r5: nibble-packed 4-bit fastscan (SCANN default). The in-kernel unpack
+    # is a (half, B) slice + two elementwise ops + a SUBLANE CONCAT — the
+    # concat is the Mosaic-unproven piece
+    m, ksub, d, nlist, Qg, kk = 64, 16, 128, 4, 32, 8
+    books_bd, clut, cents, codes, q, gt = _adc_setup(m, ksub, d, nlist)
+    half = m // 2
+    packed = (codes[:, :half] | (codes[:, half:] << 4)).T
+    m_pad = (half + 31) // 32 * 32
+    ct = np.zeros((m_pad, codes.shape[0]), np.uint8)
+    ct[:half] = packed
+    scores, pos = pallas_adc_tasks(
+        jnp.arange(nlist, dtype=jnp.int32), jnp.full((nlist,), B, jnp.int32),
+        jnp.arange(nlist, dtype=jnp.int32),
+        jnp.broadcast_to(jax.device_put(q), (nlist, Qg, d)),
+        jax.device_put(books_bd).astype(jnp.bfloat16),
+        jax.device_put(clut.reshape(nlist, m * ksub)).astype(jnp.bfloat16),
+        jax.device_put(cents), jax.device_put(ct),
+        B=B, Qg=Qg, kk=kk, m=m, ksub=ksub, s_stack=adc_s_stack(m, ksub),
+        is_l2=True, nib=True,
+    )
+    for t in range(nlist):
+        want = np.sort(gt[:, t * B : (t + 1) * B], 1)[:, ::-1][:, :kk]
+        np.testing.assert_allclose(np.asarray(scores)[t], want, rtol=2e-2, atol=2e-1)
+
+
+@check("sparse_packed_id_gather")
+def _():
+    # r5: fixed-width bitpacked sparse tail ids decoded in the gather
+    from knowhere_tpu.ops.bitpack import pack_fixed, unpack_gather
+
+    ids = rng.integers(0, 200_000, size=40_001).astype(np.uint32)
+    p = pack_fixed(ids, 18)
+    idx = rng.integers(0, ids.size, size=8192).astype(np.int32)
+    got = np.asarray(unpack_gather(jax.device_put(p), jax.device_put(idx), 18))
+    np.testing.assert_array_equal(got, ids[idx])
+
+
+@check("inline4_walk_e2e")
+def _():
+    # r5: 4-bit inline walk codes are now the DEFAULT — drive the public
+    # HNSW API at >=100k rows so the inline table actually builds
+    import knowhere_tpu as kt
+    from knowhere_tpu.dataset import GenDataSetFromArray as DS
+
+    nb, d, k = 120_000, 128, 10
+    xb = rng.standard_normal((nb, d), dtype=np.float32)
+    xq = xb[:64] + 0.01 * rng.standard_normal((64, d)).astype(np.float32)
+    idx = kt.IndexFactory.Instance().Create("HNSW").value()
+    st = idx.Build(DS(xb), {"metric_type": "L2", "M": 16, "efConstruction": 80})
+    assert st == kt.Status.success
+    assert idx.node._inline is not None, "inline table did not build"
+    r = idx.Search(DS(xq), {"metric_type": "L2", "k": k, "ef": 64}, kt.BitsetView())
+    ids = np.asarray(r.value().ids).reshape(64, k)
+    assert (ids[:, 0] == np.arange(64)).mean() > 0.95
+
+
 print("\n==== SUMMARY ====")
 for k_, v in results.items():
     print(f"{k_:24s} {v}")
