@@ -617,9 +617,13 @@ def smallest_knob(ladder, eval_fn, target=RECALL_TARGET, min_remaining=45.0):
 
 
 def build_dense(name, base_ds, build_cfg, metric="L2"):
-    """Fresh build with phase profiling -> (idx, profile) or (None, errrow)."""
+    """Fresh build with phase profiling -> (idx, profile) or (None, errrow).
+
+    build_platform records WHERE the cached build ran (a CPU-populated cache
+    entry must not masquerade as a TPU build time — the serialized layout is
+    backend-independent, the wall-clock is not)."""
     idx = kt.IndexFactory.Instance().Create(name).value()
-    profile = {}
+    profile = {"build_platform": jax.devices()[0].platform}
     t0 = time.perf_counter()
     if name.startswith("IVF"):
         st = idx.Train(base_ds, {"metric_type": metric, **build_cfg})
