@@ -126,7 +126,7 @@ DEEP_NQ = _env_int("KNOWHERE_BENCH_DEEP_NQ", 500)
 # builder-measured runs (docs/BENCHMARKS.md); cold adds index builds.
 _LEG_SCHEDULE = [
     ("probe",   60,  120,  420),
-    ("sift",    820, 1300, 1420),
+    ("sift",    900, 1300, 1420),
     ("sparse",  130, 220,  420),
     ("diskann", 110, 360,  520),
     ("gist",    210, 700,  820),
@@ -1147,7 +1147,9 @@ def leg_sift():
     # walk gathers per-neighbor rows over the compact store at
     # reference-equal bytes/vec. Same ef as the inline row (the walk visits
     # the same nodes), one rung: memory row + honest lean QPS.
-    if hnsw_ef is not None and remaining() > 90:
+    if hnsw_ef is None or remaining() <= 90:
+        emit({"leg": "hnsw_lean", "skipped": "budget" if hnsw_ef else "no HNSW"})
+    else:
         prev_inline = os.environ.get("KNOWHERE_GRAPH_INLINE")
         os.environ["KNOWHERE_GRAPH_INLINE"] = "0"
         try:
