@@ -293,9 +293,17 @@ def parent_main():
         name, w, c, cap = sched.pop(0)
         probe_rows = run_leg(name, min(cap, BUDGET_S - 60))
         probe_ok = any(r.get("probe_ok") for r in probe_rows)
+        # Degradation = SUSTAINED slowness. The first d2h on this tunnel pays
+        # a one-time channel-warm cost even on a working chip (measured 91s
+        # for 4MB first-touch, then 26 MB/s sustained on 2026-08-21), so the
+        # 4MB first-touch timing only counts when the 64MB row never arrived
+        # (child died before it -> genuinely wedged).
         slow = 1.0
+        saw_64 = any("d2h_64mb_s" in r for r in probe_rows)
         for r in probe_rows:
-            if "d2h_4mb_s" in r:
+            if "d2h_64mb_s" in r:
+                slow = max(slow, r["d2h_64mb_s"] / 0.8)
+            elif "d2h_4mb_s" in r and not saw_64:
                 slow = max(slow, r["d2h_4mb_s"] / 0.5)
             if "warm_matmul_s" in r:
                 slow = max(slow, r["warm_matmul_s"] / 0.05)
@@ -1247,8 +1255,16 @@ def leg_sparse():
     gen_s = round(time.perf_counter() - t_gen, 1)
     emit({"leg": "sparse_setup", "gen_s": gen_s})
 
+    # The CSR conversion inside the baseline walks ~8M python loop items
+    # (~2min on this host) — cache the measured number per corpus+host so
+    # warm runs spend the time measuring the TPU instead.
     try:
-        cpu_qps = sparse_cpu_baseline_qps(xb, xq, SPARSE_VOCAB)
+        cpu_qps = float(cached_npy(
+            f"sparse_cpubase_{SPARSE_NB}x{SPARSE_VOCAB}_{os.uname().nodename}",
+            lambda: np.array(
+                [sparse_cpu_baseline_qps(xb, xq, SPARSE_VOCAB)], np.float64
+            ),
+        )[0])
     except Exception:  # pragma: no cover
         cpu_qps = 0.0
 
@@ -1328,8 +1344,12 @@ def leg_sparse():
                 row["cpu_qps_measured_x32core"] = round(cpu_qps, 1)
                 row["vs_baseline"] = round(qps / (2.0 * cpu_qps), 3)
             # windowed pruned engine at the SAME operating point: 256-query
-            # subset (the full 2k burns ~10min when this engine loses)
+            # subset (the full 2k burns ~10min when this engine loses). A
+            # diagnostic row — skip it when the leg budget is tight so the
+            # BM25 family after it still lands (measured ~2-4min at 4 QPS).
             try:
+                if remaining() < 400:
+                    raise TimeoutError("skip pruned row: leg budget")
                 nqp = min(256, SPARSE_NQ)
                 q_sub = kt.GenSparseDataSet(xq[:nqp], SPARSE_VOCAB)
                 cfgp = {"metric_type": metric, "k": K, "drop_ratio_search": chosen,

@@ -598,8 +598,26 @@ class IvfIndexNode(IndexNode):
                     import ml_dtypes
 
                     data = data.astype(ml_dtypes.bfloat16)
-            norms = np.sum(np.asarray(data, dtype=np.float64) ** 2, axis=1).astype(np.float32)
-            self._store = {"data": pad(cpad(data)), "norms": pad(norms), "centroids": cents}
+            # Single-pass padded fill + chunked norms. np.pad + concatenate +
+            # a full-size float64 temp cost ~6 multi-GB single-threaded
+            # passes on deserialize (measured: the 1Mx960 GIST load spent
+            # ~10min of 1-core numpy here); one calloc'd buffer filled in row
+            # chunks and an f64-accumulated einsum per chunk do the same
+            # work in one streaming pass each.
+            nb_rows = data.shape[0]
+            buf = np.zeros((nb_rows + B_slack, self._d_dev), data.dtype)
+            norms = np.zeros(nb_rows + B_slack, np.float32)
+            ch = max(1, (256 << 20) // max(d * 4, 1))
+            for i0 in range(0, nb_rows, ch):
+                i1 = min(i0 + ch, nb_rows)
+                c = np.asarray(data[i0:i1], dtype=np.float32)
+                buf[i0:i1, :d] = c
+                norms[i0:i1] = np.einsum("ij,ij->i", c, c, dtype=np.float64)
+            self._store = {
+                "data": jax.device_put(buf),
+                "norms": jax.device_put(norms),
+                "centroids": cents,
+            }
             self._kind = "raw"
             self._build_int8_sidecar(data, cpad, pad)
         elif self.VARIANT in ("pq", "scann"):
@@ -820,18 +838,40 @@ class IvfIndexNode(IndexNode):
         ):
             return
         nb_pad = int(offs[-1])
-        x = np.asarray(data[:nb_pad], dtype=np.float32)
+        x = data[:nb_pad]  # view; chunks cast below (full-size temps cost
+        # ~25GB of 1-core numpy traffic at GIST scale — measured 704s loads)
+        d = x.shape[1]
         n_true = int(np.asarray(self._lengths).sum())
+        ch = max(1, (256 << 20) // max(d * 4, 1))
         if self._is_l2_like() and n_true > 0:
-            mu = (x.sum(0) / n_true).astype(np.float32)  # pad rows are zeros
+            acc = np.zeros(d, np.float64)
+            for i0 in range(0, nb_pad, ch):  # pad rows are zeros
+                acc += np.asarray(x[i0 : i0 + ch], np.float32).sum(
+                    0, dtype=np.float64
+                )
+            mu = (acc / n_true).astype(np.float32)
         else:
-            mu = np.zeros(x.shape[1], np.float32)
-        xc = x - mu[None, :]
-        s = np.abs(xc).max(0).astype(np.float32) / 127.0
-        s = np.maximum(s, 1e-12)
-        codes = np.clip(np.rint(xc / s), -127, 127).astype(np.int8)
-        nrm = np.sum(xc.astype(np.float64) ** 2, axis=1).astype(np.float32)
-        self._store["data_i8"] = pad(cpad(codes))
+            mu = np.zeros(d, np.float32)
+        amax = np.zeros(d, np.float32)
+        for i0 in range(0, nb_pad, ch):
+            c = np.asarray(x[i0 : i0 + ch], np.float32) - mu
+            np.abs(c, out=c)
+            np.maximum(amax, c.max(0), out=amax)
+        s = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+        inv = (1.0 / s).astype(np.float32)
+        # padded int8 buffer filled directly (skip the pad+cpad copies)
+        pad_rows = int(self._store["data"].shape[0]) - nb_pad
+        codes = np.zeros((nb_pad + pad_rows, self._d_dev), np.int8)
+        nrm = np.empty(nb_pad, np.float32)
+        for i0 in range(0, nb_pad, ch):
+            i1 = min(i0 + ch, nb_pad)
+            c = np.asarray(x[i0:i1], np.float32) - mu
+            nrm[i0:i1] = np.einsum("ij,ij->i", c, c, dtype=np.float64)
+            c *= inv
+            np.rint(c, out=c)
+            np.clip(c, -127, 127, out=c)
+            codes[i0:i1, :d] = c.astype(np.int8)
+        self._store["data_i8"] = jax.device_put(codes)
         self._store["i8_nrm_blk"] = jax.device_put(
             nrm.reshape(nb_pad // _LA, 1, _LA)
         )
@@ -867,8 +907,15 @@ class IvfIndexNode(IndexNode):
         if codes.shape[1] != self._dim:
             return
         s = (self._sq.vdiff.astype(np.float32) / float(self._sq.levels))
-        dec = self._sq.vmin[None, :] + (codes.astype(np.float32) + 0.5) * s[None, :]
-        nrm = np.sum(dec.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        # chunked decode: no full-size f32/f64 decode temps (1-core host)
+        nrm = np.empty(nb_pad, np.float32)
+        ch = max(1, (256 << 20) // max(codes.shape[1] * 4, 1))
+        for i0 in range(0, nb_pad, ch):
+            i1 = min(i0 + ch, nb_pad)
+            dec = self._sq.vmin[None, :] + (
+                codes[i0:i1].astype(np.float32) + 0.5
+            ) * s[None, :]
+            nrm[i0:i1] = np.einsum("ij,ij->i", dec, dec, dtype=np.float64)
         # the scan reads the ALREADY-RESIDENT u8 codes (recentered in-kernel
         # via xor 0x80) — only the norms/scale sidecar is added, no i8 copy
         self._store["i8_nrm_blk"] = jax.device_put(nrm.reshape(nb_pad // _LA, 1, _LA))
