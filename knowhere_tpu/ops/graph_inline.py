@@ -213,15 +213,23 @@ def beam_search_inline(
     beam_s, beam_p = -ns0, np0
     visited = jnp.concatenate([ids0, jnp.full((nq, ring_slots * G), -1, jnp.int32)], axis=1)
 
+    # masked path: collect the best VALID ids seen along the walk into a
+    # pool of width ef — NOT k. The pool ranks by the walk's approximate
+    # (bf16 / 4-bit) scores and the caller exact-reranks it; a k-wide pool
+    # forwards only k approximately-ranked ids, which the exact rerank
+    # cannot repair (measured: 0.97 -> 0.78 recall@10 at ANY filter ratio
+    # on the 1M bench corpus; pool=ef restores parity with the unmasked
+    # path, whose rerank pool is the full ef-wide beam).
+    P = ef
     if has_mask:
         valid0 = jnp.take(keep_mask, jnp.clip(ids0, 0), axis=0) & (ids0 >= 0)
         rs0 = jnp.where(valid0, s0, NEG)
         rp0 = jnp.where(valid0, ids0, -1)
-        kpad = max(0, k - n_seed)
+        kpad = max(0, P - n_seed)
         res_s = jnp.concatenate([rs0, jnp.full((nq, kpad), NEG, jnp.float32)], axis=1)
         res_p = jnp.concatenate([rp0, jnp.full((nq, kpad), -1, jnp.int32)], axis=1)
         rs_, rp_ = jax.lax.sort((-res_s, res_p), dimension=1, num_keys=1)
-        res_s, res_p = -rs_[:, :k], rp_[:, :k]
+        res_s, res_p = -rs_[:, :P], rp_[:, :P]
     else:
         res_s = res_p = None
 
@@ -284,7 +292,7 @@ def beam_search_inline(
             rs_cat = jnp.concatenate([res_s, jnp.where(rvalid, scores, NEG)], axis=1)
             rp_cat = jnp.concatenate([res_p, jnp.where(rvalid, nbrs, -1)], axis=1)
             rs_, rp_ = jax.lax.sort((-rs_cat, rp_cat), dimension=1, num_keys=1)
-            res_s, res_p = -rs_[:, :k], rp_[:, :k]
+            res_s, res_p = -rs_[:, :P], rp_[:, :P]
 
         ns, npk = jax.lax.sort(
             (-jnp.concatenate([beam_s, scores], axis=1), jnp.concatenate([beam_p, new_p], axis=1)),

@@ -169,3 +169,38 @@ class TestInline4Bit:
         assert inline is not None and inline.bits == 8  # byte-code fallback
         res = idx.Search(gen_dataset(4, 36, seed=74), {"k": 5, "ef": 32})
         assert res.has_value()
+
+
+class TestMaskedPoolWidth:
+    """Regression: the masked walk must exact-rerank an ef-wide valid pool,
+    not a k-wide one. With 4-bit walk codes a k-wide approximately-ranked
+    pool collapses filtered recall (measured 0.97 -> 0.78 at ANY ratio on
+    the 1M bench corpus) while the unmasked path reranks the full beam.
+    Here: filtered recall at a mild ratio must stay within 0.1 of the
+    unfiltered recall on the same corpus (red on the k-wide-pool bug, where
+    it loses ~0.4)."""
+
+    def test_filtered_recall_parity(self, force_inline):
+        rng = np.random.default_rng(5)
+        nb, d, nq, k = 4096, 64, 64, 10
+        nclu = 20
+        cents = (rng.standard_normal((nclu, d)) * 3).astype(np.float32)
+        xb = (cents[rng.integers(0, nclu, nb)]
+              + rng.standard_normal((nb, d))).astype(np.float32)
+        xq = (cents[rng.integers(0, nclu, nq)]
+              + rng.standard_normal((nq, d))).astype(np.float32)
+        base = kt.GenDataSetFromArray(xb)
+        queries = kt.GenDataSetFromArray(xq)
+        idx = build("HNSW", base, {"metric_type": "L2", "M": 16,
+                                   "efConstruction": 200})
+        assert idx._node._inline is not None
+        cfg = {"metric_type": "L2", "k": k, "ef": 64,
+               "disable_fallback_brute_force": True}
+        res_u = idx.Search(queries, cfg)
+        gt_u, _ = brute_force_gt(base, queries, "L2", k)
+        rec_u = knn_recall(gt_u, res_u.value().ids, nq, k)
+        bitset = gen_bitset(nb, 0.2, seed=6)
+        res_f = idx.Search(queries, cfg, bitset)
+        gt_f, _ = brute_force_gt(base, queries, "L2", k, bitset=bitset)
+        rec_f = knn_recall(gt_f, res_f.value().ids, nq, k)
+        assert rec_f >= rec_u - 0.1, (rec_f, rec_u)
