@@ -330,7 +330,15 @@ def parent_main():
                 emit({"leg": name, "skipped": "budget", "est_s": round(est),
                       "remaining_s": round(remaining, 1)})
                 continue
-            leg_cap = min(cap, max(est, remaining - later_min) , remaining - 25)
+            # floor at ~2x the warm estimate: the cap is HANG protection,
+            # not fair-share — a healthy leg returns its unused cap to the
+            # pool, and a bare-estimate cap kills a leg on normal variance
+            # (a 40s-cap diskann leg died at 32s that ran in 18s the run
+            # before)
+            leg_cap = min(
+                cap, max(est * 1.8 + 30, remaining - later_min),
+                remaining - 25,
+            )
             run_leg(name, leg_cap)
     except Exception as e:  # pragma: no cover
         emit({"leg": "PARENT", "error": repr(e)})
