@@ -348,6 +348,16 @@ def _pad_pow2(n: int, minimum: int = 16) -> int:
     return p
 
 
+def _pad16(n: int, minimum: int = 16) -> int:
+    """Merge-pool slot padding: multiples of 16, NOT powers of two. The
+    (nq, S*kk) merge/top-k shapes scale linearly with S, and the pow2 jump
+    64->128 at nprobe 12->16 measured 23.0k -> 39.0k QPS when replaced with
+    S=80 (on-chip, 1M IVF_FLAT e2e). Only S uses this: the task-count axis
+    Tc keeps pow2 bucketing so a knob ladder reuses ONE Mosaic scan compile
+    instead of recompiling per rung."""
+    return max(minimum, -(-n // 16) * 16)
+
+
 # ---------------------------------------------------------------------------
 # Device scan kernels
 # ---------------------------------------------------------------------------
@@ -499,6 +509,10 @@ def _merge_tasks(
         flat_q * S + jnp.minimum(slots.reshape(-1), S - 1),
         nq * S + rown,  # unique OOB -> dropped by the scatter
     )
+    # NOTE (r5 A/B, on-chip): a sort+searchsorted inversion (scatter-free)
+    # measured 38-117ms vs 8.9ms for this single-element scatter at
+    # production shapes — the element scatter IS the fast form on this
+    # toolchain; do not "fix" it into a sort.
     inv = jnp.full((nq * S,), -1, jnp.int32).at[key].set(rown, unique_indices=True)
     safe = jnp.clip(inv, 0)
     valid = (inv >= 0)[:, None]
@@ -754,7 +768,7 @@ def ivf_scan_search(
         n_chunks = (T + task_chunk - 1) // task_chunk
         Tc = _pad_pow2(min(task_chunk, T))
         total = n_chunks * Tc
-        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+        S = _pad16(max(batch.n_slots, 1), minimum=1)
 
         def padded_all(a, fill):
             out = np.full((total, *a.shape[1:]), fill, a.dtype)
@@ -873,7 +887,7 @@ def _device_tasks_chunked(
         probes_dev, off_dev, lens_dev,
         B=B, Qg=Qg, T_max=total, G_max=G_max, nlist=nlist,
     )
-    S = _pad_pow2(S_max, minimum=1)
+    S = _pad16(S_max, minimum=1)
     return row_start, nrows, list_t, qids_t, slots_t, total, Tc, n_chunks, S
 
 
@@ -945,7 +959,7 @@ def _pallas_adc_search(
         n_chunks = (T + chunk - 1) // chunk
         Tc = (min(chunk, T) + 7) // 8 * 8
         total = n_chunks * Tc
-        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+        S = _pad16(max(batch.n_slots, 1), minimum=1)
 
         def padded_all(a, fill):
             out = np.full((total, *a.shape[1:]), fill, a.dtype)
@@ -1061,7 +1075,7 @@ def _pallas_rbq_search(
         n_chunks = (T + chunk - 1) // chunk
         Tc = (min(chunk, T) + 7) // 8 * 8
         total = n_chunks * Tc
-        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+        S = _pad16(max(batch.n_slots, 1), minimum=1)
 
         def padded_all(a, fill):
             out = np.full((total, *a.shape[1:]), fill, a.dtype)
@@ -1195,7 +1209,7 @@ def _pallas_int8_search(
         n_chunks = (T + chunk - 1) // chunk
         Tc = (min(chunk, T) + 7) // 8 * 8
         total = n_chunks * Tc
-        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+        S = _pad16(max(batch.n_slots, 1), minimum=1)
 
         def padded_all(a, fill):
             out = np.full((total, *a.shape[1:]), fill, a.dtype)
@@ -1308,7 +1322,7 @@ def _pallas_scan_search(
         n_chunks = (T + chunk - 1) // chunk
         Tc = (min(chunk, T) + 7) // 8 * 8  # uniform per-chunk task count
         total = n_chunks * Tc
-        S = _pad_pow2(max(batch.n_slots, 1), minimum=1)
+        S = _pad16(max(batch.n_slots, 1), minimum=1)
 
         def padded_all(a, fill):
             out = np.full((total, *a.shape[1:]), fill, a.dtype)
